@@ -1,0 +1,96 @@
+"""SparkSession construction with scale-aware defaults.
+
+The reference pins tiny-local settings (``local[2]``, 2 shuffle partitions,
+AQE off in Bronze — Bronze1.py:79-84, Silver1.py:7-11, Gold1.py:11-13).
+This engine instead ships cluster-sane defaults and exposes the same knobs
+(SURVEY §2.8 ST7): AQE on (runtime re-plan + skew-join + partition
+coalescing), UTC session timezone (deterministic timestamp semantics and
+DuckDB-oracle parity), Arrow enabled for the pandas boundary (K6).
+
+On a real cluster none of the local-mode bits apply: the builder only sets
+``master`` when none is configured, so ``spark-submit --master yarn/k8s``
+wins.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Config that is correct at every scale (local[32] test box or a
+# 1000-executor cluster). Anything sized to the local box stays out of
+# this dict and is derived at build time.
+ENGINE_CONF: dict[str, str] = {
+    # Runtime re-planning: coalesce post-shuffle partitions, convert
+    # sort-merge joins to broadcast when a side turns out small, split
+    # skewed partitions. The single most important 100-TB knob.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamps (and DuckDB naive-UTC oracle parity).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for toPandas()/pandas_udf — the sanctioned Python boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Scans: respect parquet column pruning + predicate pushdown defaults;
+    # cap per-task input so 100-TB scans parallelize (default 128m kept).
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Broadcast threshold: 64 MiB — dimension tables (region/nation/
+    # customer-agg side) broadcast instead of shuffling the fact table.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Streaming: state store kept small + RocksDB would be used on a real
+    # cluster; local default store is fine for tests.
+    "spark.sql.streaming.stateStore.stateSchemaCheck": "true",
+}
+
+
+def session_builder(
+    app_name: str = "realtimechurnpredictiondataengineering-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession.Builder:
+    """Return a configured builder; caller may still override anything."""
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(ENGINE_CONF)
+    # With AQE on, start shuffle.partitions at ~2-3x cores locally and let
+    # coalescing shrink; on a cluster this should be ~2-3x total cores and
+    # is expected to be overridden by the deployment.
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    conf["spark.sql.shuffle.partitions"] = str(max(shuffle_partitions, 4))
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder
+
+
+def get_spark(**kwargs) -> SparkSession:
+    """Build (or fetch the active) engine session."""
+    spark = session_builder(**kwargs).getOrCreate()
+    tune_runtime(spark)
+    return spark
+
+
+def tune_runtime(spark: SparkSession) -> None:
+    """Apply runtime-settable engine conf to an externally-built session.
+
+    The driver hands our query functions its own SparkSession; these are
+    the settings correctness depends on (timezone for oracle parity,
+    Arrow for pandas ops), all runtime-mutable.
+    """
+    for key, value in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf may be static in some deployments
+            pass
