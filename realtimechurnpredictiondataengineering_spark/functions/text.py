@@ -1,0 +1,172 @@
+"""Text-analysis expressions (north star; SURVEY §2.10).
+
+Everything operates on the ``documents`` table's ``text`` column and is
+built from JVM-side ``pyspark.sql.functions`` only — regexps, split,
+higher-order array functions — so a 100 TB corpus scan stays inside
+WholeStageCodegen with zero Python in the row path.
+
+Components: whitespace + BPE-ish token counting, n-gram-marker language
+ID, length/punctuation/stopword quality scoring, md5 + polynomial-rolling
+document fingerprints, and word-shingling (the MinHash/Jaccard feedstock
+in ``operators.dedup``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: GPT-2-style pre-tokenizer approximation: letter runs, digit runs, or a
+#: single non-alphanumeric-non-space symbol each count as one token.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: Tiny per-language marker vocabularies (function words — the classic
+#: n-gram/stopword language-ID heuristic).  Ordered dict → deterministic
+#: tie-break: first language listed wins ties.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def normalized(col: Column | str) -> Column:
+    """Canonical text form: lower-cased, whitespace collapsed, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of the normalized text → array<string>."""
+    return F.split(normalized(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (empty text counts 0)."""
+    n = normalized(col)
+    return F.when(F.length(n) == 0, F.lit(0)).otherwise(F.size(F.split(n, " ")))
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: occurrences of ``BPE_ISH_PATTERN``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+def _marker_pattern(word: str) -> str:
+    """Word-bounded pattern for ASCII words; plain substring pattern for
+    CJK (``\\b`` is ASCII-word-based in both Java regex and RE2, so it
+    never fires between CJK chars — counting occurrences directly keeps
+    the zh heuristic live and engine-portable)."""
+    return rf"\b{word}\b" if word.isascii() else word
+
+
+def marker_hits(col: Column | str, words: tuple[str, ...]) -> Column:
+    """How many marker-word occurrences (word-bounded) the text contains."""
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    hits = [F.regexp_count(c, F.lit(_marker_pattern(w))) for w in words]
+    total = hits[0]
+    for h in hits[1:]:
+        total = total + h
+    return total
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit scores (the language-ID feature vector)."""
+    return {lang: marker_hits(col, words) for lang, words in LANG_MARKERS.items()}
+
+
+def language_id(col: Column | str) -> Column:
+    """Argmax language over ``LANG_MARKERS`` scores; ``und`` when no
+    marker hits at all.  Ties break in LANG_MARKERS order (deterministic).
+    """
+    scores = language_scores(col)
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # Build the argmax back-to-front so earlier languages win ties.
+    for lang in reversed(list(scores)):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best == 0, F.lit("und")).otherwise(result)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(c)
+    )
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    """English stopword tokens / total tokens (0 when no tokens)."""
+    tc = token_count(col)
+    sw = marker_hits(col, EN_STOPWORDS)
+    return F.when(tc == 0, F.lit(0.0)).otherwise(sw.cast("double") / tc)
+
+
+def mean_word_length(col: Column | str) -> Column:
+    """Average token length — a classic gibberish / boilerplate signal."""
+    n = normalized(col)
+    tc = token_count(col)
+    n_chars = F.length(F.regexp_replace(n, " ", ""))
+    return F.when(tc == 0, F.lit(0.0)).otherwise(n_chars.cast("double") / tc)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality score in [0, 1].
+
+    Heuristic bands (all built-ins, mirror what large-corpus filters like
+    C4/Gopher publish): length in [200, 10k] chars, punctuation below
+    30%%, some stopwords present, mean word length in [3, 12].  Each
+    band contributes 0.25.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    len_ok = (F.length(c) >= 200) & (F.length(c) <= 10_000)
+    punct_ok = punct_ratio(c) <= 0.3
+    stop_ok = stopword_ratio(c) > 0.0
+    word_ok = (mean_word_length(c) >= 3.0) & (mean_word_length(c) <= 12.0)
+    score = (
+        len_ok.cast("double") * 0.25
+        + punct_ok.cast("double") * 0.25
+        + stop_ok.cast("double") * 0.25
+        + word_ok.cast("double") * 0.25
+    )
+    return F.round(score, 2)
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the normalized text.  Engine-portable
+    (DuckDB md5 is identical) → the exact-dedup key."""
+    return F.md5(normalized(col))
+
+
+def fingerprint_rolling(col: Column | str, base: int = 257, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling-hash fingerprint over the normalized text's
+    characters: ``h = (h*base + code(ch)) %% mod``.  Computed with the
+    ``aggregate`` higher-order function — one JVM-side pass, no UDF."""
+    chars = F.split(normalized(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+def shingles(col: Column | str, k: int = 5) -> Column:
+    """Word k-gram shingle set (distinct) → array<string>.
+
+    Documents shorter than ``k`` tokens yield their whole text as the
+    single shingle, so short docs still participate in MinHash.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    return F.array_distinct(grams)

@@ -1,0 +1,349 @@
+"""Deduplication operators (north star; SURVEY §2.10, generalizing F8).
+
+Five families, all designed around one rule: **never materialize the
+O(n²) pair space**.  Candidate pairs come from equi-join-able bucket
+keys (LSH bands, SimHash chunks, shared shingles with a document-
+frequency cap, hyperplane buckets), so every plan is scan → narrow
+shuffle on bucket key → verify — the shape that survives 100 TB.
+
+Skew guard: a degenerate bucket (boilerplate shingle, all-empty docs)
+would turn one reducer quadratic, so every bucket join applies a
+``max_bucket`` cap and drops oversized buckets (standard practice in
+web-scale dedup: a shingle shared by a million docs carries no
+discriminative signal anyway).  Dropped-bucket counts are observable via
+the returned plan, not silently hidden — the cap is an explicit knob.
+
+Everything below is built-in functions + joins: zero UDFs, zero
+``collect()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from realtimechurnpredictiondataengineering_spark.functions.text import (
+    fingerprint_md5,
+    normalized,
+    shingles,
+    tokens,
+)
+from realtimechurnpredictiondataengineering_spark.functions.vectors import (
+    cosine,
+    hyperplane_sign_bits,
+)
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """F8 generalized — drop exact duplicate rows (optionally by key).
+    Plans as a hash aggregate on the key columns (one shuffle)."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def content_hash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact content dedup with deterministic survivor selection: one row
+    per normalized-text md5, keeping the smallest id.  groupBy(min) rather
+    than dropDuplicates so results are reproducible and oracle-checkable
+    (dropDuplicates keeps an arbitrary row)."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Per-document MinHash signature.
+
+    One base xxhash64 per shingle, then ``num_hashes`` cheap derived
+    hashes (xxhash64 of (base, seed)) reduced by array_min — a single
+    JVM pass per seed over an already-hashed long array, no shuffle.
+    Returns (id, shingles, sig: array<bigint>).
+    """
+    with_sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("shingles")
+    ).withColumn("base_hashes", F.transform("shingles", lambda s: F.xxhash64(s)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("base_hashes", lambda h, i=i: F.xxhash64(h, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return with_sh.select(F.col(id_col), "shingles", sig.alias("sig"))
+
+
+def _band_buckets(sig_df: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """Explode a signature into (band_id, band_hash, id) LSH bucket rows."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        chunk = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.xxhash64(chunk).alias("band_hash"))
+        )
+    return (
+        sig_df.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+        .select(id_col, "band.band_id", "band.band_hash")
+    )
+
+
+def _capped_bucket_pairs(
+    buckets: DataFrame, id_col: str, bucket_cols: list[str], max_bucket: int
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from bucket co-membership,
+    dropping buckets larger than ``max_bucket`` (skew guard)."""
+    sized = buckets.withColumn(
+        "_bucket_n", F.count("*").over(Window.partitionBy(*bucket_cols))
+    ).filter(F.col("_bucket_n") <= max_bucket)
+    a = sized.select(*bucket_cols, F.col(id_col).alias("id_a"))
+    b = sized.select(*bucket_cols, F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, on=bucket_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH, verified with true Jaccard.
+
+    Plan shape: signature scan (no shuffle) → band explode → equi-join on
+    (band_id, band_hash) → distinct pairs → join back shingle sets →
+    exact Jaccard filter.  Candidate volume is controlled by the banding
+    (16 bands × 4 rows ⇒ s-curve threshold ≈ 0.5) + the bucket cap.
+    Returns (id_a, id_b, jaccard).
+    """
+    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = sigs.persist()
+    buckets = _band_buckets(sigs, id_col, num_hashes, bands)
+    pairs = _capped_bucket_pairs(buckets, id_col, ["band_id", "band_hash"], max_bucket)
+
+    sh = sigs.select(F.col(id_col), "shingles")
+    verified = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Greedy near-dedup: drop every doc that has a near-duplicate with a
+    smaller id (single-link approximation of connected components — the
+    standard one-pass web-dedup rule; full transitive closure would need
+    iterative joins).  Returns the surviving rows of ``df``."""
+    dups = minhash_near_duplicates(df, id_col, text_col, **kwargs)
+    losers = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup
+# --------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    Token hashes are folded into 64 signed bit-counters with a single
+    ``aggregate`` + ``zip_with`` pass (per-row, no shuffle), then packed
+    into one bigint.  Returns (id, simhash).
+    """
+    hashed = df.select(
+        F.col(id_col), F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs")
+    )
+    counters = F.expr(
+        """
+        aggregate(
+          hs,
+          array_repeat(cast(0 as bigint), 64),
+          (acc, h) -> zip_with(
+            acc,
+            sequence(0, 63),
+            (a, b) -> a + if(((h >> b) & 1) = 1, cast(1 as bigint), cast(-1 as bigint))
+          )
+        )
+        """
+    )
+    packed = F.expr(
+        """
+        aggregate(
+          zip_with(counters, sequence(0, 63), (c, b) -> if(c > 0, shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+          cast(0 as bigint),
+          (acc, x) -> acc | x
+        )
+        """
+    )
+    return hashed.withColumn("counters", counters).select(
+        F.col(id_col), packed.alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-dup pairs by SimHash with Hamming-distance verification.
+
+    Candidate generation: the 64-bit fingerprint is split into 4 16-bit
+    chunks; by pigeonhole, any pair within Hamming distance 3 shares at
+    least one identical chunk, so an equi-join on (chunk_id, chunk_value)
+    finds all of them without an all-pairs pass.  Returns
+    (id_a, id_b, hamming).
+    """
+    fp = simhash64(df, id_col, text_col).persist()
+    chunk_rows = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk_value"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk"),
+    ).select(id_col, "simhash", "chunk.chunk_id", "chunk.chunk_value")
+
+    sized = chunk_rows.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("chunk_id", "chunk_value"))
+    ).filter(F.col("_n") <= max_bucket)
+    a = sized.select("chunk_id", "chunk_value", F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sized.select("chunk_id", "chunk_value", F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.join(b, on=["chunk_id", "chunk_value"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard (exact, inverted-index join)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int = 1_000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via an inverted shingle index.
+
+    explode(shingles) → drop shingles with document frequency above
+    ``max_doc_freq`` (stopword-grams carry no signal and are the skew
+    bomb) → self-equi-join on shingle → count shared shingles per pair →
+    Jaccard from per-doc set sizes.  Exact for every pair sharing at
+    least one sub-cap shingle.  Returns (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col), shingles(text_col, shingle_k).alias("sh")
+    ).persist()
+    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
+    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    doc_freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
+    inv_capped = inv.join(
+        doc_freq.filter(F.col("df_") <= max_doc_freq).select("shingle"), "shingle"
+    )
+    a = inv_capped.select(F.col("shingle"), F.col(id_col).alias("id_a"))
+    b = inv_capped.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Near-identical embedding pairs: random-hyperplane LSH bucketing →
+    within-bucket equi-join → exact cosine verification.  High-cosine
+    pairs land in the same sign-bucket with high probability (use several
+    plane sets and union for higher recall).  Returns (id_a, id_b, cos_sim).
+    """
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+    )
+    sized = bucketed.withColumn(
+        "_n", F.count("*").over(Window.partitionBy("bucket"))
+    ).filter(F.col("_n") <= max_bucket)
+    a = sized.select("bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = sized.select("bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+    )

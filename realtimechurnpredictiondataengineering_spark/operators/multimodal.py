@@ -1,0 +1,152 @@
+"""Multimodal (image/audio/video) column handling (north star §2.10).
+
+Media travel as opaque ``binary`` columns with a typed metadata struct —
+the parquet-native representation that scales: payload bytes stay
+columnar/compressed, metadata is filterable/prunable without touching
+bytes.  Per-item compute (decode, feature-extract, resize, frame-sample)
+runs in Arrow-batched ``mapInPandas`` kernels so Python cost is amortized
+per batch, and the batch never exceeds
+``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+This container has no image/audio codecs, so the *decode* inner step is
+STUBBED with a deterministic fake (clearly marked below); the Spark-side
+plumbing — schema, partitioning, UDF signatures, batch iteration — is
+real and tested.  On a cluster, swap ``_fake_decode`` for PIL/ffmpeg.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType()),  # image|audio|video
+                    T.StructField("format", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Adapter: wrap the ``documents`` table into the media schema (text
+    bytes as a stand-in payload) so the multimodal path has real data to
+    move through parquet/shuffles in tests."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.lit("raw").alias("format"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB decode — deterministic fake standing in for PIL/ffmpeg.
+
+    Real deployment: ``Image.open(io.BytesIO(payload))`` etc.  Here the
+    "image" dimensions and an 8-dim "feature vector" derive from the
+    payload's sha256 so results are stable for tests.  Raises on None to
+    mirror a real decoder's failure mode.
+    """
+    if payload is None:
+        raise NotImplementedError("decode of null payload (real codec would raise)")
+    digest = hashlib.sha256(bytes(payload)).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    feature = [b / 255.0 for b in digest[:8]]
+    return width, height, feature
+
+
+def extract_media_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Decode + featurize media payloads via Arrow-batched mapInPandas.
+
+    Partition-parallel: each task pulls Arrow batches, decodes rows in
+    Python once per batch, emits a typed feature frame.  No driver
+    collection, no per-row UDF dispatch.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["meta"].map(lambda m: m["kind"]),
+                "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
+            }
+            decoded = pdf["payload"].map(_fake_decode)
+            out["width"] = decoded.map(lambda d: d[0]).astype("int32")
+            out["height"] = decoded.map(lambda d: d[1]).astype("int32")
+            out["feature"] = decoded.map(lambda d: d[2])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=FEATURES_SCHEMA)
+
+
+def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize kernel: same plumbing, payload-in/payload-out.  The pixel
+    resample is STUBBED (payload passthrough + updated meta); swap the
+    inner lambda for a real resampler on a cluster."""
+    out_schema = MEDIA_SCHEMA
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # STUB: real impl decodes, resamples to <= max_dim, re-encodes.
+            pdf = pdf.copy()
+            pdf["meta"] = pdf["meta"].map(
+                lambda m: {"kind": m["kind"], "format": f"resized<= {max_dim}", "n_bytes": m["n_bytes"]}
+            )
+            yield pdf
+
+    return media.mapInPandas(kernel, schema=out_schema)
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling kernel shape: one input row → many frame rows
+    (mapInPandas is the right operator because output cardinality
+    changes).  Frame extraction is STUBBED: emits ``n_bytes // (every_n *
+    1024) + 1`` synthetic frame rows per video with deterministic ids."""
+    frame_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n_frames = int(r["meta"]["n_bytes"]) // (every_n * 1024) + 1
+                for i in range(n_frames):
+                    rows.append((r["media_id"], i, bytes(r["payload"][:16])))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_no", "frame"])
+
+    return media.mapInPandas(kernel, schema=frame_schema)

@@ -1,0 +1,115 @@
+"""Similarity search (ANN) over embedding columns (north star §2.10).
+
+Two paths:
+
+- ``brute_force_topk`` — exact cosine top-k.  The (small) query set is
+  broadcast, so the plan is a single scan of the embedding table with a
+  per-row loop over queries (BroadcastNestedLoopJoin): linear in corpus
+  size, no shuffle of the corpus, embarrassingly parallel.  The only
+  shuffle is the final top-k reduction keyed by query id.
+- ``lsh_topk`` — the scale path: random-hyperplane buckets prune the
+  corpus to same-bucket candidates before scoring (multi-probe over N
+  plane sets for recall).  At 100 TB this turns "score everything" into
+  "score ~corpus/2^bits per probe".
+
+Top-k reduction note: a window ``row_number() <= k`` partitioned by
+query id would sort each query's full candidate set.  We instead reduce
+with two-phase ``min_by``-style aggregation: per-partition partial top-k
+(map-side), then final top-k — expressed as groupBy + slice(sort_array)
+over (score, id) structs, which Spark executes with partial aggregation
+before the shuffle, so the full candidate set never lands on one reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from realtimechurnpredictiondataengineering_spark.functions.vectors import cosine, hyperplane_sign_bits
+
+
+def topk_reduce(scored: DataFrame, query_col: str, id_col: str, score_col: str, k: int) -> DataFrame:
+    """Two-phase top-k per query over (query, id, score) rows.
+
+    collect_list of (score, id) structs benefits from map-side partial
+    aggregation; sort_array + slice keeps only k entries per query after
+    the single shuffle on the query key.  Returns exploded
+    (query, rank, id, score) rows, ties broken by id (deterministic).
+    """
+    pairs = F.collect_list(F.struct(F.col(score_col).alias("s"), F.col(id_col).alias("i")))
+    top = F.slice(F.sort_array(pairs, asc=False), 1, k)
+    exploded = (
+        scored.groupBy(query_col)
+        .agg(top.alias("top"))
+        .select(query_col, F.posexplode("top").alias("pos", "hit"))
+    )
+    return exploded.select(
+        query_col,
+        (F.col("pos") + 1).alias("rank"),
+        F.col("hit.i").alias(id_col),
+        F.round(F.col("hit.s"), 6).alias(score_col),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set over one corpus scan.
+    Returns (query_id, rank, vec_id, cos_sim)."""
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+        )
+    )
+    return topk_reduce(scored, query_id_col, id_col, "cos_sim", k)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    plane_sets: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k with random-hyperplane LSH pruning.
+
+    Each plane set is an independent hash table (multi-probe): corpus and
+    queries bucket identically, candidates come from bucket equi-joins
+    unioned across tables, then exact cosine + top-k.  Recall rises with
+    more/narrower tables; cost stays ~|corpus| × tables / 2^bits.
+    Returns (query_id, rank, vec_id, cos_sim).
+    """
+    candidate_frames = []
+    for t, planes in enumerate(plane_sets):
+        c = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
+        )
+        q = queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            hyperplane_sign_bits(F.col(query_vec_col), planes).alias("bucket"),
+        )
+        candidate_frames.append(c.join(F.broadcast(q), "bucket").drop("bucket"))
+    candidates = candidate_frames[0]
+    for f in candidate_frames[1:]:
+        candidates = candidates.unionByName(f)
+    scored = candidates.dropDuplicates([query_id_col, id_col]).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+    )
+    return topk_reduce(scored, query_id_col, id_col, "cos_sim", k)

@@ -1,0 +1,995 @@
+"""The driver-facing query inventory: SURVEY §2 operators as named
+(PySpark query, DuckDB oracle SQL) pairs.
+
+Every SQL-expressible operator gets BOTH halves; genuinely non-SQL ops
+(LSH dedup candidate generation, multimodal kernels, streaming) register
+with ``sql=None`` → the driver records a rows-only check.
+
+Parity rules applied throughout (SURVEY §7 hard parts):
+- every computed column aliased identically on both sides;
+- double aggregates rounded (sum order differs between engines; rounding
+  absorbs the ~1e-12 noise);
+- DuckDB ``sum(BIGINT)`` returns HUGEINT and ``datediff`` returns BIGINT
+  → explicit casts to match Spark's long/int;
+- timestamps never output raw: cast to date or formatted string;
+- nondeterministic reference constructs (current_timestamp P7, Murmur3
+  hash P11) replaced by an explicit anchor / md5-derived score.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtimechurnpredictiondataengineering_spark.functions import text as tx
+from realtimechurnpredictiondataengineering_spark.functions import vectors as vec
+from realtimechurnpredictiondataengineering_spark.functions.scalar import pseudo_score, round2
+from realtimechurnpredictiondataengineering_spark.operators import dedup, joins, similarity
+from realtimechurnpredictiondataengineering_spark.plans.gold import DEFAULT_AS_OF, churn_features
+from realtimechurnpredictiondataengineering_spark.sources.batch import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark_fn, oracle_sql_or_None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB twins of functions.text expressions)
+# ---------------------------------------------------------------------------
+
+SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+SQL_TOKEN_COUNT = (
+    f"CASE WHEN length({SQL_NORM}) = 0 THEN 0 "
+    f"ELSE len(string_split({SQL_NORM}, ' ')) END"
+)
+SQL_BPE_COUNT = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"
+
+
+def _sql_marker_hits(words: tuple[str, ...]) -> str:
+    parts = []
+    for w in words:
+        pat = tx._marker_pattern(w).replace("'", "''")
+        parts.append(f"len(regexp_extract_all(lower(text), '{pat}'))")
+    return "(" + " + ".join(parts) + ")"
+
+
+SQL_LANG_SCORES = {lang: _sql_marker_hits(words) for lang, words in tx.LANG_MARKERS.items()}
+_sql_best = "greatest(" + ", ".join(SQL_LANG_SCORES.values()) + ")"
+_sql_lang_cases = " ".join(
+    f"WHEN {score} = {_sql_best} THEN '{lang}'" for lang, score in SQL_LANG_SCORES.items()
+)
+SQL_LANG_ID = f"CASE WHEN {_sql_best} = 0 THEN 'und' {_sql_lang_cases} ELSE 'und' END"
+
+SQL_PUNCT_RATIO = (
+    r"CASE WHEN length(text) = 0 THEN 0.0 "
+    r"ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / length(text) END"
+)
+_sql_stop_hits = _sql_marker_hits(tx.EN_STOPWORDS)
+SQL_STOPWORD_RATIO = (
+    f"CASE WHEN {SQL_TOKEN_COUNT} = 0 THEN 0.0 "
+    f"ELSE CAST({_sql_stop_hits} AS DOUBLE) / {SQL_TOKEN_COUNT} END"
+)
+SQL_MEAN_WORD_LEN = (
+    f"CASE WHEN {SQL_TOKEN_COUNT} = 0 THEN 0.0 "
+    f"ELSE CAST(length(replace({SQL_NORM}, ' ', '')) AS DOUBLE) / {SQL_TOKEN_COUNT} END"
+)
+SQL_QUALITY = (
+    "round("
+    "CAST(length(text) >= 200 AND length(text) <= 10000 AS INT) * 0.25 + "
+    f"CAST({SQL_PUNCT_RATIO} <= 0.3 AS INT) * 0.25 + "
+    f"CAST({SQL_STOPWORD_RATIO} > 0.0 AS INT) * 0.25 + "
+    f"CAST({SQL_MEAN_WORD_LEN} >= 3.0 AND {SQL_MEAN_WORD_LEN} <= 12.0 AS INT) * 0.25"
+    ", 2)"
+)
+SQL_PSEUDO_SCORE = "(ascii(substr(md5({col}), 1, 1)) % 10) / 10.0"
+
+#: word k-gram shingles of `text`, k=3 (twin of functions.text.shingles)
+SQL_SHINGLES_K3 = (
+    f"list_distinct(list_transform(range(1, greatest(len(string_split({SQL_NORM}, ' ')) - 2, 1) + 1), "
+    f"i -> array_to_string(string_split({SQL_NORM}, ' ')[i:i+2], ' ')))"
+)
+
+SQL_COSINE = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Flagship (q00)
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_SQL = f"""
+WITH revenue AS (
+  SELECT o_custkey AS customer_id,
+         round(sum(o_totalprice), 2) AS total_revenue,
+         count(*) AS n_orders,
+         max(CAST(o_orderdate AS DATE)) AS last_order_date
+  FROM orders GROUP BY 1
+), activity AS (
+  SELECT user_id AS customer_id,
+         CAST(datediff('day', max(ts), TIMESTAMP '{DEFAULT_AS_OF}') AS INT) AS days_since_last_login,
+         count(*) AS sessions
+  FROM events GROUP BY 1
+), declines AS (
+  SELECT user_id AS customer_id,
+         round(sum(value), 2) AS total_declined,
+         round(avg(value), 2) AS avg_declined
+  FROM events WHERE event_type = 'error' GROUP BY 1
+), support AS (
+  SELECT user_id AS customer_id,
+         round(avg(value), 2) AS avg_resolution_time,
+         round(avg(ascii(substr(md5(props), 1, 1)) % 10) / 10.0, 4) AS avg_ticket_sentiment
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT c.c_custkey AS customer_id,
+       c.c_name AS name,
+       c.c_mktsegment AS segment,
+       n.n_name AS nation,
+       round(c.c_acctbal, 2) AS acctbal,
+       coalesce(r.total_revenue, 0.0) AS total_revenue,
+       coalesce(r.n_orders, 0) AS n_orders,
+       r.last_order_date,
+       a.days_since_last_login,
+       coalesce(a.sessions, 0) AS sessions,
+       d.total_declined,
+       d.avg_declined,
+       s.avg_ticket_sentiment,
+       round(coalesce(r.total_revenue, 0.0) / (coalesce(a.sessions, 0) + 1), 2) AS arpu,
+       CAST(coalesce(a.days_since_last_login, 999) > 14 AND coalesce(a.sessions, 0) < 5 AS INT) AS churn_risk
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN revenue  r ON r.customer_id = c.c_custkey
+LEFT JOIN activity a ON a.customer_id = c.c_custkey
+LEFT JOIN declines d ON d.customer_id = c.c_custkey
+LEFT JOIN support  s ON s.customer_id = c.c_custkey
+"""
+
+
+@register("q00_flagship_churn_features", _FLAGSHIP_SQL)
+def q00(spark, sf_dir):
+    return churn_features(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Projections / parsing / scalar expressions (P-series)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p01_cast_projection",
+    # Spark's double->bigint cast truncates toward zero; DuckDB's rounds,
+    # hence trunc() in the oracle twin.
+    "SELECT o_orderkey, CAST(o_custkey AS VARCHAR) AS custkey_str, "
+    "CAST(trunc(o_totalprice) AS BIGINT) AS price_int FROM orders",
+)
+def p01(spark, sf_dir):
+    # P1/P4 — explicit casts survive as a pure projection (no shuffle).
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("string").alias("custkey_str"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+    )
+
+
+@register(
+    "p02_json_parse_flatten",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k FROM events",
+)
+def p02(spark, sf_dir):
+    # P2/P3 — from_json against an explicit schema, then struct flatten.
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id", F.from_json("props", "k INT").alias("data")
+    )
+    return parsed.select("event_id", F.col("data.k").alias("prop_k"))
+
+
+@register(
+    "p05_to_date",
+    "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date FROM orders",
+)
+def p05(spark, sf_dir):
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("order_date")
+    )
+
+
+@register(
+    "p06_to_timestamp_format",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str FROM events",
+)
+def p06(spark, sf_dir):
+    # P6 — timestamp round-trip, output formatted (raw timestamps never
+    # cross the oracle boundary; session TZ is UTC for wall-time parity).
+    return _t(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str")
+    )
+
+
+@register(
+    "p08_datediff_recency",
+    f"SELECT user_id, CAST(datediff('day', max(ts), TIMESTAMP '{DEFAULT_AS_OF}') AS INT) AS days_since"
+    " FROM events GROUP BY user_id",
+)
+def p08(spark, sf_dir):
+    # P7/P8 — recency vs an explicit anchor (deterministic stand-in for
+    # current_timestamp; Gold1.py:62).
+    anchor = F.to_timestamp(F.lit(DEFAULT_AS_OF))
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.datediff(anchor, F.max("ts")).alias("days_since"))
+    )
+
+
+@register(
+    "p09_interval_cutoff",
+    "SELECT event_id, user_id FROM events "
+    "WHERE ts > TIMESTAMP '2024-01-30 00:00:00' - INTERVAL 5 MINUTE",
+)
+def p09(spark, sf_dir):
+    # P9 — interval arithmetic cutoff (Gold1.py:20).
+    e = _t(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit("2024-01-30 00:00:00")) - F.expr("INTERVAL 5 MINUTES")
+    return e.filter(F.col("ts") > cutoff).select("event_id", "user_id")
+
+
+@register(
+    "p10_round_arithmetic",
+    # floor(x*100 + 0.5)/100 instead of round(x, 2): Spark rounds via
+    # exact BigDecimal HALF_UP while DuckDB rounds via float multiply —
+    # they disagree on ~1e-4 of rows.  The floor form is the same IEEE
+    # double ops on both engines, hence bit-identical.
+    "SELECT l_orderkey, l_linenumber, "
+    "floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge FROM lineitem",
+)
+def p10(spark, sf_dir):
+    # P10/P12 — literal+column arithmetic with portable rounding.
+    li = _t(spark, sf_dir, "lineitem")
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return li.select(
+        "l_orderkey", "l_linenumber", (F.floor(charge * 100 + 0.5) / 100).alias("charge")
+    )
+
+
+@register(
+    "p11_pseudo_score",
+    f"SELECT event_id, {SQL_PSEUDO_SCORE.format(col='props')} AS sentiment FROM events",
+)
+def p11(spark, sf_dir):
+    # P11 — deterministic hash-bucket pseudo-score (Gold1.py:87, md5
+    # variant for cross-engine determinism).
+    return _t(spark, sf_dir, "events").select(
+        "event_id", pseudo_score("props").alias("sentiment")
+    )
+
+
+@register(
+    "p12_arpu",
+    "SELECT user_id, round(round(sum(value), 2) / (count(*) + 1), 2) AS arpu FROM events "
+    "WHERE event_type = 'purchase' GROUP BY user_id",
+)
+def p12(spark, sf_dir):
+    # P12 — ARPU: revenue / (sessions + 1) (Gold1.py:83).
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return e.groupBy("user_id").agg(
+        round2(round2(F.sum("value")) / (F.count("*") + 1)).alias("arpu")
+    )
+
+
+@register(
+    "p13_to_json_keyed",
+    "SELECT CAST(n_nationkey AS VARCHAR) AS key, "
+    "to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name, n_regionkey := n_regionkey)) AS value "
+    "FROM nation",
+)
+def p13(spark, sf_dir):
+    # P13 — the Kafka wire shape: key = id as string, value = row JSON
+    # (Silver1.py:45-46).
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").cast("string").alias("key"),
+        F.to_json(F.struct("n_nationkey", "n_name", "n_regionkey")).alias("value"),
+    )
+
+
+@register(
+    "p15_column_pruning",
+    "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_returnflag = 'R'",
+)
+def p15(spark, sf_dir):
+    # P15 — narrow projection; the physical scan must read 3 columns, not 11.
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters (F-series)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f02_equality_filter",
+    "SELECT event_id, user_id, round(value, 2) AS value FROM events "
+    "WHERE event_type = 'error' AND value > 5.0",
+)
+def f02(spark, sf_dir):
+    # F2/F3 — equality + comparison predicates, pushed to the scan.
+    e = _t(spark, sf_dir, "events")
+    return e.filter((F.col("event_type") == "error") & (F.col("value") > 5.0)).select(
+        "event_id", "user_id", round2(F.col("value")).alias("value")
+    )
+
+
+@register(
+    "f03_comparison_filter",
+    "SELECT l_orderkey, l_linenumber FROM lineitem "
+    "WHERE l_quantity > 45 AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'",
+)
+def f03(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45)
+        & (F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01 00:00:00")))
+    ).select("l_orderkey", "l_linenumber")
+
+
+@register(
+    "f04_dropna",
+    "SELECT c.c_custkey, o.o_orderkey FROM customer c "
+    "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o ON o.o_custkey = c.c_custkey "
+    "WHERE o.o_orderkey IS NOT NULL",
+)
+def f04(spark, sf_dir):
+    # F4 — dropna(subset) clearing the nulls a left join introduced.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    joined = c.join(o, c.c_custkey == o.o_custkey, "left").select("c_custkey", "o_orderkey")
+    return joined.dropna(subset=["o_orderkey"])
+
+
+@register(
+    "f05_isin",
+    "SELECT o_orderkey, o_orderpriority FROM orders "
+    "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+)
+def f05(spark, sf_dir):
+    # F5 — case-sensitive set membership (Silver1.py:40,119).
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+@register(
+    "f06_not_contains",
+    "SELECT p_partkey, p_type FROM part WHERE NOT contains(p_type, 'BRASS')",
+)
+def f06(spark, sf_dir):
+    # F6 — negated substring (Silver1.py:42).
+    p = _t(spark, sf_dir, "part")
+    return p.filter(~F.col("p_type").contains("BRASS")).select("p_partkey", "p_type")
+
+
+@register(
+    "f07_not_rlike",
+    "SELECT p_partkey, p_name FROM part WHERE NOT regexp_matches(p_name, 'green|red|blue')",
+)
+def f07(spark, sf_dir):
+    # F7 — negated regex (Silver1.py:43).
+    p = _t(spark, sf_dir, "part")
+    return p.filter(~F.col("p_name").rlike("green|red|blue")).select("p_partkey", "p_name")
+
+
+@register(
+    "f08_dedup_by_key",
+    "SELECT user_id, event_type, min(event_id) AS event_id FROM events GROUP BY user_id, event_type",
+)
+def f08(spark, sf_dir):
+    # F8 batch shape — dropDuplicates with a *deterministic* survivor
+    # (min id per key); dropDuplicates itself keeps an arbitrary row, so
+    # the oracle-checkable form is the groupBy(min) equivalent.
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(F.min("event_id").alias("event_id"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A-series)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a01_max_sum_groupby",
+    "SELECT user_id, round(max(value), 2) AS max_value, round(sum(value), 2) AS sum_value, "
+    "count(*) AS n FROM events GROUP BY user_id",
+)
+def a01(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        round2(F.max("value")).alias("max_value"),
+        round2(F.sum("value")).alias("sum_value"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "a02_filtered_sum_avg",
+    "SELECT user_id, round(sum(value), 2) AS total_refunded, round(avg(value), 2) AS avg_refunded "
+    "FROM events WHERE event_type = 'refund' GROUP BY user_id",
+)
+def a02(spark, sf_dir):
+    # A2 — note 'refund' may select few/no rows; empty-group semantics
+    # (absent keys, not zero rows) are part of the contract (Gold1.py:71).
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "refund")
+    return e.groupBy("user_id").agg(
+        round2(F.sum("value")).alias("total_refunded"),
+        round2(F.avg("value")).alias("avg_refunded"),
+    )
+
+
+@register(
+    "a03_total_revenue",
+    "SELECT o_custkey AS customer_id, round(sum(o_totalprice), 2) AS total_revenue "
+    "FROM orders GROUP BY o_custkey",
+)
+def a03(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        round2(F.sum("o_totalprice")).alias("total_revenue")
+    )
+
+
+@register(
+    "a04_null_heavy_avg",
+    "SELECT event_type, round(avg(CASE WHEN user_id % 3 = 0 "
+    "THEN CAST(CAST(value AS VARCHAR) AS DOUBLE) END), 4) AS avg_cast_value FROM events GROUP BY event_type",
+)
+def a04(spark, sf_dir):
+    # A4 — avg over a null-heavy string column with implicit numeric cast
+    # (Gold1.py:88-92): 2/3 of inputs are null and ignored by avg.
+    e = _t(spark, sf_dir, "events")
+    casted = F.when(
+        F.col("user_id") % 3 == 0, F.col("value").cast("string").cast("double")
+    )
+    return e.groupBy("event_type").agg(F.round(F.avg(casted), 4).alias("avg_cast_value"))
+
+
+@register(
+    "a05_count_distinct_minmax",
+    "SELECT l_returnflag, count(*) AS n, count(DISTINCT l_suppkey) AS n_supp, "
+    "CAST(min(l_quantity) AS DOUBLE) AS min_qty, CAST(max(l_quantity) AS DOUBLE) AS max_qty "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def a05(spark, sf_dir):
+    # count/countDistinct/min/max — the standard surface the reference
+    # omits (SURVEY §2.5 note).
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "a06_pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(avg(l_quantity), 4) AS avg_qty, "
+    "round(avg(l_extendedprice), 4) AS avg_price, "
+    "round(avg(l_discount), 4) AS avg_disc, "
+    "count(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def a06(spark, sf_dir):
+    # TPC-H Q1-shaped pricing summary — the headline aggregate bench query.
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00"))
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        round2(F.sum("l_quantity")).alias("sum_qty"),
+        round2(F.sum("l_extendedprice")).alias("sum_base_price"),
+        round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "a07_rollup",
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)",
+)
+def a07(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), round2(F.sum("l_quantity")).alias("sum_qty")
+    )
+
+
+@register(
+    "a08_cube",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n "
+    "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+)
+def a08(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Joins (J-series)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j01_left_join_features",
+    "SELECT c.c_custkey, r.total_revenue FROM customer c LEFT JOIN "
+    "(SELECT o_custkey, round(sum(o_totalprice), 2) AS total_revenue FROM orders GROUP BY o_custkey) r "
+    "ON r.o_custkey = c.c_custkey",
+)
+def j01(spark, sf_dir):
+    # J1 — left join keeps customers with no orders (null revenue).
+    c = _t(spark, sf_dir, "customer")
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(round2(F.sum("o_totalprice")).alias("total_revenue"))
+    )
+    return c.join(r, c.c_custkey == r.o_custkey, "left").select("c_custkey", "total_revenue")
+
+
+@register(
+    "j03_broadcast_dim_chain",
+    "SELECT r.r_name, count(*) AS n_orders, round(sum(o.o_totalprice), 2) AS revenue "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY r.r_name",
+)
+def j03(spark, sf_dir):
+    # Star-schema rollup: nation/region broadcast (no fact shuffle for
+    # the dim joins), one shuffle for the final groupBy.
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), round2(F.sum("o_totalprice")).alias("revenue"))
+    )
+
+
+@register(
+    "j04_semi_join",
+    "SELECT c_custkey, c_mktsegment FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)",
+)
+def j04(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return joins.semi_join(c, big, c.c_custkey == big.o_custkey).select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "j05_anti_join",
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+)
+def j05(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return joins.anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey")
+
+
+@register(
+    "j06_asof_join",
+    "WITH o AS (SELECT o_custkey, o_orderdate, round(max(o_totalprice), 2) AS last_order_price "
+    "FROM orders GROUP BY o_custkey, o_orderdate) "
+    "SELECT e.event_id, e.user_id AS ckey, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str, o.last_order_price "
+    "FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts",
+)
+def j06(spark, sf_dir):
+    # As-of join (point-in-time correctness): latest order state at each
+    # event time.  Right side pre-deduped per (key, ts) so tie-breaking is
+    # well-defined in both engines.
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("ckey"), F.col("ts"), F.col("event_id")
+    )
+    orr = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("ckey"), "o_orderdate")
+        .agg(round2(F.max("o_totalprice")).alias("last_order_price"))
+    )
+    out = joins.as_of_join(
+        ev, orr, key="ckey", left_ts="ts", right_ts="o_orderdate",
+        right_values=["last_order_price"],
+    )
+    return out.select(
+        "event_id", "ckey", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "last_order_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / sort / limit / set ops (§2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w01_latest_per_key",
+    "SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn "
+    "FROM orders) WHERE rn = 1",
+)
+def w01(spark, sf_dir):
+    # row_number window — the idiomatic "latest row per key" (SURVEY §2.7).
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", round2(F.col("o_totalprice")).alias("price"))
+    )
+
+
+@register(
+    "w02_running_sum",
+    "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue FROM orders",
+)
+def w02(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", round2(F.sum("o_totalprice").over(w)).alias("running_revenue")
+    )
+
+
+@register(
+    "w03_lag_lead",
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS INT) AS days_since_prev "
+    "FROM orders",
+)
+def w03(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).alias("days_since_prev"),
+    )
+
+
+@register(
+    "s01_orderby_limit",
+    "SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20",
+)
+def s01(spark, sf_dir):
+    # Global sort + limit: Spark plans TakeOrderedAndProject (no full
+    # sort materialization); tie-break keys make the top-20 deterministic.
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(20)
+        .select("l_orderkey", "l_linenumber", round2(F.col("l_extendedprice")).alias("price"))
+    )
+
+
+@register(
+    "u01_union",
+    "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+    "UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'",
+)
+def u01(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "u02_intersect",
+    "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+    "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'",
+)
+def u02(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "u03_except",
+    "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey AS c_custkey FROM orders",
+)
+def u03(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t01_token_counts",
+    f"SELECT doc_id, {SQL_TOKEN_COUNT} AS n_tokens, CAST({SQL_BPE_COUNT} AS INT) AS n_bpe_tokens FROM documents",
+)
+def t01(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.token_count("text").alias("n_tokens"),
+        tx.bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "t02_language_id",
+    f"SELECT doc_id, lang, {SQL_LANG_ID} AS lang_pred FROM documents",
+)
+def t02(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", tx.language_id("text").alias("lang_pred"))
+
+
+@register(
+    "t03_quality_score",
+    f"SELECT doc_id, {SQL_QUALITY} AS quality, round({SQL_PUNCT_RATIO}, 6) AS punct_ratio, "
+    f"round({SQL_MEAN_WORD_LEN}, 6) AS mean_word_len FROM documents",
+)
+def t03(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        tx.quality_score("text").alias("quality"),
+        F.round(tx.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(tx.mean_word_length("text"), 6).alias("mean_word_len"),
+    )
+
+
+@register(
+    "t04_fingerprint",
+    f"SELECT doc_id, md5({SQL_NORM}) AS fingerprint FROM documents",
+)
+def t04(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint_md5("text").alias("fingerprint"))
+
+
+@register(
+    "t05_word_frequencies",
+    f"SELECT word, count(*) AS n FROM (SELECT unnest(string_split({SQL_NORM}, ' ')) AS word "
+    "FROM documents) GROUP BY word HAVING count(*) >= 50",
+)
+def t05(spark, sf_dir):
+    # tokenize + explode + frequency — the corpus vocabulary profile.
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tx.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+@register(
+    "d01_exact_content_dedup",
+    f"SELECT md5({SQL_NORM}) AS fingerprint, min(doc_id) AS doc_id FROM documents GROUP BY 1",
+)
+def d01(spark, sf_dir):
+    # Exact dedup with deterministic survivor (min id per content hash).
+    return dedup.content_hash_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "d02_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT doc_id, {SQL_SHINGLES_K3} AS sh FROM documents),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM inv a JOIN inv b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def d02(spark, sf_dir):
+    # Exact n-gram Jaccard via inverted index (document-frequency cap is
+    # inactive at oracle scale, so Spark and SQL semantics coincide).
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5, max_doc_freq=1_000_000
+    )
+
+
+@register("d03_minhash_near_dup", None)  # LSH banding is not SQL-expressible
+def d03(spark, sf_dir):
+    return dedup.minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("d04_simhash_near_dup", None)
+def d04(spark, sf_dir):
+    return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register("d05_near_dedup_survivors", None)
+def d05(spark, sf_dir):
+    surv = dedup.near_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return surv.select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Vector similarity (north star)
+# ---------------------------------------------------------------------------
+
+
+def _as_double(col: str):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@register(
+    "v01_vector_norms",
+    "SELECT vec_id, len(embedding) AS dim, "
+    "round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm "
+    "FROM embeddings",
+)
+def v01(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    dv = _as_double("embedding")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(vec.norm(dv), 6).alias("l2_norm"),
+    )
+
+
+_V02_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (SELECT query_id, vec_id, {SQL_COSINE.format(a='qv', b='cv')} AS cos FROM q, c),
+ranked AS (SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id DESC) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("v02_brute_force_topk", _V02_SQL)
+def v02(spark, sf_dir):
+    # Exact cosine top-k: broadcast 3 query vectors over one corpus scan,
+    # two-phase top-k reduction (no per-query global sort).
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.brute_force_topk(e, qs, k=5)
+    return out.select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cos_sim")
+
+
+@register("v03_lsh_topk", None)  # hyperplane constants make SQL impractical
+def v03(spark, sf_dir):
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rng = np.random.default_rng(42)
+    plane_sets = [rng.standard_normal((6, 64)).tolist() for _ in range(8)]
+    return similarity.lsh_topk(e, qs, plane_sets, k=5)
+
+
+@register("v04_embedding_near_dup", None)
+def v04(spark, sf_dir):
+    import numpy as np
+
+    e = _t(spark, sf_dir, "embeddings")
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((8, 64)).tolist()
+    return dedup.embedding_near_duplicates(e, planes, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (north star; kernels are mapInPandas — rows-only checks)
+# ---------------------------------------------------------------------------
+
+
+@register("m01_media_features", None)
+def m01(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_media_features(media)
+
+
+@register("m02_video_frame_sample", None)
+def m02(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"), kind="video")
+    return multimodal.sample_video_frames(media, every_n=30)
+
+
+# ---------------------------------------------------------------------------
+# Silver validation chain (batch twin over the synthetic generator)
+# ---------------------------------------------------------------------------
+
+
+@register("sv01_silver_profiles", None)  # generator feed, not a parquet table
+def sv01(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.plans.silver import silver_tables
+
+    return silver_tables(spark, n_per_topic=2000)["profiles"]
+
+
+@register("sv02_silver_transactions", None)
+def sv02(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.plans.silver import silver_tables
+
+    return silver_tables(spark, n_per_topic=2000)["transactions"]
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}

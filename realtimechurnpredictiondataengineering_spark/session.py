@@ -30,6 +30,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Deterministic timestamps (and DuckDB naive-UTC oracle parity).
     "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) columns (driver testdata `events.ts`) are
+    # unreadable by Spark natively; read as long, converted in
+    # sources.batch.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Arrow for toPandas()/pandas_udf — the sanctioned Python boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Scans: respect parquet column pruning + predicate pushdown defaults;
@@ -44,6 +48,21 @@ ENGINE_CONF: dict[str, str] = {
 }
 
 
+def _master_configured() -> bool:
+    """True when a master is already set by the deployment — via
+    ``spark-submit --master`` (which sets the ``spark.master`` system
+    property / SparkConf, NOT an env var) or the ``SPARK_MASTER`` env.
+    Only when neither is present do we default to local[N]."""
+    if "SPARK_MASTER" in os.environ:
+        return True
+    try:
+        from pyspark import SparkConf
+
+        return SparkConf().contains("spark.master")
+    except Exception:  # pragma: no cover - SparkConf probe is best-effort
+        return False
+
+
 def session_builder(
     app_name: str = "realtimechurnpredictiondataengineering-spark",
     master: str | None = None,
@@ -52,17 +71,18 @@ def session_builder(
 ) -> SparkSession.Builder:
     """Return a configured builder; caller may still override anything."""
     builder = SparkSession.builder.appName(app_name)
-    if master is None and "SPARK_MASTER" not in os.environ:
+    if master is None and not _master_configured():
         cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
     conf = dict(ENGINE_CONF)
-    # With AQE on, start shuffle.partitions at ~2-3x cores locally and let
+    # With AQE on, start shuffle.partitions at ~3x cores locally and let
     # coalescing shrink; on a cluster this should be ~2-3x total cores and
     # is expected to be overridden by the deployment.
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+        shuffle_partitions = 3 * cpus
     conf["spark.sql.shuffle.partitions"] = str(max(shuffle_partitions, 4))
     if extra_conf:
         conf.update(extra_conf)
@@ -89,6 +109,7 @@ def tune_runtime(spark: SparkSession) -> None:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ):
         try:
             spark.conf.set(key, value)

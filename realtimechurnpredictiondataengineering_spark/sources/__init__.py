@@ -7,20 +7,54 @@ Delta are gated behind availability checks — the classpath here has
 neither; the code paths are real and the formats plug in on a cluster.
 """
 
-from realtimechurnpredictiondataengineering_spark.sources.batch import TABLES, load_table, load_tables
+from realtimechurnpredictiondataengineering_spark.sources.batch import (
+    TABLES,
+    delta_scan,
+    load_table,
+    load_tables,
+    register_views,
+)
+from realtimechurnpredictiondataengineering_spark.sources.generator import synthetic_topic_feed
+from realtimechurnpredictiondataengineering_spark.sources.sinks import (
+    await_any_termination,
+    console_sink,
+    delta_batch_append,
+    delta_stream_sink,
+    foreach_batch_dual_sink,
+    kafka_batch_write,
+    kafka_stream_sink,
+    keyed_json,
+    memory_sink,
+    to_pandas,
+)
 from realtimechurnpredictiondataengineering_spark.sources.streaming import (
     file_stream,
     json_topic_stream,
     kafka_stream,
     rate_stream,
+    rate_topic_stream,
 )
 
 __all__ = [
     "TABLES",
+    "delta_scan",
     "load_table",
     "load_tables",
+    "register_views",
+    "synthetic_topic_feed",
     "file_stream",
     "json_topic_stream",
     "kafka_stream",
     "rate_stream",
+    "rate_topic_stream",
+    "await_any_termination",
+    "console_sink",
+    "delta_batch_append",
+    "delta_stream_sink",
+    "foreach_batch_dual_sink",
+    "kafka_batch_write",
+    "kafka_stream_sink",
+    "keyed_json",
+    "memory_sink",
+    "to_pandas",
 ]

@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # The driver's table inventory (TESTDATA.md).
 TABLES: tuple[str, ...] = (
@@ -29,11 +30,23 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader does
+# not support natively: with spark.sql.legacy.parquet.nanosAsLong=true
+# (set by session.ENGINE_CONF/tune_runtime) they arrive as long and are
+# converted to micros timestamps here.  Integer `div` — not `/` — because
+# epoch-nanos exceed double's 2^53 exact-integer range.
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Lazy parquet scan of one table; pushdown/pruning handled by Catalyst."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in NANO_TS_COLS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, *names: str) -> dict[str, DataFrame]:
@@ -50,10 +63,20 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
 
 
 def delta_scan(spark: SparkSession, path: str) -> DataFrame:
-    """Delta batch scan (S3). Falls back to parquet when the Delta jars are
-    absent (this container); on a cluster with delta-spark this reads the
-    transaction log properly."""
+    """Delta batch scan (S3). Falls back to parquet ONLY when the Delta
+    format itself is unavailable on the classpath (this container); any
+    other error — corrupt log, bad path — re-raises, because silently
+    reading a real Delta directory as raw parquet would ignore the
+    transaction log and return deleted/uncommitted files."""
     try:
         return spark.read.format("delta").load(path)
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 - classified below
+        msg = str(exc)
+        delta_missing = (
+            "Failed to find data source: delta" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "ClassNotFoundException" in msg
+        )
+        if not delta_missing:
+            raise
         return spark.read.parquet(path)

@@ -1,0 +1,113 @@
+"""Synthetic churn-event generator (SURVEY §2.1 S4).
+
+The reference generates load with a single-process Faker loop at
+1 row/s/topic (Bronze1.py:12-75).  That shape cannot feed a cluster, so
+this generator is re-expressed as a *distributed, deterministic* Spark
+job: ``spark.range(n)`` partitions the id space across executors and all
+fields derive from seeded xxhash64 arithmetic — same distributions as the
+reference (uniform ages/sessions/values, categorical picks, 5% Bernoulli
+ticket emission), no Python loop, no driver bottleneck, reproducible at
+any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOPICS = (
+    "cdc_dbserver1.public.customer_profile",
+    "cdc_dbserver1.public.app_usage",
+    "churn_transactions",
+    "support_tickets",
+)
+
+GENDERS = ("Male", "Female", "Other")
+LOCATIONS = ("NY", "CA", "TX", "WA", "IL")
+EVENT_TYPES = ("purchase", "refund")  # Bronze1.py:17 — never payment_decline
+STATUSES = ("open", "closed", "pending")  # lower-case, Bronze1.py:62
+
+
+def _u(col_name: str, salt: str, modulus: int):
+    """Deterministic uniform integer in [0, modulus) from the row id."""
+    return F.pmod(F.xxhash64(F.col(col_name), F.lit(salt)), F.lit(modulus))
+
+
+def _pick(col_name: str, salt: str, choices: tuple[str, ...]):
+    arr = F.array(*[F.lit(c) for c in choices])
+    return F.element_at(arr, (_u(col_name, salt, len(choices)) + 1).cast("int"))
+
+
+def synthetic_profiles(spark: SparkSession, n: int, seed: str = "42") -> DataFrame:
+    """Customer-profile records (Bronze1.py:23-43 distributions)."""
+    return spark.range(n).select(
+        F.col("id").alias("customer_id"),
+        F.concat(F.lit("user_"), F.col("id")).alias("name"),
+        F.concat(F.lit("user_"), F.col("id"), F.lit("@example.com")).alias("email"),
+        (_u("id", seed + "age", 53) + 18).cast("int").alias("age"),  # 18..70
+        _pick("id", seed + "gender", GENDERS).alias("gender"),
+        _pick("id", seed + "loc", LOCATIONS).alias("location"),
+        F.date_format(
+            F.date_sub(F.lit("2024-01-01").cast("date"), _u("id", seed + "signup", 1460).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("signup_date"),
+    )
+
+
+def synthetic_usage(spark: SparkSession, n: int, seed: str = "42") -> DataFrame:
+    """App-usage records (Bronze1.py:45-54)."""
+    return spark.range(n).select(
+        _u("id", seed + "cust", max(n // 4, 1)).alias("customer_id"),
+        (_u("id", seed + "sessions", 120)).cast("int").alias("sessions_last_30d"),
+        F.to_timestamp(
+            F.from_unixtime(F.lit(1704067200) + _u("id", seed + "login", 30 * 86400))
+        ).alias("last_login"),
+    )
+
+
+def synthetic_transactions(spark: SparkSession, n: int, seed: str = "42") -> DataFrame:
+    """Transaction records (Bronze1.py:56-60): value ~ U(1, 500)."""
+    return spark.range(n).select(
+        _u("id", seed + "cust", max(n // 4, 1)).alias("customer_id"),
+        _pick("id", seed + "etype", EVENT_TYPES).alias("event_type"),
+        (_u("id", seed + "value", 49900) / 100.0 + 1.0).alias("value"),
+        F.to_timestamp(
+            F.from_unixtime(F.lit(1704067200) + _u("id", seed + "ts", 30 * 86400))
+        ).alias("event_time"),
+    )
+
+
+def synthetic_tickets(spark: SparkSession, n: int, seed: str = "42") -> DataFrame:
+    """Support tickets with the 5% Bernoulli emission (Bronze1.py:62-75):
+    generate the full id range, keep ~5% — a filter, not a driver loop."""
+    return (
+        spark.range(n)
+        .where(_u("id", seed + "bernoulli", 100) < 5)
+        .select(
+            F.col("id").alias("ticket_id"),
+            _u("id", seed + "cust", max(n // 4, 1)).alias("customer_id"),
+            _pick("id", seed + "status", STATUSES).alias("status"),
+            F.concat(F.lit("issue_"), _u("id", seed + "issue", 20)).alias("issue"),
+            F.lit(None).cast("string").alias("resolution_time"),  # Bronze1.py:66
+        )
+    )
+
+
+def synthetic_topic_feed(spark: SparkSession, n_per_topic: int, seed: str = "42") -> DataFrame:
+    """All four generators serialized to the ``(value, topic)`` wire
+    contract — a batch stand-in for the producer process, unionable into
+    file-stream test fixtures."""
+    frames = [
+        (synthetic_profiles(spark, n_per_topic, seed), TOPICS[0]),
+        (synthetic_usage(spark, n_per_topic, seed), TOPICS[1]),
+        (synthetic_transactions(spark, n_per_topic, seed), TOPICS[2]),
+        (synthetic_tickets(spark, n_per_topic, seed), TOPICS[3]),
+    ]
+    out = None
+    for df, topic in frames:
+        wire = df.select(
+            F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value"),
+            F.lit(topic).alias("topic"),
+        )
+        out = wire if out is None else out.unionByName(wire)
+    return out

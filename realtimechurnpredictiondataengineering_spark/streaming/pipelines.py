@@ -1,0 +1,180 @@
+"""Streaming pipelines (SURVEY §2.8 ST1-ST6, §3.1-3.2 lifecycle).
+
+The reference runs 12+ independent streaming queries (one per
+entity × sink, each its own Kafka consumer, Silver1.py:45-52,133-155),
+uses stateful ``dropDuplicates`` with **no watermark** (unbounded state,
+Silver1.py:41), and drives Gold with a 60 s sleep loop (Gold1.py:144-146).
+
+This module keeps the semantics and fixes the shapes:
+- one source read per entity, ``foreachBatch`` fanning out to N sinks;
+- ``withWatermark`` + ``dropDuplicatesWithinWatermark`` bounds dedup
+  state (the reference's unbounded mode stays available via
+  ``bounded_state=False``);
+- ``Trigger.AvailableNow`` replaces the sleep loop: drain everything,
+  checkpoint, exit — rerunnable on any cadence with exactly-once sinks.
+
+All transformation logic is the SAME pure functions the batch plans use
+(``operators.filters``) — streaming here only adds sources, state policy
+and sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from realtimechurnpredictiondataengineering_spark.operators.filters import (
+    PROFILE_SCHEMA,
+    TICKET_SCHEMA,
+    TRANSACTION_SCHEMA,
+    USAGE_SCHEMA,
+    parse_topic,
+    validate_profiles,
+    validate_tickets_with_domain,
+    validate_transactions,
+    validate_usage,
+)
+from realtimechurnpredictiondataengineering_spark.sources.generator import TOPICS
+from realtimechurnpredictiondataengineering_spark.sources.sinks import foreach_batch_dual_sink
+from realtimechurnpredictiondataengineering_spark.sources.streaming import json_topic_stream
+
+#: entity -> (topic, parse schema, validate fn) — the Silver wiring table.
+SILVER_PIPELINES: dict[str, tuple[str, object, Callable[[DataFrame], DataFrame]]] = {
+    "profiles": (TOPICS[0], PROFILE_SCHEMA, validate_profiles),
+    "usage": (TOPICS[1], USAGE_SCHEMA, validate_usage),
+    "transactions": (TOPICS[2], TRANSACTION_SCHEMA, validate_transactions),
+    "tickets": (
+        TOPICS[3],
+        TICKET_SCHEMA,
+        lambda df: validate_tickets_with_domain(df, ("open", "closed", "pending")),
+    ),
+}
+
+
+def watermarked_dedup(
+    df: DataFrame,
+    keys: list[str],
+    event_time: str,
+    delay: str = "10 minutes",
+    bounded_state: bool = True,
+) -> DataFrame:
+    """ST3 — the principled variant of the reference's unbounded
+    ``dropDuplicates`` (Silver1.py:41): a watermark bounds how long a key
+    is remembered, so state is O(keys-per-delay-window) instead of
+    O(all keys ever).  ``bounded_state=False`` reproduces the reference's
+    grow-forever mode."""
+    if not bounded_state:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(event_time, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def silver_stream(
+    spark: SparkSession,
+    entity: str,
+    source_path: str,
+    dedup_event_time: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Bronze→Silver for one entity as an unstarted streaming DataFrame:
+    file-source stand-in for Kafka (same (value, topic) contract) →
+    demux → JSON parse → validation chain."""
+    topic, schema, validate = SILVER_PIPELINES[entity]
+    raw = json_topic_stream(spark, source_path, max_files_per_trigger=max_files_per_trigger)
+    cleaned = validate(parse_topic(raw, topic, schema))
+    if dedup_event_time is not None:
+        cleaned = watermarked_dedup(
+            cleaned, [c for c in cleaned.columns if c.endswith("_id")], dedup_event_time
+        )
+    return cleaned
+
+
+def run_silver_dual_sink(
+    spark: SparkSession,
+    entity: str,
+    source_path: str,
+    out_path: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """One streaming query, two sinks (parquet 'Delta' table + keyed-JSON
+    'Kafka' shape written as parquet) via foreachBatch — the fixed
+    1-consumer shape of Silver1.py:45-52/133-137 (SURVEY §3.2)."""
+    from realtimechurnpredictiondataengineering_spark.sources.sinks import keyed_json
+
+    cleaned = silver_stream(spark, entity, source_path)
+    key_col = next(c for c in cleaned.columns if c.endswith("_id"))
+
+    def table_sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{out_path}/table")
+
+    def wire_sink(batch_df: DataFrame, batch_id: int) -> None:
+        keyed_json(batch_df, key_col).write.mode("append").parquet(f"{out_path}/wire")
+
+    return foreach_batch_dual_sink(cleaned, checkpoint, table_sink, wire_sink)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST5 — watermarked tumbling-window aggregation (late rows beyond
+    the watermark are dropped; within it, windows update)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST5 — sliding-window variant."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), "n")
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST5 — session windows: activity bursts per key separated by >gap."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_static_enrich(stream_df: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """ST6 — stream-static join: each micro-batch joins against the
+    (broadcastable) static dimension; no streaming state required."""
+    return stream_df.join(F.broadcast(dim), on=on, how=how)

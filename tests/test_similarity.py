@@ -1,0 +1,75 @@
+"""Similarity-search tests: brute force against a NumPy ground truth,
+LSH recall sanity, and plan-shape checks (query side broadcast)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from realtimechurnpredictiondataengineering_spark.operators import similarity
+
+N, DIM, K = 200, 32, 5
+
+
+@pytest.fixture(scope="module")
+def corpus_np():
+    rng = np.random.default_rng(123)
+    return rng.standard_normal((N, DIM))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, corpus_np):
+    rows = [(i, [float(x) for x in corpus_np[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _ground_truth_topk(corpus_np, qi, k):
+    q = corpus_np[qi]
+    sims = corpus_np @ q / (np.linalg.norm(corpus_np, axis=1) * np.linalg.norm(q))
+    return [int(i) for i in np.argsort(-sims)[:k]]
+
+
+def test_brute_force_matches_numpy(spark, corpus, queries, corpus_np):
+    out = similarity.brute_force_topk(corpus, queries, k=K).collect()
+    by_query = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_query.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qi in range(3):
+        assert by_query[qi] == _ground_truth_topk(corpus_np, qi, K)
+
+
+def test_brute_force_broadcasts_queries(spark, corpus, queries):
+    plan = similarity.brute_force_topk(corpus, queries, k=K)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_lsh_topk_recall(spark, corpus, queries, corpus_np):
+    rng = np.random.default_rng(7)
+    plane_sets = [rng.standard_normal((4, DIM)).tolist() for _ in range(8)]
+    out = similarity.lsh_topk(corpus, queries, plane_sets, k=K).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # rank-1 hit must be the query itself (cos=1 with itself, always
+    # bucketed together); overall recall vs exact top-5 should be decent.
+    hits = sum(
+        len(by_query.get(qi, set()) & set(_ground_truth_topk(corpus_np, qi, K)))
+        for qi in range(3)
+    )
+    assert all(qi in by_query.get(qi, set()) for qi in range(3))
+    assert hits >= 6  # ≥40% recall with 8×4-bit tables on random data
+
+
+def test_topk_reduce_deterministic_ties(spark):
+    rows = [("q", 1, 0.5), ("q", 2, 0.5), ("q", 3, 0.9)]
+    df = spark.createDataFrame(rows, "query_id string, vec_id long, cos_sim double")
+    out = similarity.topk_reduce(df, "query_id", "vec_id", "cos_sim", 2).collect()
+    ranked = sorted((r["rank"], r["vec_id"]) for r in out)
+    # tie on 0.5 broken by id descending (struct sort) → id 2 beats 1
+    assert ranked == [(1, 3), (2, 2)]

@@ -1,0 +1,126 @@
+"""Structured Streaming tests (SURVEY §5.4): file-source streams with
+Trigger.AvailableNow + memory/parquet sinks, watermarked dedup semantics,
+windowed aggregation, foreachBatch dual sink, checkpoint restart."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtimechurnpredictiondataengineering_spark.sources.generator import TOPICS, synthetic_topic_feed
+from realtimechurnpredictiondataengineering_spark.sources.sinks import memory_sink
+from realtimechurnpredictiondataengineering_spark.streaming import pipelines
+
+
+@pytest.fixture(scope="module")
+def feed_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("feed"))
+    synthetic_topic_feed(spark, 300).coalesce(2).write.mode("overwrite").json(path)
+    return path
+
+
+def _drain(query):
+    query.awaitTermination(120)
+
+
+def test_silver_stream_matches_batch(spark, feed_dir):
+    stream = pipelines.silver_stream(spark, "transactions", feed_dir)
+    assert stream.isStreaming
+    q = memory_sink(stream, "tx_stream")
+    _drain(q)
+    streamed = spark.sql("SELECT count(*) AS n FROM tx_stream").collect()[0]["n"]
+
+    from realtimechurnpredictiondataengineering_spark.plans.silver import silver_tables
+
+    batch = silver_tables(spark, n_per_topic=300)["transactions"].count()
+    assert streamed == batch > 0
+
+
+def test_watermarked_dedup_bounds_state_and_dedups(spark, tmp_path):
+    src = str(tmp_path / "dups")
+    rows = [
+        {"value": json.dumps({"customer_id": "1", "event_type": "purchase", "value": 5.0,
+                              "event_time": "2024-01-01T00:00:00Z"}), "topic": TOPICS[2]},
+    ] * 3 + [
+        {"value": json.dumps({"customer_id": "2", "event_type": "purchase", "value": 7.0,
+                              "event_time": "2024-01-01T00:01:00Z"}), "topic": TOPICS[2]},
+    ]
+    spark.createDataFrame([(r["value"], r["topic"]) for r in rows], "value string, topic string") \
+        .coalesce(1).write.mode("overwrite").json(src)
+
+    stream = pipelines.silver_stream(spark, "transactions", src, dedup_event_time="event_time")
+    q = memory_sink(stream, "dedup_stream")
+    _drain(q)
+    out = spark.sql("SELECT customer_id FROM dedup_stream").collect()
+    assert sorted(r["customer_id"] for r in out) == ["1", "2"]
+    # the plan must carry a watermark + within-watermark dedup operator
+    plan = stream._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan
+
+
+def test_tumbling_counts_watermarked(spark, tmp_path):
+    # Append mode only emits a window once the watermark (advanced BETWEEN
+    # micro-batches) passes its end — so drive two batches: batch 1 holds
+    # the windows under test, batch 2 an event far enough ahead that the
+    # 10-minute watermark closes them.  maxFilesPerTrigger=1 → 1 file/batch.
+    import time
+
+    src = str(tmp_path / "ev")
+
+    def _write(rows):
+        spark.createDataFrame(rows, "ts_s string, event_type string, value double") \
+            .select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    _write([
+        ("2024-01-01 00:10:00", "click", 1.0),
+        ("2024-01-01 00:40:00", "click", 2.0),
+        ("2024-01-01 01:10:00", "view", 3.0),
+    ])
+    time.sleep(1.1)  # distinct mtimes so the file source orders the batches
+    _write([("2024-01-01 03:00:00", "view", 4.0)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = memory_sink(
+        pipelines.tumbling_counts(stream, window="1 hour", watermark="10 minutes"),
+        "win_counts",
+        output_mode="append",
+    )
+    _drain(q)
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    # batch-2 watermark = 03:00 - 10 min = 02:50 → both batch-1 windows closed
+    assert got.get(("2024-01-01 00:00:00", "click")) == 2
+    assert got.get(("2024-01-01 01:00:00", "view")) == 1
+    # the 03:00 window is still open → not emitted in append mode
+    assert ("2024-01-01 03:00:00", "view") not in got
+
+
+def test_foreach_batch_dual_sink_writes_both(spark, feed_dir, tmp_path):
+    out = str(tmp_path / "silver")
+    ckpt = str(tmp_path / "ckpt")
+    q = pipelines.run_silver_dual_sink(spark, "profiles", feed_dir, out, ckpt)
+    _drain(q)
+    table = spark.read.parquet(f"{out}/table")
+    wire = spark.read.parquet(f"{out}/wire")
+    assert table.count() == wire.count() > 0
+    assert set(wire.columns) == {"key", "value"}  # Kafka wire shape (K2)
+    # dual sink, single source read: restart with same checkpoint is a no-op
+    q2 = pipelines.run_silver_dual_sink(spark, "profiles", feed_dir, out, ckpt)
+    _drain(q2)
+    assert spark.read.parquet(f"{out}/table").count() == table.count()
+
+
+def test_stream_static_enrich(spark, feed_dir, sf_dir):
+    stream = pipelines.silver_stream(spark, "transactions", feed_dir)
+    dim = spark.createDataFrame([("purchase", "rev"), ("refund", "neg")], "event_type string, kind string")
+    q = memory_sink(pipelines.stream_static_enrich(stream, dim, on="event_type"), "enriched")
+    _drain(q)
+    rows = spark.sql("SELECT DISTINCT kind FROM enriched").collect()
+    assert {r["kind"] for r in rows} <= {"rev", "neg"}
