@@ -1,0 +1,85 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line the driver records as BENCH_r{N}.json.
+
+Each query is forced to full execution with the noop sink (computes every
+row/column of the final plan, no driver collect bottleneck, no disk
+write), which is what a cluster-scale sink would see.  A warmup run of the
+flagship amortizes JVM/codegen startup out of the numbers.
+
+Run: python bench.py            (or SPARK_GRAFT_SF_DIR=... python bench.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
+from realtimechurnpredictiondataengineering_spark.session import get_spark
+
+# Representative spread of the inventory: flagship, heavy aggregation,
+# joins, window, dedup family, similarity, text analysis.  Each name must
+# exist in plans.inventory.REGISTRY.
+HEADLINE = (
+    "q00_flagship_churn_features",
+    "a06_pricing_summary",
+    "a01_max_sum_groupby",
+    "j01_left_join_features",
+    "j03_broadcast_dim_chain",
+    "j06_asof_join",
+    "w01_latest_per_key",
+    "w02_running_sum",
+    "f08_dedup_by_key",
+    "d01_exact_content_dedup",
+    "d03_minhash_near_dup",
+    "v02_brute_force_topk",
+    "v03_lsh_topk",
+    "t03_quality_score",
+    "t05_word_frequencies",
+)
+
+
+def _force(df) -> None:
+    """Fully execute the plan without collecting to the driver."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+    spark = get_spark(app_name="realtimechurnpredictiondataengineering-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warmup: JVM JIT + codegen + parquet footer caches.
+    _force(REGISTRY["q00_flagship_churn_features"][0](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name][0]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
