@@ -42,9 +42,31 @@ def hyperplane_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: one sign bit per plane, packed
     into a bigint.  ``planes`` are driver-side constants (deterministic,
     seeded) so the expression is pure JVM arithmetic — the standard
-    SimHash-for-vectors bucketing used by the ANN scale path."""
-    bucket = F.lit(0).cast("long")
-    for plane in planes:
-        bit = (dot(vec, lit_vector(plane)) >= 0).cast("long")
-        bucket = bucket * 2 + bit
-    return bucket
+    SimHash-for-vectors bucketing used by the ANN scale path.
+
+    The plane matrix is a single nested array *literal* folded with
+    ``aggregate`` — one expression node, not bits×dims scalar literals.
+    An earlier per-element-literal version cost multiple seconds of
+    Catalyst analysis/codegen per query before any data moved."""
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    return F.aggregate(
+        planes_lit,
+        F.lit(0).cast("long"),
+        lambda acc, plane: acc * 2 + (dot(vec, plane) >= 0).cast("long"),
+    )
+
+
+def hyperplane_table_buckets(vec: Column, plane_sets: list[list[list[float]]]) -> Column:
+    """All multi-probe LSH table buckets in ONE pass: returns
+    ``array<long>`` with one packed sign-bucket per plane set.  Lets the
+    ANN path scan the corpus once and ``posexplode`` into
+    (table_id, bucket) rows instead of re-scanning per table."""
+    sets_lit = F.lit([[[float(x) for x in p] for p in ps] for ps in plane_sets])
+    return F.transform(
+        sets_lit,
+        lambda ps: F.aggregate(
+            ps,
+            F.lit(0).cast("long"),
+            lambda acc, plane: acc * 2 + (dot(vec, plane) >= 0).cast("long"),
+        ),
+    )

@@ -32,6 +32,7 @@ from realtimechurnpredictiondataengineering_spark.functions.vectors import (
     cosine,
     hyperplane_sign_bits,
 )
+from realtimechurnpredictiondataengineering_spark.operators.partitioning import fan_out
 
 # --------------------------------------------------------------------------
 # Exact dedup
@@ -142,7 +143,7 @@ def minhash_near_duplicates(
     (16 bands × 4 rows ⇒ s-curve threshold ≈ 0.5) + the bucket cap.
     Returns (id_a, id_b, jaccard).
     """
-    sigs = minhash_signature(df, id_col, text_col, num_hashes, shingle_k)
+    sigs = minhash_signature(fan_out(df), id_col, text_col, num_hashes, shingle_k)
     sigs = sigs.persist()
     buckets = _band_buckets(sigs, id_col, num_hashes, bands)
     pairs = _capped_bucket_pairs(buckets, id_col, ["band_id", "band_hash"], max_bucket)
@@ -234,7 +235,7 @@ def simhash_near_duplicates(
     finds all of them without an all-pairs pass.  Returns
     (id_a, id_b, hamming).
     """
-    fp = simhash64(df, id_col, text_col).persist()
+    fp = simhash64(fan_out(df), id_col, text_col).persist()
     chunk_rows = fp.select(
         F.col(id_col),
         F.col("simhash"),
@@ -286,7 +287,7 @@ def ngram_jaccard_pairs(
     Jaccard from per-doc set sizes.  Exact for every pair sharing at
     least one sub-cap shingle.  Returns (id_a, id_b, jaccard).
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), shingles(text_col, shingle_k).alias("sh")
     ).persist()
     sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
@@ -330,7 +331,7 @@ def embedding_near_duplicates(
     pairs land in the same sign-bucket with high probability (use several
     plane sets and union for higher recall).  Returns (id_a, id_b, cos_sim).
     """
-    bucketed = df.select(
+    bucketed = fan_out(df).select(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),

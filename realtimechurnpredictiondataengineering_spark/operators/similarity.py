@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from realtimechurnpredictiondataengineering_spark.functions.vectors import cosine, hyperplane_sign_bits
+from realtimechurnpredictiondataengineering_spark.functions.vectors import cosine, hyperplane_table_buckets
+from realtimechurnpredictiondataengineering_spark.operators.partitioning import fan_out
 
 
 def topk_reduce(scored: DataFrame, query_col: str, id_col: str, score_col: str, k: int) -> DataFrame:
@@ -63,7 +64,7 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast the query set over one corpus scan.
     Returns (query_id, rank, vec_id, cos_sim)."""
     scored = (
-        corpus.crossJoin(F.broadcast(queries))
+        fan_out(corpus).crossJoin(F.broadcast(queries))
         .select(
             F.col(query_id_col),
             F.col(id_col),
@@ -85,29 +86,33 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate cosine top-k with random-hyperplane LSH pruning.
 
-    Each plane set is an independent hash table (multi-probe): corpus and
-    queries bucket identically, candidates come from bucket equi-joins
-    unioned across tables, then exact cosine + top-k.  Recall rises with
-    more/narrower tables; cost stays ~|corpus| × tables / 2^bits.
+    Each plane set is an independent hash table (multi-probe).  All table
+    buckets are computed in ONE corpus scan (array of packed sign-buckets,
+    ``posexplode`` to (table_id, bucket) rows), then a single equi-join on
+    (table_id, bucket) against the broadcast bucketed queries yields
+    candidates, deduped and verified with exact cosine + top-k.  Recall
+    rises with more/narrower tables; cost stays ~|corpus| × tables /
+    2^bits, with one scan and one join regardless of table count.
     Returns (query_id, rank, vec_id, cos_sim).
     """
-    candidate_frames = []
-    for t, planes in enumerate(plane_sets):
-        c = corpus.select(
-            F.col(id_col),
-            F.col(vec_col),
-            hyperplane_sign_bits(F.col(vec_col), planes).alias("bucket"),
-        )
-        q = queries.select(
-            F.col(query_id_col),
-            F.col(query_vec_col),
-            hyperplane_sign_bits(F.col(query_vec_col), planes).alias("bucket"),
-        )
-        candidate_frames.append(c.join(F.broadcast(q), "bucket").drop("bucket"))
-    candidates = candidate_frames[0]
-    for f in candidate_frames[1:]:
-        candidates = candidates.unionByName(f)
-    scored = candidates.dropDuplicates([query_id_col, id_col]).select(
+    c = fan_out(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(hyperplane_table_buckets(F.col(vec_col), plane_sets)).alias(
+            "table_id", "bucket"
+        ),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.posexplode(hyperplane_table_buckets(F.col(query_vec_col), plane_sets)).alias(
+            "table_id", "bucket"
+        ),
+    )
+    candidates = c.join(F.broadcast(q), ["table_id", "bucket"]).dropDuplicates(
+        [query_id_col, id_col]
+    )
+    scored = candidates.select(
         F.col(query_id_col),
         F.col(id_col),
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
