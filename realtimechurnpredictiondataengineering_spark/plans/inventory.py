@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -924,17 +926,53 @@ def v02(spark, sf_dir):
     return out.select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cos_sim")
 
 
-@register("v03_lsh_topk", None)  # hyperplane constants make SQL impractical
-def v03(spark, sf_dir):
+def _v03_plane_sets() -> list[list[list[float]]]:
     import numpy as np
 
+    rng = np.random.default_rng(42)
+    return [rng.standard_normal((6, 64)).tolist() for _ in range(8)]
+
+
+def _v03_sql() -> str:
+    """DuckDB twin of the LSH top-k: same plane constants inlined as a
+    VALUES table, same packed sign-buckets, same candidate join + exact
+    cosine + rank — so even the *approximate* path is value-checked."""
+    rows = ",\n".join(
+        f"({t}, {p}, [{', '.join(repr(x) for x in plane)}])"
+        for t, planes in enumerate(_v03_plane_sets())
+        for p, plane in enumerate(planes)
+    )
+    cos = SQL_COSINE.format(a="q.v", b="cv.v")
+    return f"""
+WITH planes(table_id, plane_id, pv) AS (VALUES {rows}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT c.vec_id, p.table_id,
+         sum(CAST(list_dot_product(c.v, p.pv) >= 0 AS INT) * (1 << (5 - p.plane_id))) AS bucket
+  FROM c, planes p GROUP BY 1, 2
+),
+qb AS (SELECT vec_id AS query_id, table_id, bucket FROM cb WHERE vec_id IN (0, 1, 2)),
+cand AS (SELECT DISTINCT qb.query_id, cb.vec_id FROM cb JOIN qb USING (table_id, bucket)),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, {cos} AS cos
+  FROM cand JOIN c q ON q.vec_id = cand.query_id JOIN c cv ON cv.vec_id = cand.vec_id
+),
+ranked AS (SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id DESC) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("v03_lsh_topk", _v03_sql())
+def v03(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("embedding"))
     qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    rng = np.random.default_rng(42)
-    plane_sets = [rng.standard_normal((6, 64)).tolist() for _ in range(8)]
-    return similarity.lsh_topk(e, qs, plane_sets, k=5)
+    out = similarity.lsh_topk(e, qs, _v03_plane_sets(), k=5)
+    return out.select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cos_sim")
 
 
 @register("v04_embedding_near_dup", None)
@@ -948,24 +986,293 @@ def v04(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Multimodal (north star; kernels are mapInPandas — rows-only checks)
+# Multimodal (north star; mapInPandas kernels with full SQL twins — the
+# stub decode is sha256-deterministic, so DuckDB can replay it exactly,
+# value-checking the Arrow-batch plumbing end to end)
 # ---------------------------------------------------------------------------
 
+#: hex pair i of sha256(text) as an integer byte (documents are ASCII, so
+#: DuckDB's sha256(VARCHAR) hashes the same bytes Python's kernel sees).
+_SQL_SHA_BYTE = "CAST(('0x' || substr(sha256(text), {pos}, 2)) AS INT)"
+_SQL_M01_FEATURE = (
+    "["
+    + ", ".join(
+        f"CAST(CAST({_SQL_SHA_BYTE.format(pos=2 * i + 1)} / 255.0 AS REAL) AS DOUBLE)"
+        for i in range(8)
+    )
+    + "]"
+)
 
-@register("m01_media_features", None)
+_M01_SQL = f"""
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(64 + {_SQL_SHA_BYTE.format(pos=1)} % 192 AS INT) AS width,
+       CAST(64 + {_SQL_SHA_BYTE.format(pos=3)} % 192 AS INT) AS height,
+       {_SQL_M01_FEATURE} AS feature
+FROM documents
+"""
+
+
+@register("m01_media_features", _M01_SQL)
 def m01(spark, sf_dir):
     from realtimechurnpredictiondataengineering_spark.operators import multimodal
 
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
-    return multimodal.extract_media_features(media)
+    out = multimodal.extract_media_features(media)
+    # float32 features quantize identically on both sides (REAL cast in
+    # the twin), compared as double.
+    return out.withColumn("feature", F.col("feature").cast("array<double>"))
 
 
-@register("m02_video_frame_sample", None)
+_M02_SQL = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, octet_length(encode(text)) // 30720 + 1)) AS INT) AS frame_no,
+       encode(substr(text, 1, 16)) AS frame
+FROM documents
+"""
+
+
+@register("m02_video_frame_sample", _M02_SQL)
 def m02(spark, sf_dir):
     from realtimechurnpredictiondataengineering_spark.operators import multimodal
 
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"), kind="video")
     return multimodal.sample_video_frames(media, every_n=30)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-semantics batch twins (ST5): the same window expressions the
+# streaming pipelines use, checked against SQL on the bounded events log
+# ---------------------------------------------------------------------------
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@register(
+    "st05_tumbling_window",
+    f"SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '{_TS_FMT_DUCK}') AS window_start, "
+    "event_type, count(*) AS n, round(sum(value), 2) AS total_value "
+    "FROM events GROUP BY 1, 2",
+)
+def st05(spark, sf_dir):
+    # ST5 — tumbling window aggregation (streaming.pipelines.tumbling_counts
+    # minus the watermark, which is a no-op on bounded input).
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "st06_sliding_window",
+    # each event falls in exactly two 1h/30m windows: the 30m bucket it
+    # sits in and the one before.
+    f"SELECT strftime(ws, '{_TS_FMT_DUCK}') AS window_start, count(*) AS n FROM ("
+    "  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),"
+    "                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS ws"
+    "  FROM events) GROUP BY 1",
+)
+def st06(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"), "n")
+    )
+
+
+@register(
+    "st07_session_window",
+    # gaps-and-islands twin of session_window: a session breaks where the
+    # gap to the previous event is >= 30 minutes (Spark's session extends
+    # while ts < last + gap).
+    f"""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def st07(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _TS_FMT_SPARK).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Demux + wall-clock (F1, P7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f01_topic_demux",
+    "SELECT event_type AS branch, event_id FROM events "
+    "WHERE event_type IN ('click', 'view', 'error')",
+)
+def f01(spark, sf_dir):
+    # F1 — one scan demultiplexed into per-topic branches by equality
+    # filter (Bronze1.py:132-144), recombined with the branch tag so the
+    # result is one checkable relation.
+    e = _t(spark, sf_dir, "events")
+    branches = [
+        e.filter(F.col("event_type") == t).select(
+            F.lit(t).alias("branch"), "event_id"
+        )
+        for t in ("click", "view", "error")
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+@register(
+    "p07_current_timestamp",
+    "SELECT count(*) AS n_rows, "
+    "current_timestamp >= TIMESTAMP '2020-01-01' AS clock_sane FROM customer",
+)
+def p07(spark, sf_dir):
+    # P7 — current_timestamp() exercised with a deterministic projection
+    # (the raw value is nondeterministic across engines; its sanity is not).
+    c = _t(spark, sf_dir, "customer")
+    return c.agg(F.count("*").alias("n_rows")).select(
+        "n_rows",
+        (F.current_timestamp() >= F.to_timestamp(F.lit("2020-01-01"))).alias("clock_sane"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC (S5): Debezium envelope unwrap + log-to-state compaction
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c01_cdc_latest_state",
+    """
+WITH ch AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+         CASE WHEN event_type = 'signup' THEN 'c'
+              WHEN event_type = 'error' THEN 'd'
+              ELSE 'u' END AS op
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, round(value, 2) AS last_value, op AS last_op
+FROM ch
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) = 1
+  AND op <> 'd'
+""",
+)
+def c01(spark, sf_dir):
+    # S5 — events re-serialized as Debezium-style JSON envelopes, then
+    # unwrapped (ExtractNewRecordState semantics) and compacted to
+    # current state: last change per user wins, deleted users drop out.
+    from pyspark.sql import types as T
+
+    from realtimechurnpredictiondataengineering_spark.operators import cdc
+
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    e = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    row = F.struct("user_id", "event_id", "value")
+    envelopes = e.select(
+        F.to_json(
+            F.struct(
+                op.alias("op"),
+                F.unix_millis("ts").alias("ts_ms"),
+                F.when(op == "d", row).alias("before"),
+                F.when(op != "d", row).alias("after"),
+            )
+        ).alias("value")
+    )
+    changes = cdc.unwrap_envelope(envelopes, payload)
+    latest = cdc.latest_state(changes, keys=["user_id"], seq_cols=["_ts_ms", "event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 2).alias("last_value"),
+        F.col("_op").alias("last_op"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pandas UDF extension surface (U1): Arrow-batched grouped kernels,
+# value-checked against window/aggregate SQL
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x01_pandas_group_rank",
+    "SELECT event_id, event_type, "
+    "CAST(row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS rnk "
+    "FROM events",
+)
+def x01(spark, sf_dir):
+    # applyInPandas (grouped map): per-group kernel computing an integer
+    # rank — deterministic, so the whole Arrow round trip is value-checked.
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["value", "event_id"]).reset_index(drop=True)
+        pdf["rnk"] = range(1, len(pdf) + 1)
+        return pdf[["event_id", "event_type", "rnk"]]
+
+    return e.groupBy("event_type").applyInPandas(
+        kernel, "event_id long, event_type string, rnk long"
+    )
+
+
+@register(
+    "x02_pandas_grouped_mean",
+    "SELECT event_type, floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value "
+    "FROM events GROUP BY event_type",
+)
+def x02(spark, sf_dir):
+    # pandas_udf GROUPED_AGG: vectorized mean per group (floor-rounding on
+    # both sides absorbs summation-order noise).
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mean4(v: pd.Series) -> float:
+        return float(np.floor(v.mean() * 10000 + 0.5) / 10000)
+
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(mean4("value").alias("avg_value"))
 
 
 # ---------------------------------------------------------------------------

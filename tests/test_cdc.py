@@ -1,0 +1,72 @@
+"""CDC envelope unwrap + log compaction (SURVEY §2.1 S5)."""
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtimechurnpredictiondataengineering_spark.operators import cdc
+
+PAYLOAD = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def _env(op, ts_ms, row):
+    body = {"op": op, "ts_ms": ts_ms}
+    if op == "d":
+        body["before"] = row
+    else:
+        body["after"] = row
+    return (json.dumps(body),)
+
+
+def test_unwrap_extracts_row_image(spark):
+    rows = [
+        _env("c", 100, {"id": 1, "name": "a"}),
+        _env("u", 200, {"id": 1, "name": "b"}),
+        _env("d", 300, {"id": 2, "name": "gone"}),
+        ("not json at all",),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    out = cdc.unwrap_envelope(df, PAYLOAD).collect()
+    by_op = {(r["_op"], r["id"]): r for r in out if r["_op"] is not None}
+    assert by_op[("c", 1)]["name"] == "a"
+    assert by_op[("u", 1)]["name"] == "b"
+    # deletes carry the before-image
+    assert by_op[("d", 2)]["name"] == "gone"
+    # malformed JSON -> null row, not a crash
+    assert sum(1 for r in out if r["_op"] is None) == 1
+
+
+def test_latest_state_last_writer_wins_and_deletes_drop(spark):
+    rows = [
+        _env("c", 100, {"id": 1, "name": "a"}),
+        _env("u", 300, {"id": 1, "name": "final"}),
+        _env("u", 200, {"id": 1, "name": "mid"}),
+        _env("c", 100, {"id": 2, "name": "x"}),
+        _env("d", 200, {"id": 2, "name": "x"}),
+        _env("d", 100, {"id": 3, "name": "never-created"}),
+    ]
+    df = spark.createDataFrame(rows, "value string")
+    changes = cdc.unwrap_envelope(df, PAYLOAD).filter(F.col("_op").isNotNull())
+    state = cdc.latest_state(changes, keys=["id"], seq_cols=["_ts_ms"]).collect()
+    assert {(r["id"], r["name"]) for r in state} == {(1, "final")}
+    # keep_deletes variant surfaces tombstones for downstream MERGE
+    with_del = cdc.latest_state(changes, keys=["id"], seq_cols=["_ts_ms"], drop_deletes=False)
+    assert {(r["id"], r["_op"]) for r in with_del.collect()} == {(1, "u"), (2, "d"), (3, "d")}
+
+
+def test_latest_state_plan_is_single_shuffle(spark):
+    df = spark.createDataFrame([_env("c", 1, {"id": 1, "name": "a"})], "value string")
+    changes = cdc.unwrap_envelope(df, PAYLOAD)
+    plan = cdc.latest_state(changes, ["id"], ["_ts_ms"])._jdf.queryExecution().optimizedPlan().toString()
+    # a single Window operator (one shuffle on the key), no join/cartesian,
+    # and the rank-limit pushdown (WindowGroupLimit) prunes each key to its
+    # top row before the sort — the shape that survives a 100 TB change log.
+    assert sum(1 for line in plan.splitlines() if line.lstrip("+- ").startswith("Window [")) == 1
+    assert "WindowGroupLimit" in plan
+    assert "join" not in plan.lower()

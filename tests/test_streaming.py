@@ -124,3 +124,48 @@ def test_stream_static_enrich(spark, feed_dir, sf_dir):
     _drain(q)
     rows = spark.sql("SELECT DISTINCT kind FROM enriched").collect()
     assert {r["kind"] for r in rows} <= {"rev", "neg"}
+
+
+def test_applyinpandas_with_state_running_profile(spark, tmp_path):
+    from realtimechurnpredictiondataengineering_spark.streaming.stateful import running_profile
+
+    src = str(tmp_path / "keyed")
+    spark.createDataFrame(
+        [("a", 1.0, "2024-01-01 00:00:00"), ("a", 2.0, "2024-01-01 00:01:00"),
+         ("b", 5.0, "2024-01-01 00:02:00")],
+        "key string, value double, ts_s string",
+    ).select("key", "value", F.to_timestamp("ts_s").alias("ts")) \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("key string, value double, ts timestamp").parquet(src)
+    q = memory_sink(running_profile(stream), "profiles_state", output_mode="update")
+    _drain(q)
+    got = {r["key"]: (r["n_events"], r["total_value"]) for r in
+           spark.sql("SELECT * FROM profiles_state").collect()}
+    assert got["a"] == (2, 3.0)
+    assert got["b"] == (1, 5.0)
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    # ST6 stream-stream inner join: both sides watermarked, join condition
+    # bounds event-time skew so state is prunable.
+    left_src, right_src = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10"), (2, "2024-01-01 00:05:00")], "k int, ts_s string"
+    ).select("k", F.to_timestamp("ts_s").alias("lts")).coalesce(1).write.mode("overwrite").parquet(left_src)
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30"), (2, "2024-01-01 02:00:00")], "k int, ts_s string"
+    ).select("k", F.to_timestamp("ts_s").alias("rts")).coalesce(1).write.mode("overwrite").parquet(right_src)
+
+    left = spark.readStream.schema("k int, lts timestamp").parquet(left_src).withWatermark("lts", "10 minutes")
+    right = spark.readStream.schema("k int, rts timestamp").parquet(right_src).withWatermark("rts", "10 minutes")
+    joined = left.alias("l").join(
+        right.alias("r"),
+        F.expr("l.k = r.k AND r.rts BETWEEN l.lts AND l.lts + INTERVAL 30 MINUTES"),
+        "inner",
+    )
+    q = memory_sink(joined.select("l.k"), "ss_join", output_mode="append")
+    _drain(q)
+    ks = [r["k"] for r in spark.sql("SELECT * FROM ss_join").collect()]
+    # k=1 joins (20 s apart); k=2 does not (2 h apart > 30 min bound)
+    assert ks == [1]
