@@ -37,8 +37,14 @@ HEADLINE = (
     "d03_minhash_near_dup",
     "v02_brute_force_topk",
     "v03_lsh_topk",
+    "v04_embedding_near_dup",
     "t03_quality_score",
     "t05_word_frequencies",
+    "st05_tumbling_window",
+    "st07_session_window",
+    "c01_cdc_latest_state",
+    "x01_pandas_group_rank",
+    "m01_media_features",
 )
 
 

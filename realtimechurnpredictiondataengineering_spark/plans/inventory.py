@@ -975,14 +975,41 @@ def v03(spark, sf_dir):
     return out.select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cos_sim")
 
 
-@register("v04_embedding_near_dup", None)
-def v04(spark, sf_dir):
-    import numpy as np
-
-    e = _t(spark, sf_dir, "embeddings")
+def _v04_planes() -> list[list[float]]:
     rng = np.random.default_rng(42)
-    planes = rng.standard_normal((8, 64)).tolist()
-    return dedup.embedding_near_duplicates(e, planes, threshold=0.95)
+    return rng.standard_normal((8, 64)).tolist()
+
+
+def _v04_sql() -> str:
+    rows = ",\n".join(
+        f"({p}, [{', '.join(repr(x) for x in plane)}])"
+        for p, plane in enumerate(_v04_planes())
+    )
+    cos = SQL_COSINE.format(a="ca.v", b="cb.v")
+    return f"""
+WITH planes(plane_id, pv) AS (VALUES {rows}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT c.vec_id,
+         sum(CAST(list_dot_product(c.v, p.pv) >= 0 AS INT) * (1 << (7 - p.plane_id))) AS bucket
+  FROM c, planes p GROUP BY 1
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id
+)
+SELECT id_a, id_b, round({cos}, 4) AS cos_sim
+FROM pairs JOIN c ca ON ca.vec_id = id_a JOIN c cb ON cb.vec_id = id_b
+WHERE {cos} >= 0.95
+"""
+
+
+@register("v04_embedding_near_dup", _v04_sql())
+def v04(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("embedding")
+    )
+    return dedup.embedding_near_duplicates(e, _v04_planes(), threshold=0.95)
 
 
 # ---------------------------------------------------------------------------
