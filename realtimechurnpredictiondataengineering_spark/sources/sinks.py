@@ -138,12 +138,15 @@ def foreach_batch_dual_sink(
     return writer.start()
 
 
-def await_any_termination(spark: SparkSession, timeout_sec: float | None = None) -> None:
-    """Block on any of N concurrent streaming queries (K7; Bronze1.py:181)."""
+def await_any_termination(spark: SparkSession, timeout_sec: float | None = None) -> bool | None:
+    """Block on any of N concurrent streaming queries (K7; Bronze1.py:181).
+
+    NB: PySpark's ``awaitAnyTermination`` takes SECONDS (it converts to
+    the JVM's milliseconds itself) — passing milliseconds here would wait
+    1000x too long."""
     if timeout_sec is None:
-        spark.streams.awaitAnyTermination()
-    else:
-        spark.streams.awaitAnyTermination(int(timeout_sec * 1000))
+        return spark.streams.awaitAnyTermination()
+    return spark.streams.awaitAnyTermination(timeout_sec)
 
 
 # --- batch sinks -----------------------------------------------------------
