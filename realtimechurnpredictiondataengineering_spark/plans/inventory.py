@@ -1069,6 +1069,95 @@ def m02(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Percentiles, skew-safe aggregation, extended window surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a09_percentiles",
+    "SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50, "
+    "quantile_cont(l_extendedprice, 0.9) AS p90, median(l_extendedprice) AS med "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def a09(spark, sf_dir):
+    # exact interpolated percentiles (Spark `percentile` == DuckDB
+    # quantile_cont, verified bit-identical on this data).
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.median("l_extendedprice").alias("med"),
+    )
+
+
+@register(
+    "a10_salted_sum",
+    # the oracle is the PLAIN aggregation — salting must be invisible in
+    # the result, only in the shuffle layout.
+    "SELECT user_id, round(sum(value), 2) AS total, CAST(count(*) AS BIGINT) AS n, "
+    "max(value) AS mx FROM events GROUP BY user_id",
+)
+def a10(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.operators import skew
+
+    e = _t(spark, sf_dir, "events")
+    out = skew.salted_agg(
+        e,
+        ["user_id"],
+        {"total": ("sum", "value"), "n": ("count", "value"), "mx": ("max", "value")},
+        distributor="event_id",
+    )
+    return out.select("user_id", F.round("total", 2).alias("total"), "n", "mx")
+
+
+@register(
+    "w04_rank_functions",
+    "SELECT o_orderkey, o_custkey, "
+    "CAST(rank() OVER w AS BIGINT) AS rnk, "
+    "CAST(dense_rank() OVER w AS BIGINT) AS drnk, "
+    "CAST(ntile(4) OVER w AS INT) AS quartile, "
+    "round(percent_rank() OVER w, 6) AS prank "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)",
+)
+def w04(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+@register(
+    "w05_range_frame",
+    # trailing-7-day revenue per customer: event-time range frame.
+    "SELECT o_orderkey, o_custkey, "
+    "round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) "
+    "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 2) AS rev_7d "
+    "FROM orders",
+)
+def w05(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    # range frame over epoch days — Spark's RANGE needs a numeric ordering
+    # key; 7 * 86400-second window == the SQL INTERVAL 7 DAYS frame.
+    day = F.unix_date(F.to_date("o_orderdate"))
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-7, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rev_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming-semantics batch twins (ST5): the same window expressions the
 # streaming pipelines use, checked against SQL on the bounded events log
 # ---------------------------------------------------------------------------
