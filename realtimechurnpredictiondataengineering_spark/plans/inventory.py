@@ -29,6 +29,7 @@ from realtimechurnpredictiondataengineering_spark.functions import text as tx
 from realtimechurnpredictiondataengineering_spark.functions import vectors as vec
 from realtimechurnpredictiondataengineering_spark.functions.scalar import pseudo_score, round2
 from realtimechurnpredictiondataengineering_spark.operators import dedup, joins, similarity
+from realtimechurnpredictiondataengineering_spark.operators.partitioning import fan_out
 from realtimechurnpredictiondataengineering_spark.plans.gold import DEFAULT_AS_OF, churn_features
 from realtimechurnpredictiondataengineering_spark.sources.batch import load_table
 
@@ -48,6 +49,14 @@ def register(name: str, sql: str | None):
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
+
+
+def _td(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the under-split-input guard, for the regex-heavy
+    text kernels (language-id, quality) where per-row compute dwarfs the
+    repartition cost; light kernels read the scan layout as-is.  On a
+    well-split source fan_out is a no-op."""
+    return fan_out(load_table(spark, "documents", sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -781,7 +790,7 @@ def t01(spark, sf_dir):
     f"SELECT doc_id, lang, {SQL_LANG_ID} AS lang_pred FROM documents",
 )
 def t02(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.select("doc_id", "lang", tx.language_id("text").alias("lang_pred"))
 
 
@@ -791,7 +800,7 @@ def t02(spark, sf_dir):
     f"round({SQL_MEAN_WORD_LEN}, 6) AS mean_word_len FROM documents",
 )
 def t03(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.select(
         "doc_id",
         tx.quality_score("text").alias("quality"),
