@@ -169,3 +169,44 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
     ks = [r["k"] for r in spark.sql("SELECT * FROM ss_join").collect()]
     # k=1 joins (20 s apart); k=2 does not (2 h apart > 30 min bound)
     assert ks == [1]
+
+
+def test_session_windows_streaming(spark, tmp_path):
+    # Two bursts for user 1 separated by > 30 min, one burst for user 2;
+    # a far-future batch-2 event advances the watermark so append mode
+    # emits the closed sessions.
+    import time
+
+    src = str(tmp_path / "sess")
+
+    def _write(rows):
+        spark.createDataFrame(rows, "ts_s string, user_id long") \
+            .select(F.to_timestamp("ts_s").alias("ts"), "user_id") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    _write([
+        ("2024-01-01 00:00:00", 1), ("2024-01-01 00:10:00", 1),  # session A (2 events)
+        ("2024-01-01 01:00:00", 1),                              # session B (1 event)
+        ("2024-01-01 00:05:00", 2),                              # session C (1 event)
+    ])
+    time.sleep(1.1)
+    _write([("2024-01-01 06:00:00", 9)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = memory_sink(
+        pipelines.session_windows(stream, gap="30 minutes", watermark="10 minutes"),
+        "sess_win",
+        output_mode="append",
+    )
+    _drain(q)
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    assert got[(1, "2024-01-01 00:00:00")] == 2
+    assert got[(1, "2024-01-01 01:00:00")] == 1
+    assert got[(2, "2024-01-01 00:05:00")] == 1
