@@ -38,6 +38,13 @@ def lit_vector(values: list[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
 
+def lit_matrix(rows: list[list[float]]) -> Column:
+    """A literal matrix as ONE nested array<array<double>> literal — a
+    single expression node regardless of size (see hyperplane_sign_bits
+    note on why per-element literals are a codegen trap)."""
+    return F.lit([[float(x) for x in r] for r in rows])
+
+
 def hyperplane_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: one sign bit per plane, packed
     into a bigint.  ``planes`` are driver-side constants (deterministic,

@@ -1,16 +1,20 @@
 """Similarity search (ANN) over embedding columns (north star §2.10).
 
-Two paths:
+Three paths:
 
 - ``brute_force_topk`` — exact cosine top-k.  The (small) query set is
   broadcast, so the plan is a single scan of the embedding table with a
   per-row loop over queries (BroadcastNestedLoopJoin): linear in corpus
   size, no shuffle of the corpus, embarrassingly parallel.  The only
   shuffle is the final top-k reduction keyed by query id.
-- ``lsh_topk`` — the scale path: random-hyperplane buckets prune the
-  corpus to same-bucket candidates before scoring (multi-probe over N
-  plane sets for recall).  At 100 TB this turns "score everything" into
-  "score ~corpus/2^bits per probe".
+- ``lsh_topk`` — random-hyperplane buckets prune the corpus to
+  same-bucket candidates before scoring (multi-probe over N plane sets
+  for recall).  Model-free: no training pass needed.
+- ``ivf_topk`` — FAISS-style inverted-file index: a spherical-k-means
+  coarse quantizer (trained once on a bounded sample) bins the corpus by
+  nearest centroid; queries probe their ``nprobe`` nearest lists.  At
+  100 TB this turns "score everything" into "score nprobe/nlist of the
+  corpus", with recall tunable by nprobe.
 
 Top-k reduction note: a window ``row_number() <= k`` partitioned by
 query id would sort each query's full candidate set.  We instead reduce
@@ -25,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from realtimechurnpredictiondataengineering_spark.functions.vectors import cosine, hyperplane_table_buckets
+from realtimechurnpredictiondataengineering_spark.functions.vectors import (
+    cosine,
+    dot,
+    hyperplane_table_buckets,
+    lit_matrix,
+)
 from realtimechurnpredictiondataengineering_spark.operators.partitioning import fan_out
 
 
@@ -110,6 +119,88 @@ def lsh_topk(
         ),
     )
     candidates = c.join(F.broadcast(q), ["table_id", "bucket"]).dropDuplicates(
+        [query_id_col, id_col]
+    )
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+    )
+    return topk_reduce(scored, query_id_col, id_col, "cos_sim", k)
+
+
+def train_ivf_centroids(
+    vectors: list[list[float]],
+    nlist: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer (driver-side, deterministic).
+
+    IVF training runs on a bounded SAMPLE (caller collects it — at 100 TB
+    you train on ~100k sampled vectors, never the corpus), the model is a
+    tiny nlist x dim matrix shipped to executors as a literal.  Seeded
+    init + fixed iteration count -> reproducible centroids, which is what
+    lets the oracle inline them.
+    """
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents.tolist()
+
+
+def _nearest_centroid(vec, cents_lit):
+    """Index (0-based) of the max-dot centroid; first index wins ties."""
+    dots = F.transform(cents_lit, lambda c: dot(vec, c))
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus rows are binned by
+    nearest centroid in one scan; each query probes its ``nprobe`` nearest
+    centroid lists via an equi-join on centroid id; exact cosine + top-k
+    verify.  Cost ~ |corpus| * nprobe / nlist per query versus brute
+    force's |corpus| — the FAISS IVF-flat shape on DataFrame ops.
+    Returns (query_id, rank, vec_id, cos_sim).
+    """
+    cents = lit_matrix(centroids)
+    assigned = fan_out(corpus).select(
+        F.col(id_col), F.col(vec_col), _nearest_centroid(F.col(vec_col), cents).alias("cid")
+    )
+    # nprobe nearest centroids per query: score all, keep top indices
+    # (ties: higher dot first, then higher cid — mirrored by the oracle).
+    scored_cents = F.transform(
+        cents, lambda c, i: F.struct(dot(F.col(query_vec_col), c).alias("s"), i.alias("i"))
+    )
+    probe_ids = F.transform(
+        F.slice(F.sort_array(scored_cents, asc=False), 1, nprobe), lambda st: st["i"]
+    )
+    probes = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.explode(probe_ids).alias("cid"),
+    )
+    candidates = assigned.join(F.broadcast(probes), "cid").dropDuplicates(
         [query_id_col, id_col]
     )
     scored = candidates.select(

@@ -1021,6 +1021,71 @@ def v04(spark, sf_dir):
     return dedup.embedding_near_duplicates(e, _v04_planes(), threshold=0.95)
 
 
+_IVF_CACHE: list[list[float]] | None = None
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """IVF coarse-quantizer model: trained ONCE on the sf0.01 embedding
+    sample (deterministic — seeded init, fixed iterations), then treated
+    as a constant artifact by both the Spark query and the SQL twin, the
+    same way a production IVF index ships a frozen quantizer."""
+    global _IVF_CACHE
+    if _IVF_CACHE is None:
+        import duckdb
+
+        vecs = duckdb.connect().execute(
+            "SELECT embedding::DOUBLE[] FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+            "ORDER BY vec_id"
+        ).fetchall()
+        _IVF_CACHE = similarity.train_ivf_centroids([v[0] for v in vecs], nlist=16)
+    return _IVF_CACHE
+
+
+def _v05_sql() -> str:
+    rows = ",\n".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])" for i, c in enumerate(_ivf_centroids())
+    )
+    cos = SQL_COSINE.format(a="q.v", b="cv.v")
+    return f"""
+WITH cents(cid, cv) AS (VALUES {rows}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT c.vec_id, ct.cid,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY list_dot_product(c.v, ct.cv) DESC, ct.cid ASC) AS rn
+    FROM c, cents ct) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, ct.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.v, ct.cv) DESC, ct.cid DESC) AS rn
+    FROM c q, cents ct WHERE q.vec_id IN (0, 1, 2)) WHERE rn <= 4
+),
+cand AS (SELECT DISTINCT p.query_id, a.vec_id FROM assigned a JOIN probes p USING (cid)),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, {cos} AS cos
+  FROM cand JOIN c q ON q.vec_id = cand.query_id JOIN c cv ON cv.vec_id = cand.vec_id
+),
+ranked AS (SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id DESC) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("v05_ivf_topk", _v05_sql())
+def v05(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_topk(e, qs, _ivf_centroids(), k=5, nprobe=4)
+    return out.select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cos_sim")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (north star; mapInPandas kernels with full SQL twins — the
 # stub decode is sha256-deterministic, so DuckDB can replay it exactly,

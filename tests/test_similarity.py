@@ -73,3 +73,43 @@ def test_topk_reduce_deterministic_ties(spark):
     ranked = sorted((r["rank"], r["vec_id"]) for r in out)
     # tie on 0.5 broken by id descending (struct sort) → id 2 beats 1
     assert ranked == [(1, 3), (2, 2)]
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = train_ivf_centroids([r["embedding"] for r in e.limit(400).collect()], nlist=8)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(e, qs, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(e, qs, cents, k=5, nprobe=4).collect()
+    }
+    # probing half the lists must recover most of the exact top-k, and the
+    # query vector itself (cos=1) is always in its own probe list
+    assert len(exact & approx) / len(exact) >= 0.6
+    assert all((q, q) in approx for q in (0, 1, 2))
+
+
+def test_ivf_centroids_deterministic_and_unit_norm(spark):
+    import numpy as np
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((200, 16)).tolist()
+    a = train_ivf_centroids(vecs, nlist=4)
+    b = train_ivf_centroids(vecs, nlist=4)
+    assert a == b
+    assert all(abs(float(np.linalg.norm(c)) - 1.0) < 1e-9 for c in a)
