@@ -1,0 +1,45 @@
+"""Deterministic sampling (training-data pipeline surface).
+
+``df.sample()`` is nondeterministic across partition layouts — useless
+for reproducible corpus construction or cross-engine checking.  These
+operators derive the sampling decision from a content hash (md5 of the
+key), so the same row makes the same cut on any cluster, any partitioning,
+any engine:
+
+- ``hash_sample`` — Bernoulli p%% sample keyed on a column.
+- ``stratified_sample`` — exactly n rows per stratum, chosen by hash
+  order (window top-n per group; WindowGroupLimit prunes before sort).
+
+Both are single-scan (+ one key shuffle for the stratified variant) and
+push the sampling predicate into the scan where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from md5 of the column text —
+    engine-portable (identical in DuckDB via the same hex arithmetic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10).cast("bigint") % buckets
+
+
+def hash_sample(df: DataFrame, key: str, percent: int) -> DataFrame:
+    """Keep ~``percent``%% of rows, decided by the key's content hash."""
+    return df.filter(hash_bucket(key) < percent)
+
+
+def stratified_sample(df: DataFrame, stratum: str, key: str, n_per_stratum: int) -> DataFrame:
+    """Exactly ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), picked by hash-of-key order so the draw is stable.  Ties on
+    the hash break by the key itself."""
+    order = F.md5(F.col(key).cast("string"))
+    w = Window.partitionBy(stratum).orderBy(order, F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -1232,6 +1232,59 @@ def w05(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Deterministic sampling + corpus statistics (training-data surface)
+# ---------------------------------------------------------------------------
+
+_SQL_HASH_BUCKET = "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 6)) AS BIGINT) % 100"
+
+
+@register(
+    "s02_hash_sample",
+    f"SELECT o_orderkey, o_custkey FROM orders WHERE {_SQL_HASH_BUCKET.format(col='o_orderkey')} < 10",
+)
+def s02(spark, sf_dir):
+    # reproducible ~10% Bernoulli sample keyed on content hash — the
+    # partition-layout-independent replacement for df.sample().
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    o = _t(spark, sf_dir, "orders")
+    return sampling.hash_sample(o, "o_orderkey", 10).select("o_orderkey", "o_custkey")
+
+
+@register(
+    "s03_stratified_sample",
+    "SELECT event_type, event_id FROM ("
+    "  SELECT event_type, event_id,"
+    "         row_number() OVER (PARTITION BY event_type"
+    "                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn"
+    "  FROM events) WHERE rn <= 20",
+)
+def s03(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    e = _t(spark, sf_dir, "events")
+    return sampling.stratified_sample(e, "event_type", "event_id", 20).select(
+        "event_type", "event_id"
+    )
+
+
+@register(
+    "t06_length_histogram",
+    "SELECT CAST(n_chars // 100 AS BIGINT) AS bucket_100, count(*) AS n_docs, "
+    "CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars "
+    "FROM documents GROUP BY 1",
+)
+def t06(spark, sf_dir):
+    # corpus length profile — the standard pre-training data audit chart.
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.floor(F.col("n_chars") / 100).alias("bucket_100")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming-semantics batch twins (ST5): the same window expressions the
 # streaming pipelines use, checked against SQL on the bounded events log
 # ---------------------------------------------------------------------------
