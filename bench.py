@@ -38,6 +38,7 @@ HEADLINE = (
     "v02_brute_force_topk",
     "v03_lsh_topk",
     "v04_embedding_near_dup",
+    "v05_ivf_topk",
     "t03_quality_score",
     "t05_word_frequencies",
     "st05_tumbling_window",

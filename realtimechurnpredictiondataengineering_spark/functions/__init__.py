@@ -4,9 +4,10 @@
                 keyed JSON, interval cutoffs)
 - ``text``    : north-star text analysis (tokenize, language-ID, quality
                 score, token counts, fingerprints, shingles)
-- ``vectors`` : north-star embedding math (dot/norm/cosine) on
-                ``array<float>`` columns, JVM-side via higher-order
-                functions — no Python in the hot path.
+- ``vectors`` : north-star embedding math (dot/norm/cosine, hyperplane
+                LSH buckets, literal matrices) on ``array<float>``
+                columns, JVM-side via higher-order functions — no
+                Python in the hot path.
 
 Everything here returns Column expressions built from
 ``pyspark.sql.functions`` so plans stay inside WholeStageCodegen.

@@ -5,18 +5,37 @@
 - ``joins``      : enrichment joins (J1/J2) + inner/semi/anti/as-of
 - ``dedup``      : exact, MinHash-LSH, SimHash, n-gram Jaccard,
                    embedding-cosine near-dup (north star §2.10)
-- ``similarity`` : brute-force + LSH-bucketed cosine top-k ANN
+- ``similarity`` : brute-force, LSH-bucketed, and IVF cosine top-k ANN
+- ``cdc``        : Debezium envelope unwrap + log-to-state compaction (S5)
+- ``skew``       : explicit salted aggregation/join for known hot keys
+- ``sampling``   : deterministic content-hash Bernoulli + stratified draws
+- ``partitioning``: under-split-input guard for CPU-heavy kernels
 
 All pure DataFrame -> DataFrame, sink-free, unit-testable.
 """
 
 from realtimechurnpredictiondataengineering_spark.operators import (  # noqa: F401
     aggregates,
+    cdc,
     dedup,
     filters,
     joins,
     multimodal,
+    partitioning,
+    sampling,
     similarity,
+    skew,
 )
 
-__all__ = ["aggregates", "dedup", "filters", "joins", "multimodal", "similarity"]
+__all__ = [
+    "aggregates",
+    "cdc",
+    "dedup",
+    "filters",
+    "joins",
+    "multimodal",
+    "partitioning",
+    "sampling",
+    "similarity",
+    "skew",
+]

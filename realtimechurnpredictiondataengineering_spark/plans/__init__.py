@@ -7,8 +7,15 @@
 - ``inventory`` : the full SURVEY §2 operator inventory as named
                   (PySpark query, DuckDB oracle SQL) pairs — the
                   correctness gate surface
+- ``medallion`` : the end-to-end MainProcess topology (producer →
+                  Bronze/Silver streams → Gold) as one driver program
 """
 
-from realtimechurnpredictiondataengineering_spark.plans import gold, inventory, silver  # noqa: F401
+from realtimechurnpredictiondataengineering_spark.plans import (  # noqa: F401
+    gold,
+    inventory,
+    medallion,
+    silver,
+)
 
-__all__ = ["gold", "inventory", "silver"]
+__all__ = ["gold", "inventory", "medallion", "silver"]

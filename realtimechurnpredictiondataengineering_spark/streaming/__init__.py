@@ -1,5 +1,6 @@
-"""Structured Streaming pipelines (SURVEY §2.8 ST1-ST6)."""
+"""Structured Streaming pipelines (SURVEY §2.8 ST1-ST6) + the
+``applyInPandasWithState`` custom-stateful extension point."""
 
-from realtimechurnpredictiondataengineering_spark.streaming import pipelines  # noqa: F401
+from realtimechurnpredictiondataengineering_spark.streaming import pipelines, stateful  # noqa: F401
 
-__all__ = ["pipelines"]
+__all__ = ["pipelines", "stateful"]
