@@ -1232,6 +1232,148 @@ def w05(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Aggregation breadth: approx distinct, grouping sets, pivot
+# ---------------------------------------------------------------------------
+
+
+@register("a11_approx_count_distinct", None)  # HLL++ sketch — no exact SQL twin
+def a11(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@register(
+    "a12_grouping_sets",
+    "SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+    "round(sum(o_totalprice), 2) AS total "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())",
+)
+def a12(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_a12_orders")
+    return spark.sql(
+        "SELECT o_orderpriority, o_orderstatus, count(*) AS n, "
+        "round(sum(o_totalprice), 2) AS total "
+        "FROM _a12_orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"
+    )
+
+
+@register(
+    "a13_pivot",
+    "SELECT user_id, "
+    "round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click, "
+    "round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view, "
+    "round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase "
+    "FROM events GROUP BY user_id",
+)
+def a13(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function breadth (strings, conditionals, dates) + null ordering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p16_string_functions",
+    "SELECT c_custkey, upper(c_name) AS uname, lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded, "
+    "translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated, "
+    "split_part(c_name, '#', 1) AS name_prefix, "
+    "regexp_extract(c_name, '([0-9]+)', 1) AS name_digits, "
+    "concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS joined, "
+    "reverse(c_mktsegment) AS rseg, CAST(length(c_name) AS INT) AS name_len "
+    "FROM customer",
+)
+def p16(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("translated"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_prefix"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("joined"),
+        F.reverse("c_mktsegment").alias("rseg"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@register(
+    "p17_conditionals",
+    "SELECT event_id, coalesce(nullif(event_type, 'error'), 'SUPPRESSED') AS etype, "
+    "CASE WHEN value > 50 THEN 'high' WHEN value > 10 THEN 'mid' ELSE 'low' END AS band, "
+    "least(value, 100.0) AS capped, greatest(value, 0.0) AS floored, "
+    "CAST(value IS NULL AS BOOLEAN) AS was_null "
+    "FROM events",
+)
+def p17(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("SUPPRESSED")).alias("etype"),
+        F.when(F.col("value") > 50, "high")
+        .when(F.col("value") > 10, "mid")
+        .otherwise("low")
+        .alias("band"),
+        F.least("value", F.lit(100.0)).alias("capped"),
+        F.greatest("value", F.lit(0.0)).alias("floored"),
+        F.col("value").isNull().alias("was_null"),
+    )
+
+
+@register(
+    "p18_date_functions",
+    # dayofweek: Spark is 1=Sunday..7, DuckDB dayofweek/dow is 0=Sunday..6.
+    "SELECT o_orderkey, CAST(extract(year FROM d) AS INT) AS yr, "
+    "CAST(extract(month FROM d) AS INT) AS mo, "
+    "CAST(extract(quarter FROM d) AS INT) AS qtr, "
+    "CAST(dayofweek(d) + 1 AS INT) AS dow_spark, "
+    "CAST(date_trunc('month', d) AS DATE) AS month_start, "
+    "last_day(d) AS month_end, "
+    "CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_3mo "
+    "FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)",
+)
+def p18(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.quarter(d).alias("qtr"),
+        F.dayofweek(d).alias("dow_spark"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_3mo"),
+    )
+
+
+@register(
+    "s04_sort_nulls_limit",
+    # explicit null placement + deterministic tiebreak; the LIMIT makes
+    # ordering semantics visible to the order-insensitive comparator.
+    "SELECT event_id, value FROM events "
+    "ORDER BY value ASC NULLS FIRST, event_id LIMIT 100",
+)
+def s04(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy(F.col("value").asc_nulls_first(), F.col("event_id"))
+        .select("event_id", "value")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling + corpus statistics (training-data surface)
 # ---------------------------------------------------------------------------
 
