@@ -1679,6 +1679,20 @@ def sv02(spark, sf_dir):
     return silver_tables(spark, n_per_topic=2000)["transactions"]
 
 
+@register("sv03_silver_usage", None)
+def sv03(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.plans.silver import silver_tables
+
+    return silver_tables(spark, n_per_topic=2000)["usage"]
+
+
+@register("sv04_silver_tickets", None)
+def sv04(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.plans.silver import silver_tables
+
+    return silver_tables(spark, n_per_topic=2000)["tickets"]
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -210,3 +210,30 @@ def test_session_windows_streaming(spark, tmp_path):
     assert got[(1, "2024-01-01 00:00:00")] == 2
     assert got[(1, "2024-01-01 01:00:00")] == 1
     assert got[(2, "2024-01-01 00:05:00")] == 1
+
+
+def test_complete_output_mode_recomputes_totals(spark, tmp_path):
+    # ST2 complete mode: every trigger emits the FULL aggregate state —
+    # after two batches the totals reflect both.
+    import time
+
+    src = str(tmp_path / "cm")
+
+    def _write(rows):
+        spark.createDataFrame(rows, "event_type string, value double") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    _write([("click", 1.0), ("click", 2.0)])
+    time.sleep(1.1)
+    _write([("click", 4.0), ("view", 10.0)])
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy("event_type").agg(F.sum("value").alias("total"))
+    q = memory_sink(agg, "complete_totals", output_mode="complete")
+    _drain(q)
+    got = {r["event_type"]: r["total"] for r in spark.sql("SELECT * FROM complete_totals").collect()}
+    assert got == {"click": 7.0, "view": 10.0}
