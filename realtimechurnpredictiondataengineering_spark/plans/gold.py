@@ -84,6 +84,44 @@ def support_features(events: DataFrame) -> DataFrame:
     )
 
 
+def event_features(events: DataFrame, as_of: Column) -> DataFrame:
+    """A1 + A2 + A4 in ONE aggregation pass via conditional aggregates.
+
+    The modular per-feature frames (``activity_features``,
+    ``decline_features``, ``support_features``) each shuffle the events
+    fact table on the same key — at 100 TB that is three scans and three
+    shuffles of the biggest input for one output.  Conditional
+    aggregation (`agg(f(when(pred, col)))`) computes all three feature
+    families in a single scan + single shuffle with IDENTICAL left-join
+    semantics: an aggregate over an empty conditional subset is null,
+    exactly what the per-frame left join produced for a customer with no
+    matching rows.
+    """
+    is_decline = F.col("event_type") == "error"
+    is_ticket = F.col("event_type") == "signup"
+    bucket = F.ascii(F.substring(F.md5("props"), 1, 1)) % 10
+    return (
+        events.groupBy(F.col("user_id").alias("customer_id"))
+        .agg(
+            F.max("ts").alias("_last_seen"),
+            F.count("*").alias("sessions"),
+            round2(F.sum(F.when(is_decline, F.col("value")))).alias("total_declined"),
+            round2(F.avg(F.when(is_decline, F.col("value")))).alias("avg_declined"),
+            round2(F.avg(F.when(is_ticket, F.col("value")))).alias("avg_resolution_time"),
+            F.round(F.avg(F.when(is_ticket, bucket)) / 10.0, 4).alias("avg_ticket_sentiment"),
+        )
+        .select(
+            "customer_id",
+            F.datediff(as_of, F.col("_last_seen")).alias("days_since_last_login"),
+            "sessions",
+            "total_declined",
+            "avg_declined",
+            "avg_resolution_time",
+            "avg_ticket_sentiment",
+        )
+    )
+
+
 def churn_features(spark, sf_dir: str, as_of: str = DEFAULT_AS_OF) -> DataFrame:
     """The flagship enrichment (J2 + A1-A4 + P8/P10-P12 + P15).
 
@@ -113,9 +151,7 @@ def churn_features(spark, sf_dir: str, as_of: str = DEFAULT_AS_OF) -> DataFrame:
         profiles,
         [
             revenue_features(orders),
-            activity_features(events, anchor),
-            decline_features(events),
-            support_features(events),
+            event_features(events, anchor),
         ],
         key="customer_id",
     )
