@@ -61,6 +61,58 @@ def unwrap_envelope(
     ).select("_op", "_ts_ms", "_row.*")
 
 
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    op_col: str = "_op",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: each change becomes a versioned
+    row with ``valid_from``/``valid_to`` (null = still current) and an
+    ``is_current`` flag; a delete closes the key's history without
+    emitting a live row.  One shuffle (window by key, ordered by change
+    time) — the standard history-table build from a CDC log."""
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    versioned = changes.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    )
+    return versioned.filter(F.col(op_col) != "d").withColumn(
+        "is_current", F.col("valid_to").isNull()
+    )
+
+
+def merge_snapshot(
+    spark,
+    target_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "_op",
+) -> DataFrame:
+    """Batch MERGE (SCD type 1 upsert) of a change batch into a stored
+    snapshot: keep target rows whose key has no incoming change
+    (anti-join), union the incoming winners (``latest_state``), drop
+    deleted keys.  Returns the new snapshot DataFrame (caller writes it —
+    on Delta this is literally ``MERGE INTO``; on parquet it is
+    rewrite-on-merge, which is why real deployments put hot tables on
+    Delta/Iceberg).  Write the result to a NEW location or via a staging
+    dir — Spark cannot overwrite a parquet path a live plan still reads.
+    The anti-join broadcasts the (small) change-key set, so the target
+    scan never shuffles."""
+    from realtimechurnpredictiondataengineering_spark.operators.joins import anti_join
+
+    incoming = latest_state(changes, keys, seq_cols, op_col=op_col, drop_deletes=True)
+    try:
+        target = spark.read.parquet(target_path)
+    except Exception as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
+        return incoming  # first run: the change batch IS the snapshot
+    change_keys = changes.select(*keys).distinct()
+    kept = anti_join(target, F.broadcast(change_keys), on=keys)
+    return kept.unionByName(incoming.select(*target.columns))
+
+
 def latest_state(
     changes: DataFrame,
     keys: list[str],

@@ -1615,6 +1615,50 @@ def c01(spark, sf_dir):
     )
 
 
+@register(
+    "c02_scd2_history",
+    """
+WITH ch AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN event_type = 'signup' THEN 'c'
+              WHEN event_type = 'error' THEN 'd'
+              ELSE 'u' END AS op
+  FROM events
+),
+v AS (
+  SELECT user_id, event_id, op, round(value, 2) AS value,
+         strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts), '%Y-%m-%d %H:%M:%S') AS valid_to
+  FROM ch
+)
+SELECT user_id, event_id, value, valid_from, valid_to,
+       CAST(valid_to IS NULL AS BOOLEAN) AS is_current
+FROM v WHERE op <> 'd'
+""",
+)
+def c02(spark, sf_dir):
+    # SCD2 history build from the CDC change log: every change is a
+    # versioned row, deletes close history without a live row.
+    from realtimechurnpredictiondataengineering_spark.operators import cdc
+
+    e = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    changes = e.select("user_id", "event_id", "ts", F.round("value", 2).alias("value"), op.alias("_op"))
+    hist = cdc.scd2_history(changes, keys=["user_id"], ts_col="ts")
+    return hist.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
 # ---------------------------------------------------------------------------
 # pandas UDF extension surface (U1): Arrow-batched grouped kernels,
 # value-checked against window/aggregate SQL

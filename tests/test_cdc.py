@@ -70,3 +70,51 @@ def test_latest_state_plan_is_single_shuffle(spark):
     assert sum(1 for line in plan.splitlines() if line.lstrip("+- ").startswith("Window [")) == 1
     assert "WindowGroupLimit" in plan
     assert "join" not in plan.lower()
+
+
+def test_scd2_history_versions_and_closes(spark):
+    rows = [
+        _env("c", 100, {"id": 1, "name": "v1"}),
+        _env("u", 200, {"id": 1, "name": "v2"}),
+        _env("c", 100, {"id": 2, "name": "x"}),
+        _env("d", 300, {"id": 2, "name": "x"}),
+    ]
+    changes = cdc.unwrap_envelope(
+        spark.createDataFrame(rows, "value string"), PAYLOAD
+    ).filter(F.col("_op").isNotNull())
+    hist = cdc.scd2_history(changes, keys=["id"], ts_col="_ts_ms").collect()
+    by = {(r["id"], r["name"]): r for r in hist}
+    # v1 closed by v2; v2 current
+    assert by[(1, "v1")]["valid_to"] == 200 and not by[(1, "v1")]["is_current"]
+    assert by[(1, "v2")]["valid_to"] is None and by[(1, "v2")]["is_current"]
+    # key 2's create is closed by the delete, and the delete emits no row
+    assert by[(2, "x")]["valid_to"] == 300 and not by[(2, "x")]["is_current"]
+    assert len(hist) == 3
+
+
+def test_merge_snapshot_upserts_and_deletes(spark, tmp_path):
+    target = str(tmp_path / "snap")
+    batch1 = cdc.unwrap_envelope(
+        spark.createDataFrame(
+            [_env("c", 100, {"id": 1, "name": "a"}), _env("c", 100, {"id": 2, "name": "b"})],
+            "value string",
+        ),
+        PAYLOAD,
+    )
+    snap1 = cdc.merge_snapshot(spark, target, batch1, ["id"], ["_ts_ms"])
+    snap1.write.mode("overwrite").parquet(target)
+
+    batch2 = cdc.unwrap_envelope(
+        spark.createDataFrame(
+            [_env("u", 200, {"id": 1, "name": "a2"}), _env("d", 200, {"id": 2, "name": "b"}),
+             _env("c", 200, {"id": 3, "name": "c"})],
+            "value string",
+        ),
+        PAYLOAD,
+    )
+    snap2 = cdc.merge_snapshot(spark, target, batch2, ["id"], ["_ts_ms"])
+    state = {r["id"]: r["name"] for r in snap2.collect()}
+    assert state == {1: "a2", 3: "c"}  # 1 updated, 2 deleted, 3 inserted
+    # target scan side must not shuffle: the change-key anti-join broadcasts
+    plan = snap2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
