@@ -33,16 +33,27 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(dot(a, b) / denom)
 
 
+def _sql_doubles(values) -> str:
+    """Render a (possibly nested) float list as one SQL ``array(...)``
+    expression string.  Parsed JVM-side in a single call — both
+    ``F.lit(nested_list)`` (element-wise py4j, ~6 s for a 3k-element
+    plane tensor) and ``F.array(*[F.lit(v) ...])`` (per-scalar Catalyst
+    nodes, seconds of analysis) are plan-build traps at this size."""
+    if isinstance(values, (list, tuple)):
+        return "array(" + ",".join(_sql_doubles(v) for v in values) + ")"
+    return repr(float(values)) + "D"
+
+
 def lit_vector(values: list[float]) -> Column:
     """A literal query vector as an array<double> column."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    return F.expr(_sql_doubles(list(values)))
 
 
 def lit_matrix(rows: list[list[float]]) -> Column:
     """A literal matrix as ONE nested array<array<double>> literal — a
-    single expression node regardless of size (see hyperplane_sign_bits
-    note on why per-element literals are a codegen trap)."""
-    return F.lit([[float(x) for x in r] for r in rows])
+    single expression parsed JVM-side regardless of size (see
+    ``_sql_doubles`` on why per-element literals are a plan-build trap)."""
+    return F.expr(_sql_doubles([list(r) for r in rows]))
 
 
 def hyperplane_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
@@ -55,7 +66,7 @@ def hyperplane_sign_bits(vec: Column, planes: list[list[float]]) -> Column:
     ``aggregate`` — one expression node, not bits×dims scalar literals.
     An earlier per-element-literal version cost multiple seconds of
     Catalyst analysis/codegen per query before any data moved."""
-    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    planes_lit = lit_matrix(planes)
     return F.aggregate(
         planes_lit,
         F.lit(0).cast("long"),
@@ -68,7 +79,7 @@ def hyperplane_table_buckets(vec: Column, plane_sets: list[list[list[float]]]) -
     ``array<long>`` with one packed sign-bucket per plane set.  Lets the
     ANN path scan the corpus once and ``posexplode`` into
     (table_id, bucket) rows instead of re-scanning per table."""
-    sets_lit = F.lit([[[float(x) for x in p] for p in ps] for ps in plane_sets])
+    sets_lit = F.expr(_sql_doubles([[list(p) for p in ps] for ps in plane_sets]))
     return F.transform(
         sets_lit,
         lambda ps: F.aggregate(

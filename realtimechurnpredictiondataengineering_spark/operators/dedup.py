@@ -73,21 +73,33 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-document MinHash signature.
 
-    One base xxhash64 per shingle, then ``num_hashes`` cheap derived
-    hashes (xxhash64 of (base, seed)) reduced by array_min — a single
-    JVM pass per seed over an already-hashed long array, no shuffle.
+    One base xxhash64 per shingle, then ``num_hashes`` derived hashes
+    (xxhash64 of (base, seed)) folded to their minima by a SINGLE
+    ``aggregate`` pass over the already-hashed long array — all seeds'
+    minima advance together through one ``zip_with``, no shuffle.  The
+    one-fold shape matters as much as the arithmetic: the naive
+    ``num_hashes`` separate ``array_min(transform(...))`` columns build
+    an expression tree that costs seconds of Catalyst analysis/codegen
+    per query, dominating small-batch latency.  Docs with no shingles
+    (shorter than ``shingle_k``) keep the Long.MAX sentinel in every
+    slot, so they band-bucket only with other empty docs.
     Returns (id, shingles, sig: array<bigint>).
     """
     with_sh = df.select(
         F.col(id_col), shingles(text_col, shingle_k).alias("shingles")
     ).withColumn("base_hashes", F.transform("shingles", lambda s: F.xxhash64(s)))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform("base_hashes", lambda h, i=i: F.xxhash64(h, F.lit(i)))
-            )
-            for i in range(num_hashes)
-        ]
+    sig = F.expr(
+        f"""
+        aggregate(
+          base_hashes,
+          array_repeat(cast(9223372036854775807 as bigint), {num_hashes}),
+          (acc, h) -> zip_with(
+            acc,
+            sequence(0, {num_hashes - 1}),
+            (a, s) -> least(a, xxhash64(h, s))
+          )
+        )
+        """
     )
     return with_sh.select(F.col(id_col), "shingles", sig.alias("sig"))
 
