@@ -30,6 +30,8 @@ HEADLINE = (
     "j01_left_join_features",
     "j03_broadcast_dim_chain",
     "j06_asof_join",
+    "h03_shipping_priority",
+    "h18_large_volume_customer",
     "w01_latest_per_key",
     "w02_running_sum",
     "f08_dedup_by_key",
