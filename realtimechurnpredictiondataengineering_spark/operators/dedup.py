@@ -360,3 +360,66 @@ def embedding_near_duplicates(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# Duplicate clustering (connected components over the pair graph)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster a near-dup pair graph into components by iterative
+    min-label propagation: every node's label converges to the smallest
+    id reachable from it, so one canonical doc identifies each duplicate
+    cluster (the transitive closure that the one-pass ``near_dedup``
+    survivor rule approximates).
+
+    Each round is one shuffle (edges ⋈ labels, groupBy min) and runs in
+    O(cluster diameter) rounds — near-dup clusters are shallow (a dozen
+    rounds covers web-scale corpora; ``max_iter`` is a runaway guard,
+    and convergence is checked so typical inputs stop after 2-3).
+    ``localCheckpoint`` truncates lineage each round; without it the
+    iterated plan nests ``max_iter`` joins deep and Catalyst re-analysis
+    dominates (the classic iterative-algorithm trap on Spark).
+
+    Returns (id, component) for every node appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .unionByName(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("u.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("component"))

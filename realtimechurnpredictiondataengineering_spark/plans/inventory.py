@@ -870,6 +870,40 @@ def d02(spark, sf_dir):
     )
 
 
+@register(
+    "d06_dup_clusters",
+    f"""
+    WITH RECURSIVE sh AS (SELECT doc_id, {SQL_SHINGLES_K3} AS sh FROM documents),
+    sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM inv a JOIN inv b USING (shingle)
+      WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    walk(s, d) AS (SELECT s, d FROM edges
+                   UNION SELECT w.s, e.d FROM walk w JOIN edges e ON e.s = w.d)
+    SELECT s AS id, least(s, min(d)) AS component FROM walk GROUP BY s
+    """,
+)
+def d06(spark, sf_dir):
+    # Duplicate clustering: connected components (iterative min-label
+    # propagation) over the exact-Jaccard pair graph; the oracle computes
+    # the same components via a recursive reachability CTE.
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5, max_doc_freq=1_000_000
+    )
+    return dedup.connected_components(pairs)
+
+
 @register("d03_minhash_near_dup", None)  # LSH banding is not SQL-expressible
 def d03(spark, sf_dir):
     return dedup.minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5)

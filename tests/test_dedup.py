@@ -97,3 +97,20 @@ def test_bucket_cap_prunes_degenerate_buckets(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = dedup.minhash_near_duplicates(df, shingle_k=3, threshold=0.5, max_bucket=10)
     assert out.count() == 0
+
+
+def test_connected_components_transitive(spark):
+    # chain 1-2-3 plus isolated pair (7,9): labels converge to the min id
+    # of each component, including multi-hop reachability.
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (7, 9), (9, 8)], "id_a int, id_b int"
+    )
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_converges_early(spark):
+    # a single edge converges in one round; max_iter is only a guard
+    pairs = spark.createDataFrame([(5, 4)], "id_a int, id_b int")
+    out = dedup.connected_components(pairs, max_iter=2).collect()
+    assert {(r["id"], r["component"]) for r in out} == {(4, 4), (5, 4)}
