@@ -1311,6 +1311,69 @@ def a13(spark, sf_dir):
     )
 
 
+@register(
+    "a14_stats_moments",
+    "SELECT l_returnflag, "
+    "round(stddev_samp(l_extendedprice), 4) AS sd_price, "
+    "round(var_samp(l_quantity), 4) AS var_qty, "
+    "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
+    "round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp, "
+    "round(min(l_discount), 2) AS min_disc, round(max(l_discount), 2) AS max_disc "
+    "FROM lineitem GROUP BY l_returnflag",
+)
+def a14(spark, sf_dir):
+    # Statistical moments — sample stddev/variance/correlation/covariance
+    # (identical two-pass-free streaming formulas in both engines; Spark
+    # plans them as partial+final HashAggregate, so they scale like sum).
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.round(F.min("l_discount"), 2).alias("min_disc"),
+        F.round(F.max("l_discount"), 2).alias("max_disc"),
+    )
+
+
+@register("a15_hll_partial_merge", None)  # DataSketches HLL has no DuckDB twin
+def a15(spark, sf_dir):
+    # Mergeable distinct-count sketches — THE 100 TB pattern: build one
+    # HLL sketch per (returnflag, linestatus) partition slice, then merge
+    # slices with hll_union_agg to per-flag counts.  Partial sketches
+    # commute with partitioning, so a 1000-executor rollup never reshuffles
+    # raw keys; deterministic for fixed input (rows-only check).
+    l = _t(spark, sf_dir, "lineitem")
+    partial = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_parts"))
+        .select("l_returnflag", F.col("approx_parts").cast("long").alias("approx_parts"))
+    )
+
+
+@register(
+    "p19_collections",
+    "SELECT user_id, "
+    "list_sort(list(DISTINCT event_type)) AS types, "
+    "list_sort(list(event_id))[1:3] AS first_ids, "
+    "CAST(count(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY user_id",
+)
+def p19(spark, sf_dir):
+    # Collection aggregates: collect_set/collect_list are order-
+    # nondeterministic under parallel merge, so both engines sort before
+    # output — the only way array-valued results are checkable at all.
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.slice(F.sort_array(F.collect_list("event_id")), 1, 3).alias("first_ids"),
+        F.count("*").alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function breadth (strings, conditionals, dates) + null ordering
 # ---------------------------------------------------------------------------
