@@ -83,3 +83,44 @@ def as_of_join(
         carried.filter(F.col("_is_left") == 1)
         .select(key, F.col("_ts").alias(left_ts), *l_cols, *right_values)
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 7 * 86_400,
+) -> DataFrame:
+    """Interval containment join (``start <= point < end``) without the
+    nested-loop plan Spark produces for a bare range predicate
+    (BroadcastNestedLoopJoin — O(|points| x |intervals|) comparisons).
+
+    Both sides map onto fixed-width time buckets: each interval explodes
+    into every bucket it overlaps (``sequence`` over its bucket range),
+    each point lands in the one bucket containing it; then a plain
+    equi-join on the bucket applies the exact range as a residual
+    predicate.  Cost is |points| + |intervals| x avg_buckets_per_interval
+    through ONE hash shuffle — the standard time-bucketized range join.
+    Pick ``bucket_seconds`` near the typical interval length: too small
+    explodes interval rows, too large inflates candidate pairs.
+
+    Returns every (point row + interval row) containment combination.
+    """
+    g = F.lit(int(bucket_seconds)).cast("long")
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(start_col) / g).cast("long"),
+                (F.unix_timestamp(end_col) / g).cast("long"),
+            )
+        ),
+    )
+    pt = points.withColumn("_bucket", (F.unix_timestamp(point_col) / g).cast("long"))
+    return (
+        pt.join(iv, "_bucket")
+        .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col)))
+        .drop("_bucket")
+    )

@@ -1834,6 +1834,34 @@ def sv04(spark, sf_dir):
     return silver_tables(spark, n_per_topic=2000)["tickets"]
 
 
+@register(
+    "j07_range_join",
+    """
+WITH iv AS (SELECT o_orderkey AS iv_order, o_orderdate AS start_ts,
+                   o_orderdate + INTERVAL 7 DAY AS end_ts
+            FROM orders WHERE o_totalprice > 499000)
+SELECT l.l_orderkey, l.l_linenumber, CAST(l.l_shipdate AS DATE) AS ship_date, iv.iv_order
+FROM lineitem l JOIN iv ON l.l_shipdate >= iv.start_ts AND l.l_shipdate < iv.end_ts
+""",
+)
+def j07(spark, sf_dir):
+    # Bucketized interval-containment join: shipments falling inside the
+    # 7-day window after each big order.  The time-bucket equi-join
+    # replaces the BroadcastNestedLoopJoin Spark would plan for the bare
+    # range predicate — one hash shuffle instead of |points|x|intervals|.
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 499000)
+    iv = o.select(
+        F.col("o_orderkey").alias("iv_order"),
+        F.col("o_orderdate").alias("start_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("end_ts"),
+    )
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
+    out = joins.range_join(l, iv, "l_shipdate", "start_ts", "end_ts")
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("ship_date"), "iv_order"
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-adapted analytical suite (h*): the canonical multi-way-join /
 # agg shapes every warehouse engine is judged on, over the driver's

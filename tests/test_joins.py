@@ -67,3 +67,35 @@ def test_broadcast_dim_join_plan(spark, sf_dir):
     out = joins.broadcast_dim_join(fact, dim, on=[fact.c_nationkey == dim.n_nationkey])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_containment_and_bounds(spark):
+    # start inclusive, end exclusive; intervals spanning bucket borders
+    # still match (interval explodes into every overlapped bucket).
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-08 00:00:00"),
+         (3, "2024-01-05 12:00:00"), (4, "2023-12-31 23:59:59")],
+        "pid int, ts_s string",
+    ).select("pid", F.to_timestamp("ts_s").alias("ts"))
+    iv = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-08 00:00:00")],
+        "ivid int, s string, e string",
+    ).select("ivid", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    out = joins.range_join(pts, iv, "ts", "s", "e", bucket_seconds=2 * 86_400)
+    got = sorted((r["pid"], r["ivid"]) for r in out.collect())
+    assert got == [(1, 100), (3, 100)]  # 2 excluded (== end), 4 excluded (< start)
+
+
+def test_range_join_avoids_nested_loop(spark):
+    pts = spark.range(100).select(
+        F.col("id").alias("pid"),
+        (F.to_timestamp(F.lit("2024-01-01")) + F.make_interval(hours=F.col("id").cast("int"))).alias("ts"),
+    )
+    iv = spark.createDataFrame(
+        [(1, "2023-12-30 00:00:00", "2024-01-02 00:00:00")], "ivid int, s string, e string"
+    ).select("ivid", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    out = joins.range_join(pts, iv, "ts", "s", "e")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    # only the first 24 hourly points fall before the 2024-01-02 end bound
+    assert out.count() == 24
