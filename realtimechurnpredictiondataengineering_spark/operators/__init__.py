@@ -22,6 +22,7 @@ from realtimechurnpredictiondataengineering_spark.operators import (  # noqa: F4
     joins,
     multimodal,
     partitioning,
+    rollup,
     sampling,
     similarity,
     skew,
@@ -35,6 +36,7 @@ __all__ = [
     "joins",
     "multimodal",
     "partitioning",
+    "rollup",
     "sampling",
     "similarity",
     "skew",

@@ -1835,6 +1835,35 @@ def sv04(spark, sf_dir):
 
 
 @register(
+    "st08_hierarchical_rollup",
+    """
+SELECT CAST(date_trunc('month', ts) AS DATE) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events GROUP BY 1, 2
+""",
+)
+def st08(spark, sf_dir):
+    # Hypertable-style continuous aggregate: monthly level built by
+    # re-merging daily partials, which re-merge hourly partials — ONE raw
+    # scan for all three grains.  The oracle aggregates raw directly; the
+    # results coincide exactly because every aggregate is decomposable.
+    from realtimechurnpredictiondataengineering_spark.operators import rollup
+
+    e = _t(spark, sf_dir, "events")
+    monthly = rollup.hierarchical_rollup(e)["month"]
+    return monthly.select(
+        F.col("bucket").cast("date").alias("bucket"),
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
+@register(
     "j07_range_join",
     """
 WITH iv AS (SELECT o_orderkey AS iv_order, o_orderdate AS start_ts,
