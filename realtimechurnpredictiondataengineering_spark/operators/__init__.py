@@ -17,6 +17,7 @@ All pure DataFrame -> DataFrame, sink-free, unit-testable.
 from realtimechurnpredictiondataengineering_spark.operators import (  # noqa: F401
     aggregates,
     cdc,
+    corpus,
     dedup,
     filters,
     joins,
@@ -31,6 +32,7 @@ from realtimechurnpredictiondataengineering_spark.operators import (  # noqa: F4
 __all__ = [
     "aggregates",
     "cdc",
+    "corpus",
     "dedup",
     "filters",
     "joins",

@@ -835,6 +835,33 @@ def t05(spark, sf_dir):
 
 
 @register(
+    "t07_tfidf_top_terms",
+    f"""
+WITH toks AS (SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS dfreq FROM tf GROUP BY 1),
+total AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * (ln((total.n_docs + 1.0) / (dfq.dfreq + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN total
+),
+ranked AS (SELECT doc_id, term, tfidf,
+           row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+           FROM scored)
+SELECT doc_id, CAST(rnk AS INT) AS rank, term, tfidf FROM ranked WHERE rnk <= 3
+""",
+)
+def t07(spark, sf_dir):
+    # Corpus TF-IDF: global document frequencies re-aggregated from the
+    # per-doc term partials (one raw scan), smoothed idf, reproducible
+    # top-3 per doc.
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    return corpus.tfidf_top_terms(_td(spark, sf_dir), k=3)
+
+
+@register(
     "d01_exact_content_dedup",
     f"SELECT md5({SQL_NORM}) AS fingerprint, min(doc_id) AS doc_id FROM documents GROUP BY 1",
 )

@@ -115,3 +115,26 @@ def test_language_id_is_stable_und_default(sparkm, texts):
         assert r["lang"] in set(tx.LANG_MARKERS) | {"und"}
         if r["hits"] == 0:
             assert r["lang"] == "und", repr(r["text"])
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana shared shared"),
+            (2, "cherry shared shared"),
+            (3, "banana shared"),
+        ],
+        "doc_id int, text string",
+    )
+    out = corpus.tfidf_top_terms(docs, k=2).collect()
+    by = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in out}
+    # doc-specific terms with equal tf outrank the ubiquitous one...
+    assert by[(1, 1)][0] == "apple"   # tf=2, df=1 beats shared tf=2, df=3
+    assert by[(3, 1)][0] == "banana"  # tf=1, df=2 beats shared tf=1, df=3
+    # ...but raw frequency still matters: shared tf=2 beats cherry tf=1
+    assert by[(2, 1)][0] == "shared"
+    # smooth-idf spot value: ubiquitous term has idf exactly 1 -> tfidf == tf
+    assert by[(2, 1)][1] == 2.0
+    assert len(out) == 6
