@@ -37,6 +37,10 @@ HEADLINE = (
     "f08_dedup_by_key",
     "d01_exact_content_dedup",
     "d03_minhash_near_dup",
+    "d06_dup_clusters",
+    "j07_range_join",
+    "t07_tfidf_top_terms",
+    "st08_hierarchical_rollup",
     "v02_brute_force_topk",
     "v03_lsh_topk",
     "v04_embedding_near_dup",
