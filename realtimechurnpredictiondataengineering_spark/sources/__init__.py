@@ -9,9 +9,11 @@ neither; the code paths are real and the formats plug in on a cluster.
 
 from realtimechurnpredictiondataengineering_spark.sources.batch import (
     TABLES,
+    convert_to_parquet,
     delta_scan,
     load_table,
     load_tables,
+    read_format,
     register_views,
 )
 from realtimechurnpredictiondataengineering_spark.sources.generator import synthetic_topic_feed
@@ -37,8 +39,10 @@ from realtimechurnpredictiondataengineering_spark.sources.streaming import (
 
 __all__ = [
     "TABLES",
+    "convert_to_parquet",
     "delta_scan",
     "load_table",
+    "read_format",
     "load_tables",
     "register_views",
     "synthetic_topic_feed",

@@ -80,3 +80,44 @@ def delta_scan(spark: SparkSession, path: str) -> DataFrame:
         if not delta_missing:
             raise
         return spark.read.parquet(path)
+
+
+def read_format(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Generic batch reader for the interchange formats a pipeline meets
+    in the wild (parquet / orc / csv / json / text).
+
+    Schema discipline: pass an explicit DDL ``schema`` for csv/json in
+    production — inference costs one extra full scan of the data and can
+    drift between runs; the parameter is optional only for ad-hoc use.
+    Column pruning + predicate pushdown apply to parquet/orc; csv/json
+    get column pruning only (row-group stats don't exist), which is why
+    landing zones should convert to a columnar format at ingest (K3).
+    """
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "true")
+    return reader.options(**options).load(path)
+
+
+def convert_to_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Ingest-side columnar conversion: land any source as parquet,
+    optionally hive-partitioned so downstream date/key filters prune
+    whole directories instead of reading row groups to discard them."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

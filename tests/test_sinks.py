@@ -113,3 +113,32 @@ def test_partitioned_append_prunes_partitions(spark, tmp_path, sf_dir):
     # a post-scan data filter
     assert "PartitionFilters: [isnotnull(event_type" in plan or "PartitionFilters: [" in plan.split("PartitionFilters:")[1][:80]
     assert "event_type" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_read_format_roundtrip_csv_json(spark, tmp_path):
+    from realtimechurnpredictiondataengineering_spark.sources import batch as b
+
+    src = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    csv_p, json_p = str(tmp_path / "c"), str(tmp_path / "j")
+    src.write.option("header", "true").csv(csv_p)
+    src.write.json(json_p)
+    got_csv = b.read_format(spark, csv_p, "csv", schema="id int, s string", header="true")
+    got_json = b.read_format(spark, json_p, "json", schema="id int, s string")
+    assert sorted((r["id"], r["s"]) for r in got_csv.collect()) == [(1, "a"), (2, "b")]
+    assert sorted((r["id"], r["s"]) for r in got_json.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_convert_to_parquet_partition_pruning(spark, tmp_path):
+    from realtimechurnpredictiondataengineering_spark.sources import batch as b
+
+    src = spark.createDataFrame(
+        [(1, "2024-01-01", 5.0), (2, "2024-01-02", 6.0), (3, "2024-01-02", 7.0)],
+        "id int, day string, v double",
+    )
+    dst = str(tmp_path / "part")
+    b.convert_to_parquet(src, dst, partition_by=("day",))
+    scan = spark.read.parquet(dst).filter(F.col("day") == "2024-01-02")
+    # the partition filter prunes directories, not rows
+    full = scan._jdf.queryExecution().toString()
+    assert "PartitionFilters" in full and "2024-01-02" in full
+    assert scan.count() == 2
