@@ -178,3 +178,48 @@ def stream_static_enrich(stream_df: DataFrame, dim: DataFrame, on, how: str = "l
     """ST6 — stream-static join: each micro-batch joins against the
     (broadcastable) static dimension; no streaming state required."""
     return stream_df.join(F.broadcast(dim), on=on, how=how)
+
+
+def rollup_stream(
+    events_stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """Streaming continuous aggregate (the hypertable ingest path): every
+    micro-batch appends its OWN hourly partials — no read-modify-write,
+    no state store growth — and ``read_rollup`` re-merges partials at
+    query time.  Duplicate (bucket, key) rows across batches are the
+    design, not a bug: the merge aggregates are the same decomposable
+    set used by ``operators.rollup``, so late-arriving partials fold in
+    exactly.  Append-only writes keep the sink exactly-once under the
+    checkpoint, and a compaction job can fold old partials without
+    changing any reader."""
+    from realtimechurnpredictiondataengineering_spark.operators import rollup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rollup.rollup_leaf(batch_df, ts_col, keys).write.mode("append").parquet(partials_dir)
+
+    return (
+        events_stream.withWatermark(ts_col, watermark)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_rollup(
+    spark: SparkSession,
+    partials_dir: str,
+    grain: str = "hour",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Merged view over streamed partials at any grain >= the leaf's."""
+    from realtimechurnpredictiondataengineering_spark.operators import rollup
+
+    return rollup.rollup_merge(spark.read.parquet(partials_dir), keys, grain)
