@@ -1401,6 +1401,40 @@ def p19(spark, sf_dir):
     )
 
 
+@register(
+    "p20_malformed_json",
+    """
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 3) ELSE props END AS payload
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN json_valid(payload) THEN CAST(payload->>'$.k' AS INT) END AS k,
+       json_valid(payload) AS is_valid
+FROM raw
+""",
+)
+def p20(spark, sf_dir):
+    # P2's malformed path: from_json PERMISSIVE mode null-fills broken
+    # payloads instead of failing the job — the contract that keeps a
+    # 100 TB ingest running when 0.1% of a feed is garbage.  PERMISSIVE
+    # returns an all-null STRUCT (not a null struct), so validity comes
+    # from the corrupt-record column, the auditable quarantine channel.
+    e = _t(spark, sf_dir, "events")
+    payload = F.when(F.col("event_id") % 10 == 0, F.substring("props", 1, 3)).otherwise(
+        F.col("props")
+    )
+    parsed = F.from_json(
+        payload, "k int, _corrupt string", {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.getField("_corrupt").isNull().alias("is_valid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-function breadth (strings, conditionals, dates) + null ordering
 # ---------------------------------------------------------------------------
@@ -2025,6 +2059,70 @@ def h05(spark, sf_dir):
         )
         .groupBy("n_name")
         .agg(round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@register(
+    "h06_forecast_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta
+FROM lineitem
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+)
+def h06(spark, sf_dir):
+    # TPC-H Q6: the canonical sargable scan-aggregate — every predicate
+    # must reach the parquet reader; the plan is scan → partial agg →
+    # final agg with zero shuffles of row data.
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(round2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue_delta"))
+    )
+
+
+@register(
+    "h19_disjunctive_predicates",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+""",
+)
+def h19(spark, sf_dir):
+    # TPC-H Q19 shape: OR-of-ANDs spanning both join sides.  Catalyst's
+    # CNF conversion extracts the per-side disjunctions (brand/size to
+    # the part scan, quantity to lineitem) so the scans pre-filter even
+    # though the full predicate must evaluate after the join.
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    )
+    cond2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond1 | cond2)
+        .agg(
+            F.count("*").alias("n"),
+            round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        )
     )
 
 
