@@ -133,3 +133,30 @@ def latest_state(
     if drop_deletes:
         latest = latest.filter(F.col(op_col) != "d")
     return latest
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 dimension: each fact row
+    joins the version whose validity interval contains its timestamp
+    (``valid_from <= ts < valid_to``, open ``valid_to`` = still current).
+
+    A plain equi-join on the natural key plus the interval as a residual
+    predicate — per-key version intervals are disjoint by construction
+    (``scd2_history``), so each fact matches at most one version and the
+    join never amplifies rows.  One shuffle on the key, same as any
+    fact-dim join; no range-join machinery needed because the key is an
+    equi prefix.  A fact in a gap (after a delete closed the key's
+    history) matches nothing — deleted entities do not resurrect; inner
+    semantics by design (a left variant would need the interval inside
+    the join condition, not a post-join filter that eats null rows)."""
+    in_interval = (F.col(fact_ts) >= F.col(valid_from)) & (
+        F.col(valid_to).isNull() | (F.col(fact_ts) < F.col(valid_to))
+    )
+    return facts.join(history, on=keys, how="inner").filter(in_interval)

@@ -1817,6 +1817,60 @@ def c02(spark, sf_dir):
     )
 
 
+@register(
+    "c03_scd2_lookup",
+    """
+WITH ch AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'signup' THEN 'c'
+              WHEN event_type = 'error' THEN 'd'
+              ELSE 'u' END AS op
+  FROM events
+),
+hist AS (
+  SELECT user_id, event_id AS version_event, op, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM ch
+),
+live AS (SELECT * FROM hist WHERE op <> 'd'),
+facts AS (SELECT user_id, event_id AS fact_event, ts AS fact_ts
+          FROM events WHERE event_type = 'purchase')
+SELECT f.fact_event, f.user_id,
+       strftime(f.fact_ts, '%Y-%m-%d %H:%M:%S') AS fact_ts,
+       l.version_event
+FROM facts f JOIN live l ON l.user_id = f.user_id
+WHERE f.fact_ts >= l.valid_from AND (l.valid_to IS NULL OR f.fact_ts < l.valid_to)
+""",
+)
+def c03(spark, sf_dir):
+    # Point-in-time fact enrichment: each purchase joins the SCD2 version
+    # of its user that was valid at the purchase timestamp.
+    from realtimechurnpredictiondataengineering_spark.operators import cdc
+
+    e = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    changes = e.select(
+        "user_id", F.col("event_id").alias("version_event"), "ts", op.alias("_op")
+    )
+    hist = cdc.scd2_history(changes, keys=["user_id"], ts_col="ts").select(
+        "user_id", "version_event", "valid_from", "valid_to"
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("fact_event"), "user_id", F.col("ts").alias("fact_ts")
+    )
+    out = cdc.scd2_lookup(facts, hist, keys=["user_id"], fact_ts="fact_ts")
+    return out.select(
+        "fact_event",
+        "user_id",
+        F.date_format("fact_ts", "yyyy-MM-dd HH:mm:ss").alias("fact_ts"),
+        "version_event",
+    )
+
+
 # ---------------------------------------------------------------------------
 # pandas UDF extension surface (U1): Arrow-batched grouped kernels,
 # value-checked against window/aggregate SQL

@@ -118,3 +118,25 @@ def test_merge_snapshot_upserts_and_deletes(spark, tmp_path):
     # target scan side must not shuffle: the change-key anti-join broadcasts
     plan = snap2._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_scd2_lookup_point_in_time(spark):
+    rows = [
+        _env("c", 100, {"id": 1, "name": "v1"}),
+        _env("u", 300, {"id": 1, "name": "v2"}),
+        _env("c", 100, {"id": 2, "name": "x"}),
+        _env("d", 200, {"id": 2, "name": "x"}),
+    ]
+    changes = cdc.unwrap_envelope(
+        spark.createDataFrame(rows, "value string"), PAYLOAD
+    ).filter(F.col("_op").isNotNull())
+    hist = cdc.scd2_history(changes, keys=["id"], ts_col="_ts_ms")
+    facts = spark.createDataFrame(
+        [(1, 150), (1, 300), (1, 999), (2, 250)], "id int, fts long"
+    )
+    out = cdc.scd2_lookup(facts, hist.select("id", "name", "valid_from", "valid_to"),
+                          keys=["id"], fact_ts="fts")
+    got = sorted((r["id"], r["fts"], r["name"]) for r in out.collect())
+    # ts=150 sees v1; ts=300 (boundary) and 999 see v2; key 2 at 250 is
+    # after its delete -> no resurrection
+    assert got == [(1, 150, "v1"), (1, 300, "v2"), (1, 999, "v2")]
