@@ -25,6 +25,7 @@ from realtimechurnpredictiondataengineering_spark.session import get_spark
 # exist in plans.inventory.REGISTRY.
 HEADLINE = (
     "q00_flagship_churn_features",
+    "ll01_corpus_prep",
     "a06_pricing_summary",
     "a01_max_sum_groupby",
     "j01_left_join_features",

@@ -12,10 +12,11 @@
 """
 
 from realtimechurnpredictiondataengineering_spark.plans import (  # noqa: F401
+    corpus_prep,
     gold,
     inventory,
     medallion,
     silver,
 )
 
-__all__ = ["gold", "inventory", "medallion", "silver"]
+__all__ = ["corpus_prep", "gold", "inventory", "medallion", "silver"]

@@ -876,9 +876,11 @@ def d01(spark, sf_dir):
     WITH sh AS (SELECT doc_id, {SQL_SHINGLES_K3} AS sh FROM documents),
     sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
     inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    freq AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 200),
+    invc AS (SELECT inv.* FROM inv JOIN freq USING (shingle)),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM inv a JOIN inv b USING (shingle)
+      FROM invc a JOIN invc b USING (shingle)
       WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -890,10 +892,11 @@ def d01(spark, sf_dir):
     """,
 )
 def d02(spark, sf_dir):
-    # Exact n-gram Jaccard via inverted index (document-frequency cap is
-    # inactive at oracle scale, so Spark and SQL semantics coincide).
+    # Exact n-gram Jaccard via inverted index; the document-frequency cap
+    # (boilerplate-shingle skew guard) is mirrored in the oracle's freq
+    # CTE so the approximate-but-scalable semantics are value-checked.
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5, max_doc_freq=1_000_000
+        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5, max_doc_freq=200
     )
 
 
@@ -903,9 +906,11 @@ def d02(spark, sf_dir):
     WITH RECURSIVE sh AS (SELECT doc_id, {SQL_SHINGLES_K3} AS sh FROM documents),
     sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
     inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+    freq AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 200),
+    invc AS (SELECT inv.* FROM inv JOIN freq USING (shingle)),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM inv a JOIN inv b USING (shingle)
+      FROM invc a JOIN invc b USING (shingle)
       WHERE a.doc_id < b.doc_id GROUP BY 1, 2
     ),
     pairs AS (
@@ -926,7 +931,7 @@ def d06(spark, sf_dir):
     # propagation) over the exact-Jaccard pair graph; the oracle computes
     # the same components via a recursive reachability CTE.
     pairs = dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5, max_doc_freq=1_000_000
+        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5, max_doc_freq=200
     )
     return dedup.connected_components(pairs)
 
@@ -1815,6 +1820,49 @@ def c02(spark, sf_dir):
         F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
         "is_current",
     )
+
+
+@register(
+    "ll01_corpus_prep",
+    f"""
+WITH scored AS (
+  SELECT doc_id, source, text, {SQL_QUALITY} AS quality, {SQL_LANG_ID} AS lang_pred
+  FROM documents
+),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5 AND lang_pred IN ('en')),
+canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5({SQL_NORM})),
+exact AS (SELECT k.* FROM kept k JOIN canon USING (doc_id)),
+sh AS (SELECT doc_id, {SQL_SHINGLES_K3} AS sh FROM exact),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+freq AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 200),
+invc AS (SELECT inv.* FROM inv JOIN freq USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM invc a JOIN invc b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+losers AS (
+  SELECT DISTINCT id_b AS doc_id FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+),
+clean AS (SELECT e.* FROM exact e ANTI JOIN losers l ON e.doc_id = l.doc_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({SQL_TOKEN_COUNT}) AS BIGINT) AS total_tokens,
+       round(avg(quality), 4) AS avg_quality
+FROM clean GROUP BY source
+""",
+)
+def ll01(spark, sf_dir):
+    # The north-star pipeline end-to-end: quality gate -> language gate
+    # -> exact dedup -> near-dedup -> per-source corpus report, one
+    # Catalyst plan, oracle-checked stage-for-stage.
+    from realtimechurnpredictiondataengineering_spark.plans import corpus_prep
+
+    clean = corpus_prep.prepare_corpus(_td(spark, sf_dir))
+    return corpus_prep.corpus_stats(clean)
 
 
 @register(
