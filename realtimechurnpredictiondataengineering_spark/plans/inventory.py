@@ -1823,6 +1823,119 @@ def c02(spark, sf_dir):
 
 
 @register(
+    "st09_gap_fill",
+    """
+WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1, 2),
+bounds AS (SELECT min(date_trunc('hour', ts)) AS lo, max(date_trunc('hour', ts)) AS hi FROM events),
+grid AS (
+  SELECT t.event_type, gs.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds) gs
+)
+SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN b ON b.event_type = g.event_type AND b.h = g.h
+""",
+)
+def st09(spark, sf_dir):
+    # Time-series gap filling: build the dense (type x hour) grid with
+    # sequence+explode (the bounds row broadcasts), left-join the sparse
+    # counts, zero-fill.  Dashboards and forecasting both need the dense
+    # series; at scale the grid is generated, never stored.
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("h"))
+    )
+    return (
+        grid.join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q01_signup_funnel",
+    """
+WITH s AS (SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY 1),
+p AS (
+  SELECT s.user_id, min(e.ts) AS first_purchase
+  FROM s JOIN events e ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND e.ts >= s.signup_ts AND e.ts < s.signup_ts + INTERVAL 7 DAY
+  GROUP BY 1
+)
+SELECT s.user_id, strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts,
+       strftime(p.first_purchase, '%Y-%m-%d %H:%M:%S') AS first_purchase,
+       p.first_purchase IS NOT NULL AS converted
+FROM s LEFT JOIN p ON p.user_id = s.user_id
+""",
+)
+def q01(spark, sf_dir):
+    # Conversion funnel: first signup -> first purchase within 7 days.
+    # Equi-join on user with the window as a residual predicate; the
+    # event-sequence pattern behind activation/retention metrics.
+    e = _t(spark, sf_dir, "events")
+    s = e.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    pur = e.filter(F.col("event_type") == "purchase").select("user_id", F.col("ts").alias("pts"))
+    p = (
+        s.join(pur, "user_id")
+        .filter(
+            (F.col("pts") >= F.col("signup_ts"))
+            & (F.col("pts") < F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("pts").alias("first_purchase"))
+    )
+    return s.join(p, "user_id", "left").select(
+        "user_id",
+        F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        F.date_format("first_purchase", "yyyy-MM-dd HH:mm:ss").alias("first_purchase"),
+        F.col("first_purchase").isNotNull().alias("converted"),
+    )
+
+
+@register(
+    "q02_cohort_retention",
+    """
+WITH f AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events)
+SELECT f.cohort, CAST(datediff('day', f.cohort, a.day) AS INT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM f JOIN a ON a.user_id = f.user_id
+WHERE datediff('day', f.cohort, a.day) BETWEEN 0 AND 7
+GROUP BY 1, 2
+""",
+)
+def q02(spark, sf_dir):
+    # Cohort retention: users grouped by first-seen day, distinct active
+    # users per day offset — the standard retention triangle.
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort"))
+    a = e.select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day")).distinct()
+    return (
+        f.join(a, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy("cohort", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
     "ll01_corpus_prep",
     f"""
 WITH scored AS (
