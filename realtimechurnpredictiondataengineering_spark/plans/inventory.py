@@ -601,6 +601,43 @@ def j03(spark, sf_dir):
 
 
 @register(
+    "j02_full_outer",
+    """
+WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks FROM events
+           WHERE event_type = 'click' GROUP BY 1 HAVING count(*) > 14),
+p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY 1 HAVING count(*) > 14)
+SELECT coalesce(c.user_id, p.user_id) AS user_id, c.n_clicks, p.n_purchases
+FROM c FULL JOIN p ON p.user_id = c.user_id
+""",
+)
+def j02(spark, sf_dir):
+    # Full outer join — both unmatched sides survive with nulls (heavy
+    # clickers without heavy purchases and vice versa).
+    e = _t(spark, sf_dir, "events")
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("cu"))
+        .agg(F.count("*").alias("n_clicks"))
+        .filter(F.col("n_clicks") > 14)
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("pu"))
+        .agg(F.count("*").alias("n_purchases"))
+        .filter(F.col("n_purchases") > 14)
+    )
+    return (
+        c.join(p, F.col("cu") == F.col("pu"), "full_outer")
+        .select(
+            F.coalesce("cu", "pu").alias("user_id"),
+            "n_clicks",
+            "n_purchases",
+        )
+    )
+
+
+@register(
     "j04_semi_join",
     "SELECT c_custkey, c_mktsegment FROM customer c WHERE EXISTS "
     "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)",
@@ -765,6 +802,60 @@ def u03(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select("c_custkey")
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return c.subtract(o)
+
+
+@register(
+    "u04_union_missing_columns",
+    """
+SELECT * FROM (
+  SELECT c_custkey AS id, c_acctbal AS acctbal, NULL AS o_totalprice FROM customer
+  UNION ALL
+  SELECT o_custkey AS id, NULL AS acctbal, o_totalprice FROM orders WHERE o_totalprice > 499000
+)
+""",
+)
+def u04(spark, sf_dir):
+    # Schema-evolution union: unionByName(allowMissingColumns) null-fills
+    # the columns each side lacks — how heterogeneous snapshots append.
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_acctbal").alias("acctbal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 499000)
+        .select(F.col("o_custkey").alias("id"), "o_totalprice")
+    )
+    return c.unionByName(o, allowMissingColumns=True)
+
+
+@register(
+    "w06_first_nth_value",
+    """
+SELECT o_custkey, o_orderkey,
+       round(first_value(o_totalprice) OVER w, 2) AS first_price,
+       round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def w06(spark, sf_dir):
+    # Positional window values: first/second order price per customer
+    # with an unbounded frame so every row sees the whole partition.
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        round2(F.first("o_totalprice").over(w)).alias("first_price"),
+        round2(F.nth_value("o_totalprice", 2).over(w)).alias("second_price"),
+    )
 
 
 # ---------------------------------------------------------------------------
