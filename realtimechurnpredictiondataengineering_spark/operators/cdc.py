@@ -160,3 +160,44 @@ def scd2_lookup(
         F.col(valid_to).isNull() | (F.col(fact_ts) < F.col(valid_to))
     )
     return facts.join(history, on=keys, how="inner").filter(in_interval)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Reconcile two table snapshots into per-key change rows:
+    ``added`` (key only in new), ``removed`` (key only in old),
+    ``changed`` (key in both, any compare column differs).  Unchanged
+    keys are dropped.
+
+    One full-outer join on the key — the null-safe ``eqNullSafe``
+    comparison treats null-vs-null as equal so nullable columns don't
+    report phantom changes.  This is the audit half of CDC: where
+    ``merge_snapshot`` applies a change log, ``snapshot_diff`` recovers
+    one from two states."""
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    for c in keys + compare_cols:
+        o = o.withColumnRenamed(c, f"_o_{c}")
+        n = n.withColumnRenamed(c, f"_n_{c}")
+    cond = [F.col(f"_o_{k}") == F.col(f"_n_{k}") for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    in_old = F.col(f"_o_{keys[0]}").isNotNull()
+    in_new = F.col(f"_n_{keys[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )
+    key_cols = [
+        F.coalesce(F.col(f"_n_{k}"), F.col(f"_o_{k}")).alias(k) for k in keys
+    ]
+    return joined.withColumn("change_type", change).filter(
+        F.col("change_type").isNotNull()
+    ).select(*key_cols, "change_type")

@@ -147,3 +147,28 @@ def validate_tickets_with_domain(df: DataFrame, statuses: tuple[str, ...]) -> Da
         .filter(F.col("status").isin(*statuses))
         .dropDuplicates(["ticket_id"])
     )
+
+
+def quarantine(
+    df: DataFrame, rules: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split: partition rows into (valid, invalid) by a set
+    of named validation rules, tagging each invalid row with the FIRST
+    failing rule's name (dict order = severity order).
+
+    The reference's validators silently drop bad rows; production
+    pipelines route them to a quarantine sink with a reason instead, so
+    data-quality regressions are observable and replayable.  Both
+    outputs share one scan (the reason column is computed once and the
+    two filters split on it); null predicate results count as failures,
+    as validation semantics require."""
+    reason = F.lit(None).cast("string")
+    for name in reversed(list(rules)):
+        passed = F.coalesce(rules[name], F.lit(False))
+        reason = F.when(~passed, F.lit(name)).otherwise(reason)
+    tagged = df.withColumn("_reason", reason)
+    valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+    invalid = tagged.filter(F.col("_reason").isNotNull()).withColumnRenamed(
+        "_reason", "reason"
+    )
+    return valid, invalid

@@ -2027,6 +2027,81 @@ def q02(spark, sf_dir):
 
 
 @register(
+    "f09_quarantine",
+    """
+SELECT event_id,
+       CASE WHEN NOT coalesce(value > 0, FALSE) THEN 'positive_value'
+            WHEN NOT coalesce(event_type IN ('click', 'view', 'purchase', 'signup'), FALSE)
+              THEN 'known_type'
+            WHEN NOT coalesce(json_valid(props), FALSE) THEN 'valid_props'
+       END AS reason
+FROM events
+WHERE NOT coalesce(value > 0, FALSE)
+   OR NOT coalesce(event_type IN ('click', 'view', 'purchase', 'signup'), FALSE)
+   OR NOT coalesce(json_valid(props), FALSE)
+""",
+)
+def f09(spark, sf_dir):
+    # Dead-letter split: the invalid half with its first-failing-rule tag
+    # (the valid half is the same scan minus these rows).
+    from realtimechurnpredictiondataengineering_spark.operators.filters import quarantine
+
+    e = _t(spark, sf_dir, "events")
+    _valid, invalid = quarantine(
+        e,
+        {
+            "positive_value": F.col("value") > 0,
+            "known_type": F.col("event_type").isin("click", "view", "purchase", "signup"),
+            "valid_props": F.from_json("props", "k int, _c string",
+                                       {"columnNameOfCorruptRecord": "_c"}).getField("_c").isNull(),
+        },
+    )
+    return invalid.select("event_id", "reason")
+
+
+@register(
+    "c04_snapshot_diff",
+    """
+WITH old AS (SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+             FROM orders WHERE o_orderkey % 7 <> 0),
+new AS (SELECT o_orderkey, o_orderstatus,
+               round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+                          ELSE o_totalprice END, 2) AS price
+        FROM orders WHERE o_orderkey % 3 <> 0)
+SELECT coalesce(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+       CASE WHEN old.o_orderkey IS NULL THEN 'added'
+            WHEN new.o_orderkey IS NULL THEN 'removed'
+            WHEN old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+              OR old.price IS DISTINCT FROM new.price THEN 'changed'
+       END AS change_type
+FROM old FULL JOIN new ON new.o_orderkey = old.o_orderkey
+WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+   OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+   OR old.price IS DISTINCT FROM new.price
+""",
+)
+def c04(spark, sf_dir):
+    # Snapshot reconciliation: two deterministic views of orders diffed
+    # into added/removed/changed rows (the audit half of CDC).
+    from realtimechurnpredictiondataengineering_spark.operators import cdc
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_orderstatus", round2(F.col("o_totalprice")).alias("price")
+    )
+    new = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        round2(
+            F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1).otherwise(
+                F.col("o_totalprice")
+            )
+        ).alias("price"),
+    )
+    return cdc.snapshot_diff(old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "price"])
+
+
+@register(
     "ll01_corpus_prep",
     f"""
 WITH scored AS (

@@ -140,3 +140,17 @@ def test_scd2_lookup_point_in_time(spark):
     # ts=150 sees v1; ts=300 (boundary) and 999 see v2; key 2 at 250 is
     # after its delete -> no resurrection
     assert got == [(1, 150, "v1"), (1, 300, "v2"), (1, 999, "v2")]
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    old = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 5.0), (3, "c", 1.0)], "id int, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 5.0), (3, "c", 2.0), (4, "d", 9.0)], "id int, s string, v double"
+    )
+    got = {r["id"]: r["change_type"] for r in
+           cdc.snapshot_diff(old, new, ["id"], ["s", "v"]).collect()}
+    # 1 removed, 2 unchanged (absent), 3 changed, 4 added; null v in old
+    # row 1 doesn't crash the null-safe compare
+    assert got == {1: "removed", 3: "changed", 4: "added"}

@@ -84,3 +84,20 @@ def test_not_contains_and_not_rlike_null_semantics(spark):
     # and filter(null) drops the row — documented engine behavior.
     df = spark.createDataFrame([("a@x.com",), (None,)], "email string")
     assert df.filter(filters.not_contains("email", "test")).count() == 1
+
+
+def test_quarantine_splits_and_tags_first_failure(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.filters import quarantine
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "click"), (2, -1.0, "click"), (3, 5.0, "bogus"), (4, None, "bogus")],
+        "id int, v double, t string",
+    )
+    valid, invalid = quarantine(
+        df, {"positive": F.col("v") > 0, "known": F.col("t") == "click"}
+    )
+    assert [r["id"] for r in valid.collect()] == [1]
+    got = {r["id"]: r["reason"] for r in invalid.collect()}
+    # first failing rule wins; null predicate counts as failure
+    assert got == {2: "positive", 3: "known", 4: "positive"}
+    assert "reason" in invalid.columns and "reason" not in valid.columns
