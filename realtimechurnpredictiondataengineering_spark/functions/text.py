@@ -65,14 +65,20 @@ def _marker_pattern(word: str) -> str:
     return rf"\b{word}\b" if word.isascii() else word
 
 
+def marker_pattern(words: tuple[str, ...]) -> str:
+    """ONE alternation over all marker words.  Counting matches of the
+    combined pattern equals summing per-word counts: every alternative is
+    either a word-bounded ASCII word (at most one can fire per token) or
+    a distinct CJK char, so alternatives never compete for a position.
+    One regex pass instead of ``len(words)`` — the scoring kernels run
+    over every document, so the constant factor is the corpus-scan cost."""
+    return "|".join(_marker_pattern(w) for w in words)
+
+
 def marker_hits(col: Column | str, words: tuple[str, ...]) -> Column:
     """How many marker-word occurrences (word-bounded) the text contains."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    hits = [F.regexp_count(c, F.lit(_marker_pattern(w))) for w in words]
-    total = hits[0]
-    for h in hits[1:]:
-        total = total + h
-    return total
+    return F.regexp_count(c, F.lit(marker_pattern(words)))
 
 
 def language_scores(col: Column | str) -> dict[str, Column]:

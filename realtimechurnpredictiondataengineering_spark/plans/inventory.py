@@ -72,11 +72,9 @@ SQL_BPE_COUNT = r"len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'
 
 
 def _sql_marker_hits(words: tuple[str, ...]) -> str:
-    parts = []
-    for w in words:
-        pat = tx._marker_pattern(w).replace("'", "''")
-        parts.append(f"len(regexp_extract_all(lower(text), '{pat}'))")
-    return "(" + " + ".join(parts) + ")"
+    # mirrors functions.text.marker_hits: ONE alternation pass per set
+    pat = tx.marker_pattern(words).replace("'", "''")
+    return f"len(regexp_extract_all(lower(text), '{pat}'))"
 
 
 SQL_LANG_SCORES = {lang: _sql_marker_hits(words) for lang, words in tx.LANG_MARKERS.items()}
