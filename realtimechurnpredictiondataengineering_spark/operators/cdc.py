@@ -97,8 +97,10 @@ def merge_snapshot(
     rewrite-on-merge, which is why real deployments put hot tables on
     Delta/Iceberg).  Write the result to a NEW location or via a staging
     dir — Spark cannot overwrite a parquet path a live plan still reads.
-    The anti-join broadcasts the (small) change-key set, so the target
-    scan never shuffles."""
+    The change-key anti-join is left to AQE: a typical change batch is
+    tiny relative to the snapshot and auto-broadcasts (target scan never
+    shuffles), but a backfill-sized batch would OOM under a forced
+    broadcast hint, so none is given."""
     from realtimechurnpredictiondataengineering_spark.operators.joins import anti_join
 
     incoming = latest_state(changes, keys, seq_cols, op_col=op_col, drop_deletes=True)
@@ -109,7 +111,7 @@ def merge_snapshot(
             raise
         return incoming  # first run: the change batch IS the snapshot
     change_keys = changes.select(*keys).distinct()
-    kept = anti_join(target, F.broadcast(change_keys), on=keys)
+    kept = anti_join(target, change_keys, on=keys)
     return kept.unionByName(incoming.select(*target.columns))
 
 

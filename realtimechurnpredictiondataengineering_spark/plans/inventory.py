@@ -2024,6 +2024,52 @@ def q02(spark, sf_dir):
     )
 
 
+_SQL01 = """
+SELECT n.n_name,
+       CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS n_customers,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= DATE '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register("sql01_pure_sql_rollup", _SQL01)
+def sql01(spark, sf_dir):
+    # The spark.sql() surface: EXACTLY the oracle's ANSI text runs on the
+    # registered views — one logical plan either way, proving the SQL and
+    # DataFrame APIs are the same engine.
+    from realtimechurnpredictiondataengineering_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL01)
+
+
+_SQL02 = """
+WITH monthly AS (
+  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         sum(o_totalprice) AS spend
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_custkey, month, round(spend, 2) AS spend,
+       round(sum(spend) OVER (PARTITION BY o_custkey ORDER BY month
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS cumulative_spend
+FROM monthly
+"""
+
+
+@register("sql02_pure_sql_window", _SQL02)
+def sql02(spark, sf_dir):
+    # CTE + window function through the SQL parser path.
+    from realtimechurnpredictiondataengineering_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL02)
+
+
 @register(
     "f09_quarantine",
     """
