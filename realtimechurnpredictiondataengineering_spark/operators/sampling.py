@@ -43,3 +43,16 @@ def stratified_sample(df: DataFrame, stratum: str, key: str, n_per_stratum: int)
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def train_test_split(
+    df: DataFrame, key: str, test_percent: int = 10, buckets: int = 100
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (train, test) split by content-hash bucket: the same
+    row lands on the same side on any cluster, any partitioning, any rerun
+    — the property that keeps eval sets leak-free when the corpus is
+    rebuilt.  Complementary filters over one scan; no shuffle."""
+    b = hash_bucket(key, buckets)
+    test = df.filter(b < test_percent)
+    train = df.filter(b >= test_percent)
+    return train, test

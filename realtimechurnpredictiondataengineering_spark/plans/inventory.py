@@ -1646,6 +1646,35 @@ def s02(spark, sf_dir):
 
 
 @register(
+    "s05_train_test_split",
+    f"""
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+FROM (SELECT doc_id,
+             CASE WHEN {_SQL_HASH_BUCKET.format(col='doc_id')} < 10
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents)
+GROUP BY split
+""",
+)
+def s05(spark, sf_dir):
+    # Leak-free eval split: the content hash decides each row's side, so
+    # rebuilding the corpus never migrates rows between train and test.
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    train, test = sampling.train_test_split(d, "doc_id", test_percent=10)
+    def summary(df, name):
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        ).select(F.lit(name).alias("split"), "n_docs", "min_id", "max_id")
+
+    return summary(train, "train").unionByName(summary(test, "test"))
+
+
+@register(
     "s03_stratified_sample",
     "SELECT event_type, event_id FROM ("
     "  SELECT event_type, event_id,"

@@ -96,3 +96,18 @@ def test_bucketed_agg_has_no_exchange(spark, tmp_path):
         assert "Exchange" not in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS b_agg")
+
+
+def test_train_test_split_is_stable_and_disjoint(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    tr1, te1 = sampling.train_test_split(df, "k", test_percent=20)
+    # repartitioning must not move any row across the split
+    tr2, te2 = sampling.train_test_split(df.repartition(7), "k", test_percent=20)
+    t1 = {r["k"] for r in te1.collect()}
+    t2 = {r["k"] for r in te2.collect()}
+    assert t1 == t2
+    assert t1.isdisjoint({r["k"] for r in tr1.collect()})
+    assert len(t1) + tr1.count() == 1000
+    assert 100 < len(t1) < 300  # ~20% of 1000
