@@ -41,7 +41,14 @@ def _sql_doubles(values) -> str:
     nodes, seconds of analysis) are plan-build traps at this size."""
     if isinstance(values, (list, tuple)):
         return "array(" + ",".join(_sql_doubles(v) for v in values) + ")"
-    return repr(float(values)) + "D"
+    v = float(values)
+    if v != v:
+        return "cast('NaN' as double)"
+    if v == float("inf"):
+        return "cast('Infinity' as double)"
+    if v == float("-inf"):
+        return "cast('-Infinity' as double)"
+    return repr(v) + "D"
 
 
 def lit_vector(values: list[float]) -> Column:

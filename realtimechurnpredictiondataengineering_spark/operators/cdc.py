@@ -175,20 +175,22 @@ def snapshot_diff(
     ``changed`` (key in both, any compare column differs).  Unchanged
     keys are dropped.
 
-    One full-outer join on the key — the null-safe ``eqNullSafe``
-    comparison treats null-vs-null as equal so nullable columns don't
-    report phantom changes.  This is the audit half of CDC: where
-    ``merge_snapshot`` applies a change log, ``snapshot_diff`` recovers
-    one from two states."""
-    o = old.select(*keys, *compare_cols)
-    n = new.select(*keys, *compare_cols)
+    One full-outer join on the key — ``eqNullSafe`` everywhere (join
+    condition AND value compare), so null keys pair up instead of
+    splitting into phantom added+removed rows and null-vs-null values
+    don't report phantom changes.  Row presence comes from explicit
+    marker columns, not key nullness, for the same reason.  This is the
+    audit half of CDC: where ``merge_snapshot`` applies a change log,
+    ``snapshot_diff`` recovers one from two states."""
+    o = old.select(*keys, *compare_cols).withColumn("_o_present", F.lit(True))
+    n = new.select(*keys, *compare_cols).withColumn("_n_present", F.lit(True))
     for c in keys + compare_cols:
         o = o.withColumnRenamed(c, f"_o_{c}")
         n = n.withColumnRenamed(c, f"_n_{c}")
-    cond = [F.col(f"_o_{k}") == F.col(f"_n_{k}") for k in keys]
+    cond = [F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}")) for k in keys]
     joined = o.join(n, cond, "full_outer")
-    in_old = F.col(f"_o_{keys[0]}").isNotNull()
-    in_new = F.col(f"_n_{keys[0]}").isNotNull()
+    in_old = F.col("_o_present").isNotNull()
+    in_new = F.col("_n_present").isNotNull()
     same = F.lit(True)
     for c in compare_cols:
         same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))

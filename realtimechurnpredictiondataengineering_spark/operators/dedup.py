@@ -381,11 +381,14 @@ def connected_components(
 
     Each round is one shuffle (edges ⋈ labels, groupBy min) and runs in
     O(cluster diameter) rounds — near-dup clusters are shallow (a dozen
-    rounds covers web-scale corpora; ``max_iter`` is a runaway guard,
-    and convergence is checked so typical inputs stop after 2-3).
-    ``localCheckpoint`` truncates lineage each round; without it the
-    iterated plan nests ``max_iter`` joins deep and Catalyst re-analysis
-    dominates (the classic iterative-algorithm trap on Spark).
+    rounds covers web-scale corpora).  ``localCheckpoint`` truncates
+    lineage each round; without it the iterated plan nests ``max_iter``
+    joins deep and Catalyst re-analysis dominates (the classic
+    iterative-algorithm trap on Spark).  The convergence flag rides the
+    checkpointed rows, so each round runs exactly ONE job plus a cheap
+    count over materialized data.  Raises ``RuntimeError`` if the graph
+    has not converged within ``max_iter`` rounds — a silently split
+    component would corrupt downstream dedup.
 
     Returns (id, component) for every node appearing in ``pairs``.
     """
@@ -397,6 +400,7 @@ def connected_components(
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -408,18 +412,19 @@ def connected_components(
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
+                (F.coalesce("nb_label", "label") < F.col("label")).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("u.label") < F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.filter("_changed").limit(1).count()
+        labels = updated.drop("_changed")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; the graph has a longer chain than expected — raise max_iter"
+        )
     return labels.select(F.col("id"), F.col("label").alias("component"))

@@ -162,13 +162,21 @@ def quarantine(
     outputs share one scan (the reason column is computed once and the
     two filters split on it); null predicate results count as failures,
     as validation semantics require."""
+    if "reason" in df.columns:
+        raise ValueError(
+            "quarantine: input already has a 'reason' column; rename it "
+            "before splitting or the invalid half would be ambiguous"
+        )
     reason = F.lit(None).cast("string")
     for name in reversed(list(rules)):
         passed = F.coalesce(rules[name], F.lit(False))
         reason = F.when(~passed, F.lit(name)).otherwise(reason)
-    tagged = df.withColumn("_reason", reason)
-    valid = tagged.filter(F.col("_reason").isNull()).drop("_reason")
-    invalid = tagged.filter(F.col("_reason").isNotNull()).withColumnRenamed(
-        "_reason", "reason"
-    )
+    # collision-free tag column — re-quarantining a feed that already
+    # carries a `_reason` column must not clobber it
+    tag = "_reason"
+    while tag in df.columns:
+        tag = "_" + tag
+    tagged = df.withColumn(tag, reason)
+    valid = tagged.filter(F.col(tag).isNull()).drop(tag)
+    invalid = tagged.filter(F.col(tag).isNotNull()).withColumnRenamed(tag, "reason")
     return valid, invalid

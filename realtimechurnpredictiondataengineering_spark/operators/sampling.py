@@ -51,8 +51,11 @@ def train_test_split(
     """Deterministic (train, test) split by content-hash bucket: the same
     row lands on the same side on any cluster, any partitioning, any rerun
     — the property that keeps eval sets leak-free when the corpus is
-    rebuilt.  Complementary filters over one scan; no shuffle."""
+    rebuilt.  Complementary filters over one scan; no shuffle.  The
+    threshold scales with ``buckets`` so ``test_percent`` means the same
+    fraction at any bucket granularity."""
+    threshold = round(buckets * test_percent / 100.0)
     b = hash_bucket(key, buckets)
-    test = df.filter(b < test_percent)
-    train = df.filter(b >= test_percent)
+    test = df.filter(b < threshold)
+    train = df.filter(b >= threshold)
     return train, test

@@ -42,7 +42,11 @@ def prepare_corpus(
     at sf0.1 an uncapped run is 5x slower for the IDENTICAL pair set.
     ``persist_intermediate`` stages the gated survivors once (a real
     pipeline checkpoints here too) so the regex-heavy scoring pass is not
-    recomputed by each downstream branch (dedup, near-dup, stats)."""
+    recomputed by each downstream branch (dedup, near-dup, stats).  The
+    cache lives until the session drops it (the returned plan still
+    references it, so this function cannot unpersist); callers invoking
+    this repeatedly in one session should pass ``False`` or write/read a
+    staged parquet instead."""
     scored = docs.withColumn("quality", tx.quality_score("text")).withColumn(
         "lang_pred", tx.language_id("text")
     )

@@ -186,7 +186,6 @@ def rollup_stream(
     checkpoint_dir: str,
     ts_col: str = "ts",
     keys: tuple[str, ...] = ("event_type",),
-    watermark: str = "1 hour",
 ) -> StreamingQuery:
     """Streaming continuous aggregate (the hypertable ingest path): every
     micro-batch appends its OWN hourly partials — no read-modify-write,
@@ -194,9 +193,11 @@ def rollup_stream(
     query time.  Duplicate (bucket, key) rows across batches are the
     design, not a bug: the merge aggregates are the same decomposable
     set used by ``operators.rollup``, so late-arriving partials fold in
-    exactly.  Append-only writes keep the sink exactly-once under the
-    checkpoint, and a compaction job can fold old partials without
-    changing any reader."""
+    exactly — which is also why NO watermark is needed: there is no
+    stateful aggregation to bound, and an arbitrarily late event simply
+    lands as one more partial row that merges on read.  Append-only
+    writes keep the sink exactly-once under the checkpoint, and a
+    compaction job can fold old partials without changing any reader."""
     from realtimechurnpredictiondataengineering_spark.operators import rollup
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -205,8 +206,7 @@ def rollup_stream(
         rollup.rollup_leaf(batch_df, ts_col, keys).write.mode("append").parquet(partials_dir)
 
     return (
-        events_stream.withWatermark(ts_col, watermark)
-        .writeStream.foreachBatch(sink)
+        events_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -46,7 +46,13 @@ def _union_find_components(edges):
 @given(edges=EDGES)
 def test_connected_components_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a int, id_b int")
-    got = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    # node ids reach 30, so a path graph can have diameter ~30: give the
+    # loop enough rounds that the convergence guard cannot fire on a
+    # legitimately deep (but correct) chain
+    got = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs, max_iter=40).collect()
+    }
     want = _union_find_components(edges)
     assert got == want
 

@@ -56,11 +56,18 @@ def test_nested_loop_joins_only_where_designed(plans):
     assert offenders == []
 
 
-def test_single_column_projections_prune_scans(plans):
-    # spot invariant: queries over documents that never touch `text`
-    # must not read it (ReadSchema pruning).
-    p = plans["d05_near_dedup_survivors"]
-    # final output selects doc_id/lang/source; the *dedup* branch needs
-    # text, but the surviving-rows scan itself must not carry text into
-    # the anti-join output projection.
-    assert "doc_id" in p
+def test_column_pruning_reaches_the_scan(spark, sf_dir):
+    # spot invariant: a two-column query over the six-column orders table
+    # must not read the other four (ReadSchema pruning).
+    import io
+    import contextlib
+
+    df = REGISTRY["s02_hash_sample"][0](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas, "expected a parquet scan with ReadSchema"
+    for ln in read_schemas:
+        assert "o_totalprice" not in ln and "o_orderdate" not in ln
