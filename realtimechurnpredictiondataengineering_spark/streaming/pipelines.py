@@ -223,3 +223,26 @@ def read_rollup(
     from realtimechurnpredictiondataengineering_spark.operators import rollup
 
     return rollup.rollup_merge(spark.read.parquet(partials_dir), keys, grain)
+
+
+def compact_rollup(
+    spark: SparkSession,
+    partials_dir: str,
+    keys: tuple[str, ...] = ("event_type",),
+) -> int:
+    """Fold accumulated per-batch partials into one row per (bucket, key)
+    — readers are unchanged (``read_rollup`` merges either layout), this
+    just caps the file count and re-merge cost after many micro-batches.
+    Staged rewrite: write the folded rows to a sibling dir, then swap —
+    Spark cannot overwrite a parquet path a live plan is reading.
+    Returns the compacted row count."""
+    from realtimechurnpredictiondataengineering_spark.operators import rollup
+
+    staged = partials_dir.rstrip("/") + ".compacting"
+    folded = rollup.rollup_merge(spark.read.parquet(partials_dir), keys, "hour")
+    folded.write.mode("overwrite").parquet(staged)
+    import shutil
+
+    shutil.rmtree(partials_dir)
+    shutil.move(staged, partials_dir)
+    return spark.read.parquet(partials_dir).count()
