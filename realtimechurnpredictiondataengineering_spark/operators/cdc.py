@@ -23,6 +23,7 @@ Delta ``MERGE`` in the sink.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -66,13 +67,19 @@ def scd2_history(
     keys: list[str],
     ts_col: str,
     op_col: str = "_op",
+    seq_cols: list[str] | None = None,
 ) -> DataFrame:
     """Slowly-changing-dimension type 2: each change becomes a versioned
     row with ``valid_from``/``valid_to`` (null = still current) and an
     ``is_current`` flag; a delete closes the key's history without
     emitting a live row.  One shuffle (window by key, ordered by change
-    time) — the standard history-table build from a CDC log."""
-    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    time) — the standard history-table build from a CDC log.
+
+    ``seq_cols`` break timestamp ties (same-millisecond Debezium ops are
+    common); without a unique (ts, *seq) ordering per key the version
+    chain is partitioning-dependent."""
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in (seq_cols or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
     versioned = changes.withColumn("valid_from", F.col(ts_col)).withColumn(
         "valid_to", F.lead(ts_col).over(w)
     )
@@ -106,8 +113,13 @@ def merge_snapshot(
     incoming = latest_state(changes, keys, seq_cols, op_col=op_col, drop_deletes=True)
     try:
         target = spark.read.parquet(target_path)
-    except Exception as exc:
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+    except AnalysisException as exc:
+        # classify by error class, not message substring — a wrapped error
+        # mentioning some OTHER missing path must not silently bootstrap
+        condition = (
+            exc.getCondition() if hasattr(exc, "getCondition") else exc.getErrorClass()
+        )
+        if condition != "PATH_NOT_FOUND":
             raise
         return incoming  # first run: the change batch IS the snapshot
     change_keys = changes.select(*keys).distinct()

@@ -39,7 +39,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 
-def register(name: str, sql: str | None):
+def register(name: str, sql):
+    """``sql`` is the DuckDB twin: a string, None (rows-only check), or a
+    zero-arg callable resolved lazily by ``oracle_sql()`` — for twins
+    whose construction does I/O (e.g. v05 trains its IVF quantizer from
+    the sample parquet), so importing this module stays side-effect-free."""
+
     def deco(fn: QueryFn) -> QueryFn:
         REGISTRY[name] = (fn, sql)
         return fn
@@ -1231,7 +1236,7 @@ FROM ranked WHERE rank <= 5
 """
 
 
-@register("v05_ivf_topk", _v05_sql())
+@register("v05_ivf_topk", _v05_sql)  # lazy: building the twin trains the quantizer
 def v05(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("embedding"))
     qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
@@ -1323,7 +1328,9 @@ def a09(spark, sf_dir):
     "a10_salted_sum",
     # the oracle is the PLAIN aggregation — salting must be invisible in
     # the result, only in the shuffle layout.
-    "SELECT user_id, round(sum(value), 2) AS total, CAST(count(*) AS BIGINT) AS n, "
+    # count(value) on both sides: salted_agg's count is a NON-NULL column
+    # count (count(*) would diverge on null-bearing data)
+    "SELECT user_id, round(sum(value), 2) AS total, CAST(count(value) AS BIGINT) AS n, "
     "max(value) AS mx FROM events GROUP BY user_id",
 )
 def a10(spark, sf_dir):
@@ -1909,7 +1916,7 @@ WITH ch AS (
 v AS (
   SELECT user_id, event_id, op, round(value, 2) AS value,
          strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
-         strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts), '%Y-%m-%d %H:%M:%S') AS valid_to
+         strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to
   FROM ch
 )
 SELECT user_id, event_id, value, valid_from, valid_to,
@@ -1929,7 +1936,7 @@ def c02(spark, sf_dir):
         .otherwise("u")
     )
     changes = e.select("user_id", "event_id", "ts", F.round("value", 2).alias("value"), op.alias("_op"))
-    hist = cdc.scd2_history(changes, keys=["user_id"], ts_col="ts")
+    hist = cdc.scd2_history(changes, keys=["user_id"], ts_col="ts", seq_cols=["event_id"])
     return hist.select(
         "user_id",
         "event_id",
@@ -2229,7 +2236,7 @@ WITH ch AS (
 ),
 hist AS (
   SELECT user_id, event_id AS version_event, op, ts AS valid_from,
-         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
   FROM ch
 ),
 live AS (SELECT * FROM hist WHERE op <> 'd'),
@@ -2256,7 +2263,7 @@ def c03(spark, sf_dir):
     changes = e.select(
         "user_id", F.col("event_id").alias("version_event"), "ts", op.alias("_op")
     )
-    hist = cdc.scd2_history(changes, keys=["user_id"], ts_col="ts").select(
+    hist = cdc.scd2_history(changes, keys=["user_id"], ts_col="ts", seq_cols=["version_event"]).select(
         "user_id", "version_event", "valid_from", "valid_to"
     )
     facts = e.filter(F.col("event_type") == "purchase").select(
@@ -2692,4 +2699,8 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (fn, sql) in REGISTRY.items()
+        if sql is not None
+    }

@@ -26,6 +26,8 @@ writes and never calls it; GoldDataVisualiztion1.py:9-14 would KeyError)
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,9 +54,18 @@ def run_medallion(
     ``{workdir}/gold``).  Uses the driver star schema for the Gold joins
     (SURVEY §7 step 1 mapping) and the generator feed for the streaming
     legs, mirroring the reference's two data planes.
+
+    Rerun semantics: the feed is generated once (a rerun reuses the
+    existing directory — regenerating would write new part filenames
+    that the checkpointed file source rightly treats as new data), so a
+    rerun's AvailableNow drain finds nothing new and is a cheap no-op.
+    Row-level idempotence additionally rests on the validators' stateful
+    dedup, faithful to the reference's Silver design (Silver1.py:41) —
+    NOT on checkpoints alone.
     """
     feed = f"{workdir}/feed"
-    synthetic_topic_feed(spark, n_per_topic).coalesce(2).write.mode("overwrite").json(feed)
+    if not os.path.isdir(feed):
+        synthetic_topic_feed(spark, n_per_topic).coalesce(2).write.mode("overwrite").json(feed)
 
     queries = [
         run_silver_dual_sink(
@@ -63,7 +74,12 @@ def run_medallion(
         for entity in entities
     ]
     for q in queries:  # AvailableNow: drain-and-stop, not run-forever
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "silver stream did not drain within 300s; gold would be "
+                "computed over an incomplete silver layer"
+            )
 
     gold = churn_features(spark, sf_dir, as_of=DEFAULT_AS_OF)
     gold.write.mode("append").parquet(f"{workdir}/gold")
@@ -105,4 +121,6 @@ def run_silver_all(spark: SparkSession, workdir: str, feed_path: str) -> None:
         for entity in SILVER_PIPELINES
     ]
     for q in queries:
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("silver stream did not drain within 300s")

@@ -24,7 +24,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-RUNNING_PROFILE_SCHEMA = "key string, n_events long, total_value double, last_ts timestamp"
 _STATE_SCHEMA = "n_events long, total_value double, last_ts timestamp"
 
 
@@ -34,11 +33,18 @@ def running_profile(
     value_col: str = "value",
     ts_col: str = "ts",
     idle_timeout_ms: int = 3_600_000,
+    key_type: str = "string",
 ) -> DataFrame:
     """Per-key running (count, sum, last-seen) over an unbounded keyed
     stream.  Emits the updated profile row for every key seen in a
     micro-batch; keys idle past ``idle_timeout_ms`` are dropped from
-    state (emitting nothing) rather than accumulating forever."""
+    state (emitting nothing) rather than accumulating forever.  The
+    output keeps the caller's key column name and type (``key_type``
+    must match the grouping column's Spark type, or the Arrow conversion
+    rejects the handler's output batch)."""
+    output_schema = (
+        f"{key_col} {key_type}, n_events long, total_value double, last_ts timestamp"
+    )
 
     def handler(
         key: tuple[Any, ...],
@@ -57,12 +63,12 @@ def running_profile(
         state.update((n, total, last_ts))
         state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(
-            {"key": [key[0]], "n_events": [n], "total_value": [total], "last_ts": [last_ts]}
+            {key_col: [key[0]], "n_events": [n], "total_value": [total], "last_ts": [last_ts]}
         )
 
     return keyed.groupBy(key_col).applyInPandasWithState(
         handler,
-        outputStructType=RUNNING_PROFILE_SCHEMA,
+        outputStructType=output_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,

@@ -48,6 +48,8 @@ def _canon_rows(rows, col_order):
 
 def compare_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     fn, sql = REGISTRY[name]
+    if callable(sql):  # lazily-built twin (mirrors inventory.oracle_sql)
+        sql = sql()
     sdf = fn(spark, sf_dir)
     spark_cols = [c.lower() for c in sdf.columns]
     spark_rows = [tuple(r) for r in sdf.collect()]
