@@ -2694,6 +2694,503 @@ def h18(spark, sf_dir):
     )
 
 
+@register(
+    "h02_min_cost_supplier",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p.p_partkey, p.p_brand, p.p_type, p.p_size,
+         s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS s_acctbal, n.n_name
+  FROM part p
+  JOIN ps ON ps.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+),
+m AS (SELECT p_partkey, min(s_acctbal) AS min_bal FROM cand GROUP BY 1)
+SELECT c.p_partkey, c.p_brand, c.p_type, c.p_size,
+       c.s_suppkey, c.s_name, c.s_acctbal, c.n_name
+FROM cand c JOIN m ON m.p_partkey = c.p_partkey AND c.s_acctbal = m.min_bal
+""",
+)
+def h02(spark, sf_dir):
+    # TPC-H Q2 shape: cheapest supplier per part.  The correlated MIN
+    # subquery becomes aggregate-then-self-join on the part key; the
+    # distinct (part, supp) pairs stand in for partsupp.  part/supplier/
+    # nation all broadcast — the only shuffle is the distinct on the
+    # pair extraction, partial-combined map-side.
+    ps = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    ).distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cand = (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey", "p_brand", "p_type", "p_size",
+            "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "n_name",
+        )
+    )
+    m = cand.groupBy("p_partkey").agg(F.min("s_acctbal").alias("min_bal")).select(
+        F.col("p_partkey").alias("m_partkey"), "min_bal"
+    )
+    return cand.join(
+        F.broadcast(m),
+        (F.col("p_partkey") == F.col("m_partkey")) & (F.col("s_acctbal") == F.col("min_bal")),
+    ).select(
+        "p_partkey", "p_brand", "p_type", "p_size",
+        "s_suppkey", "s_name", "s_acctbal", "n_name",
+    )
+
+
+@register(
+    "h07_volume_shipping",
+    """
+SELECT supp_nation, cust_nation, CAST(l_year AS INT) AS l_year,
+       round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         date_part('year', l.l_shipdate) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+) t
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def h07(spark, sf_dir):
+    # TPC-H Q7: bilateral trade volume by year.  The nation pair filter
+    # is applied AFTER both nation joins (it spans both sides), but the
+    # per-side IN ('NATION_1','NATION_2') implication is planted on the
+    # broadcast nation dims so the fact rows of 23 other nations never
+    # leave the probe.
+    pair = ("NATION_1", "NATION_2")
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31 23:59:59")
+    )
+    o = _t(spark, sf_dir, "orders")
+    supp = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    return (
+        l.join(F.broadcast(supp), l.l_suppkey == supp.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+    )
+
+
+@register(
+    "h08_market_share",
+    """
+WITH base AS (
+  SELECT date_part('year', o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM base GROUP BY o_year
+""",
+)
+def h08(spark, sf_dir):
+    # TPC-H Q8: one nation's share of a region's market.  All five dims
+    # broadcast; orders⋈lineitem is the only shuffle.  The share is a
+    # conditional-sum / sum in ONE aggregation — no second pass.
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31 23:59:59")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_region = (
+        c.join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .select("c_custkey")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust_region, o.o_custkey == cust_region.c_custkey, "left_semi")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0))
+                / F.sum(volume),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "h09_product_profit",
+    """
+SELECT n.n_name AS nation, CAST(date_part('year', o.o_orderdate) AS INT) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 2) AS profit
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY nation, o_year
+""",
+)
+def h09(spark, sf_dir):
+    # TPC-H Q9 shape: profit by supplier nation and year; 0.6×retail
+    # stands in for ps_supplycost (no partsupp table).  part broadcasts
+    # with its LIKE filter pre-applied, so only widget lineitems reach
+    # the orders join.
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(round2(F.sum(profit)).alias("profit"))
+    )
+
+
+@register(
+    "h11_important_parts",
+    """
+WITH pv AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(value) AS total, count(*) AS cnt FROM pv)
+SELECT pv.l_partkey AS p_partkey, round(pv.value, 2) AS part_value
+FROM pv, tot WHERE pv.value > 1.5 * tot.total / tot.cnt
+""",
+)
+def h11(spark, sf_dir):
+    # TPC-H Q11 shape: groups exceeding a threshold derived from the
+    # GLOBAL total.  The scalar subquery is the one-row aggregate of the
+    # same partials, broadcast back — one shuffle on l_partkey, then a
+    # broadcast of the 1-row (total, cnt).  Threshold is 1.5× the mean
+    # part value, which stays meaningful at every SF (Q11's fixed
+    # fraction degenerates as the part count grows).
+    pv = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"))
+    )
+    tot = pv.agg(F.sum("value").alias("total"), F.count("*").alias("cnt"))
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("value") > 1.5 * F.col("total") / F.col("cnt"))
+        .select(F.col("l_partkey").alias("p_partkey"), round2(F.col("value")).alias("part_value"))
+    )
+
+
+@register(
+    "h12_shipping_lateness",
+    """
+SELECT CASE WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 90 THEN 'LATE'
+            WHEN datediff('day', o.o_orderdate, l.l_shipdate) > 30 THEN 'SLOW'
+            ELSE 'FAST' END AS ship_speed,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= DATE '1997-01-01' AND l.l_shipdate < DATE '1998-01-01'
+GROUP BY ship_speed
+""",
+)
+def h12(spark, sf_dir):
+    # TPC-H Q12 shape: lineitems bucketed by shipping lateness, priority
+    # mix per bucket via conditional aggregation (no shipmode column;
+    # the order-to-ship delay IS the mode proxy).
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    delay = F.datediff("l_shipdate", "o_orderdate")
+    speed = (
+        F.when(delay > 90, "LATE").when(delay > 30, "SLOW").otherwise("FAST")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(speed.alias("ship_speed"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "h13_customer_distribution",
+    """
+WITH co AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+""",
+)
+def h13(spark, sf_dir):
+    # TPC-H Q13: order-count histogram.  Two aggregations: per-customer
+    # count over the LEFT join (customers with zero orders must appear,
+    # count(o_orderkey) skips the null-extended rows), then the tiny
+    # histogram re-group.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "h15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+)
+def h15(spark, sf_dir):
+    # TPC-H Q15: supplier(s) with the maximum quarterly revenue.  The
+    # scalar MAX subquery broadcasts as a 1-row DF; revenue is rounded
+    # BEFORE the max/equality so both engines compare identical values.
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        round2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "h16_supplier_part_count",
+    """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def h16(spark, sf_dir):
+    # TPC-H Q16: distinct suppliers per (brand, type, size) with NOT-
+    # filters.  The distinct pair extraction shuffles once on the pair;
+    # part broadcasts with the negated predicates already applied.
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    return (
+        ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "h17_small_quantity_revenue",
+    """
+WITH bparts AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#7'),
+lb AS (SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+       FROM lineitem l JOIN bparts b ON b.p_partkey = l.l_partkey),
+aq AS (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lb GROUP BY 1)
+SELECT round(sum(lb.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lb JOIN aq ON aq.l_partkey = lb.l_partkey
+WHERE lb.l_quantity < 0.2 * aq.avg_qty
+""",
+)
+def h17(spark, sf_dir):
+    # TPC-H Q17: revenue lost to small orders.  The correlated per-part
+    # AVG becomes aggregate + re-join on l_partkey; restricting lineitem
+    # to the brand FIRST (semi-join on the broadcast part list) keeps
+    # both the aggregate and the re-join on the ~1/25 brand slice.
+    bparts = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#7").select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
+    lb = l.join(F.broadcast(bparts), l.l_partkey == F.col("p_partkey"), "left_semi")
+    aq = lb.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        lb.join(F.broadcast(aq), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "h21_waiting_supplier",
+    """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+""",
+)
+def h21(spark, sf_dir):
+    # TPC-H Q21 shape: the sole late supplier on multi-supplier orders
+    # (ship > 90 days after order stands in for receipt > commit).  The
+    # EXISTS / NOT EXISTS pair compiles to a left-semi and a left-anti
+    # join, both equi on l_orderkey with the supplier inequality as the
+    # residual — no correlated re-execution anywhere.
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = l.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = late.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    s = _t(spark, sf_dir, "supplier")
+    waiting = (
+        late.join(
+            l2,
+            (late.l_orderkey == F.col("k2")) & (late.l_suppkey != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@register(
+    "h22_global_sales_opportunity",
+    """
+WITH seg AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+             WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')),
+ab AS (SELECT round(avg(c_acctbal), 2) AS avg_bal FROM seg WHERE c_acctbal > 0.0)
+SELECT s.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(s.c_acctbal), 2) AS totacctbal
+FROM seg s, ab
+WHERE s.c_acctbal > ab.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = s.c_custkey
+                  AND o.o_orderdate >= DATE '1999-01-01')
+GROUP BY segment
+""",
+)
+def h22(spark, sf_dir):
+    # TPC-H Q22 shape: rich customers gone quiet — no orders since 1999
+    # (mktsegment stands in for the phone country code; "lapsed" replaces
+    # "never ordered" because the generator gives every customer at least
+    # one order).  Scalar AVG broadcast + left-anti join against the
+    # date-filtered orders; the avg is rounded to 2 decimals on BOTH
+    # sides so the > boundary is engine-stable.
+    seg = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY", "HOUSEHOLD")
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+    ab = seg.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    ).select("o_custkey")
+    return (
+        seg.join(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, seg.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            round2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -22,13 +22,17 @@ EXECUTES_ON_BUILD = {"d06_dup_clusters"} | {n for n in REGISTRY if n.startswith(
 # BroadcastNestedLoopJoin by design:
 # - brute-force ANN broadcasts a handful of query vectors against every
 #   corpus row (v01/v02);
-# - t07/st09 cross-join a ONE-ROW broadcast aggregate (corpus size N,
-#   time bounds) — the scalar-subquery pattern, O(rows) not O(rows²).
+# - t07/st09/h11/h15/h22 cross-join a ONE-ROW broadcast aggregate
+#   (corpus size N, time bounds, global total, max revenue, avg balance)
+#   — the scalar-subquery pattern, O(rows) not O(rows²).
 BNLJ_ALLOWED = {
     "v01_vector_norms",
     "v02_brute_force_topk",
     "t07_tfidf_top_terms",
     "st09_gap_fill",
+    "h11_important_parts",
+    "h15_top_supplier",
+    "h22_global_sales_opportunity",
 }
 
 

@@ -41,3 +41,34 @@ def test_h18_semi_join_on_having_aggregate(spark, sf_dir):
     physical, _ = _plans(spark, sf_dir, "h18_large_volume_customer")
     assert "LeftSemi" in physical
     assert "TakeOrderedAndProject" in physical
+
+
+def test_h07_nation_pair_prunes_before_fact_join(spark, sf_dir):
+    physical, full = _plans(spark, sf_dir, "h07_volume_shipping")
+    assert "BroadcastHashJoin" in physical
+    # the 2-nation filter reaches the nation scans, so the broadcast side
+    # is pre-pruned rather than filtering after the fact join
+    assert "In(n_name, [NATION_1,NATION_2])" in full
+    # the ship-date window reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in full
+
+
+def test_h13_left_join_keeps_zero_order_customers(spark, sf_dir):
+    physical, _ = _plans(spark, sf_dir, "h13_customer_distribution")
+    # the priority filter must stay on the orders side of the LEFT join
+    # (pushing it past the join would drop zero-order customers)
+    assert "LeftOuter" in physical or "RightOuter" in physical
+
+
+def test_h21_exists_pair_plans_semi_and_anti(spark, sf_dir):
+    physical, _ = _plans(spark, sf_dir, "h21_waiting_supplier")
+    assert "LeftSemi" in physical
+    assert "LeftAnti" in physical
+    assert "CartesianProduct" not in physical
+
+
+def test_h15_scalar_max_broadcasts(spark, sf_dir):
+    physical, _ = _plans(spark, sf_dir, "h15_top_supplier")
+    # the 1-row MAX aggregate must join by broadcast, never shuffle the
+    # revenue partials a second time
+    assert "BroadcastNestedLoopJoin" in physical or "BroadcastHashJoin" in physical
