@@ -290,6 +290,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int = 1_000,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via an inverted shingle index.
 
@@ -298,28 +299,56 @@ def ngram_jaccard_pairs(
     bomb) → self-equi-join on shingle → count shared shingles per pair →
     Jaccard from per-doc set sizes.  Exact for every pair sharing at
     least one sub-cap shingle.  Returns (id_a, id_b, jaccard).
+
+    Plan shape:
+
+    - each index row carries its document's set size, so the Jaccard
+      denominator is grouped through the pair aggregation instead of
+      re-joined per side (the naive form pays two extra joins);
+    - the frequency cap is a broadcast ANTI-join against the (tiny) set
+      of over-cap shingles — boilerplate grams are few by construction,
+      so the cap never shuffles the index itself;
+    - ``hash_shingles`` (default) folds each shingle string to xxhash64
+      before the shuffle: 8-byte join keys instead of arbitrary-length
+      text.  A collision merges two shingles' postings — odds ~n²/2⁶⁴,
+      the same accepted noise floor as MinHash itself; pass ``False``
+      for the strictly-exact string index;
+    - the shingle array is persisted BEFORE the explode: the cache is
+      the barrier that keeps Catalyst's inferred ``size(shingles) > 0``
+      filter (from Generate) from being pushed below the fan-out
+      repartition — pushed down, that filter re-evaluates the whole
+      shingle expression on the original (possibly single-file) scan
+      layout, serializing the most expensive step of the operator.  The
+      cheap explode re-runs from that cache for each consumer
+      (hot-shingle agg, both self-join sides).
     """
     sh = fan_out(df).select(
         F.col(id_col), shingles(text_col, shingle_k).alias("sh")
     ).persist()
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n_sh"))
-    inv = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    doc_freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
-    inv_capped = inv.join(
-        doc_freq.filter(F.col("df_") <= max_doc_freq).select("shingle"), "shingle"
+    inv = sh.select(
+        F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
-    a = inv_capped.select(F.col("shingle"), F.col(id_col).alias("id_a"))
-    b = inv_capped.select(F.col("shingle"), F.col(id_col).alias("id_b"))
+    if hash_shingles:
+        inv = inv.withColumn("shingle", F.xxhash64("shingle"))
+    hot = (
+        inv.groupBy("shingle")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > max_doc_freq)
+        .select("shingle")
+    )
+    inv_capped = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    a = inv_capped.select("shingle", F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    b = inv_capped.select("shingle", F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        inter.withColumn(
+            "jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )

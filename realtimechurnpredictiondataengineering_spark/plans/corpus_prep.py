@@ -42,8 +42,11 @@ def prepare_corpus(
     at sf0.1 an uncapped run is 5x slower for the IDENTICAL pair set.
     ``persist_intermediate`` stages the gated survivors once (a real
     pipeline checkpoints here too) so the regex-heavy scoring pass is not
-    recomputed by each downstream branch (dedup, near-dup, stats).  The
-    cache lives until the session drops it (the returned plan still
+    recomputed by each downstream branch.  The cache sits at ``kept`` —
+    BEFORE the exact-dedup semi-join — because that join reads its input
+    twice (build the min-id survivor set, then probe it); caching after
+    it, as an earlier revision did, still paid the scoring regexes twice.
+    The cache lives until the session drops it (the returned plan still
     references it, so this function cannot unpersist); callers invoking
     this repeatedly in one session should pass ``False`` or write/read a
     staged parquet instead."""
@@ -53,10 +56,10 @@ def prepare_corpus(
     kept = scored.filter(
         (F.col("quality") >= quality_min) & F.col("lang_pred").isin(*langs)
     )
+    if persist_intermediate:
+        kept = kept.persist()
     canon = dedup.content_hash_dedup(kept)
     exact = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
-    if persist_intermediate:
-        exact = exact.persist()
     pairs = dedup.ngram_jaccard_pairs(
         exact, shingle_k=shingle_k, threshold=jaccard_threshold, max_doc_freq=max_doc_freq
     )
