@@ -3191,6 +3191,130 @@ def h22(spark, sf_dir):
     )
 
 
+def _z_terms_sql(q0: str, q1: str, bits: int) -> str:
+    # DuckDB twin of operators.partitioning.interleave_bits for 2 columns
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({q0} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({q1} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+_Z01_SQL = f"""
+WITH st AS (
+  SELECT min(CAST(o_custkey AS DOUBLE)) AS lo0, max(CAST(o_custkey AS DOUBLE)) AS hi0,
+         min(o_totalprice) AS lo1, max(o_totalprice) AS hi1
+  FROM orders
+),
+q AS (
+  SELECT o_orderkey,
+         CAST(coalesce(floor((CAST(o_custkey AS DOUBLE) - lo0)
+              / (CASE WHEN hi0 = lo0 THEN 1.0 ELSE hi0 - lo0 END) * 255), 0) AS BIGINT) AS q0,
+         CAST(coalesce(floor((o_totalprice - lo1)
+              / (CASE WHEN hi1 = lo1 THEN 1.0 ELSE hi1 - lo1 END) * 255), 0) AS BIGINT) AS q1
+  FROM orders, st
+)
+SELECT o_orderkey, CAST({_z_terms_sql("q0", "q1", 8)} AS BIGINT) AS z
+FROM q
+"""
+
+
+@register("z01_zorder_values", _Z01_SQL)
+def z01(spark, sf_dir):
+    # Z-order curve positions over (custkey, totalprice) — the layout key
+    # behind zorder_layout, value-checked bit-for-bit against a DuckDB
+    # replica of the interleave.  Both engines evaluate the identical
+    # IEEE-double quantization, so the fixed-point ranks agree exactly.
+    from realtimechurnpredictiondataengineering_spark.operators.partitioning import zorder_value
+
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min(F.col("o_custkey").cast("double")).alias("_zmin_o_custkey"),
+        F.max(F.col("o_custkey").cast("double")).alias("_zmax_o_custkey"),
+        F.min(F.col("o_totalprice").cast("double")).alias("_zmin_o_totalprice"),
+        F.max(F.col("o_totalprice").cast("double")).alias("_zmax_o_totalprice"),
+    )
+    return (
+        o.join(F.broadcast(stats))
+        .select(
+            "o_orderkey",
+            zorder_value(o, ["o_custkey", "o_totalprice"], bits=8).alias("z"),
+        )
+    )
+
+
+@register(
+    "a16_unpivot",
+    """
+WITH agg AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         round(avg(o_totalprice), 2) AS avg_price,
+         round(max(o_totalprice), 2) AS max_price
+  FROM orders GROUP BY 1
+)
+SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS val FROM agg
+UNION ALL SELECT o_orderstatus, 'avg_price', avg_price FROM agg
+UNION ALL SELECT o_orderstatus, 'max_price', max_price FROM agg
+""",
+)
+def a16(spark, sf_dir):
+    # Wide-to-long unpivot (melt) of a per-status metric table — the
+    # inverse of a13_pivot.  Spark's native unpivot explodes each row
+    # into (metric, val) pairs without a join or union re-scan.
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return agg.unpivot(
+        "o_orderstatus", ["n_orders", "avg_price", "max_price"], "metric", "val"
+    )
+
+
+@register(
+    "p21_variant_shred",
+    """
+SELECT event_id,
+       json_extract_string(j, '$.meta.type') AS etype,
+       CAST(json_extract(j, '$.meta.val') AS DOUBLE) AS val,
+       CAST(json_extract(j, '$.k') AS INT) AS k
+FROM (
+  SELECT event_id,
+         to_json(struct_pack(
+           meta := struct_pack(type := event_type, val := round(value, 2)),
+           k := CAST(json_extract(props, '$.k') AS INT)
+         )) AS j
+  FROM events
+)
+""",
+)
+def p21(spark, sf_dir):
+    # Semi-structured VARIANT path (Spark 4): nested JSON is parsed once
+    # into the binary variant encoding, then shredded with typed
+    # variant_get extractions — the lakehouse pattern replacing repeated
+    # string json_extract over the same payload.  Each engine builds the
+    # JSON from the same typed columns, so the extracted values agree
+    # even though the intermediate strings differ.
+    e = _t(spark, sf_dir, "events")
+    j = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("event_type").alias("type"), F.round("value", 2).alias("val")
+            ).alias("meta"),
+            F.from_json("props", "k INT").getField("k").alias("k"),
+        )
+    )
+    v = e.select("event_id", F.parse_json(j).alias("v"))
+    return v.select(
+        "event_id",
+        F.try_variant_get("v", "$.meta.type", "string").alias("etype"),
+        F.try_variant_get("v", "$.meta.val", "double").alias("val"),
+        F.try_variant_get("v", "$.k", "int").alias("k"),
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
