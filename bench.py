@@ -32,7 +32,11 @@ HEADLINE = (
     "j03_broadcast_dim_chain",
     "j06_asof_join",
     "h03_shipping_priority",
+    "h07_volume_shipping",
+    "h13_customer_distribution",
+    "h17_small_quantity_revenue",
     "h18_large_volume_customer",
+    "h21_waiting_supplier",
     "w01_latest_per_key",
     "w02_running_sum",
     "f08_dedup_by_key",
@@ -53,6 +57,9 @@ HEADLINE = (
     "c01_cdc_latest_state",
     "x01_pandas_group_rank",
     "m01_media_features",
+    "z01_zorder_values",
+    "sql03_recursive_cte",
+    "p21_variant_shred",
 )
 
 

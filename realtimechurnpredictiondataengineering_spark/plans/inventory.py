@@ -3191,6 +3191,86 @@ def h22(spark, sf_dir):
     )
 
 
+@register(
+    "j08_shuffle_hash_hint",
+    """
+SELECT o.o_orderkey, round(sum(l.l_extendedprice), 2) AS gross
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderstatus = 'O'
+GROUP BY o.o_orderkey
+""",
+)
+def j08(spark, sf_dir):
+    # Planner-control surface: the SHUFFLE_HASH hint forces a shuffled
+    # hash join where AQE might otherwise pick sort-merge — the right
+    # call when one side is much smaller than the other but beyond the
+    # broadcast threshold (hash-building the small side skips BOTH
+    # sort passes).  Same result set either way; the hint is pure
+    # physical-strategy steering.
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(round2(F.sum("l_extendedprice")).alias("gross"))
+    )
+
+
+@register(
+    "j09_null_safe_join",
+    """
+WITH a AS (SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+                  count(*) AS n_events
+           FROM events GROUP BY 1),
+b AS (SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k,
+             round(sum(value), 2) AS total_value
+      FROM events GROUP BY 1)
+SELECT a.k, a.n_events, b.total_value
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+)
+def j09(spark, sf_dir):
+    # Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    # each other instead of vanishing — required when joining on nullable
+    # dimensions (unknown category buckets must line up, not drop).
+    e = _t(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") == "error", None).otherwise(F.col("event_type"))
+    a = e.groupBy(k.alias("k")).agg(F.count("*").alias("n_events"))
+    b = e.groupBy(k.alias("k")).agg(round2(F.sum("value")).alias("total_value"))
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.k, "n_events", "total_value")
+
+
+_SQL03 = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1995-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < CAST('2001-08-01' AS DATE)
+),
+counts AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT months.m AS month, CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       coalesce(revenue, 0.0) AS revenue
+FROM months LEFT JOIN counts ON counts.m = months.m
+"""
+
+
+@register("sql03_recursive_cte", _SQL03)
+def sql03(spark, sf_dir):
+    # WITH RECURSIVE through the SQL parser (Spark 4): the calendar spine
+    # is generated by recursion — bounded, 80 iterations of a one-row
+    # frontier — then left-joined to the sparse monthly aggregate.  The
+    # identical text runs on DuckDB; both engines treat the recursion as
+    # iterated union, so plans stay linear in the month count.
+    from realtimechurnpredictiondataengineering_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL03)
+
+
 def _z_terms_sql(q0: str, q1: str, bits: int) -> str:
     # DuckDB twin of operators.partitioning.interleave_bits for 2 columns
     terms = []
