@@ -3395,6 +3395,63 @@ def p21(spark, sf_dir):
     )
 
 
+@register(
+    "h20_potential_promotion",
+    """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CASE WHEN l_shipdate >= DATE '1997-01-01'
+                   AND l_shipdate < DATE '1998-01-01'
+                  THEN l_quantity ELSE 0 END) AS qty_1997,
+         sum(l_quantity) AS qty_total
+  FROM lineitem
+  GROUP BY 1, 2
+),
+excess AS (
+  SELECT DISTINCT sh.l_suppkey
+  FROM shipped sh JOIN part p ON p.p_partkey = sh.l_partkey
+  WHERE p.p_name LIKE 'red%' AND sh.qty_1997 > 0.5 * sh.qty_total
+)
+SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN excess e ON e.l_suppkey = s.s_suppkey
+WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+""",
+)
+def h20(spark, sf_dir):
+    # TPC-H Q20 shape (potential part promotion), adapted: no partsupp
+    # table in this star schema, so "availability" is the lifetime
+    # shipped quantity per (part, supplier) and the Q20 predicate
+    # becomes "1997 shipments exceed half of lifetime shipments".
+    # Plan: the red-part filter broadcasts UNDER the big aggregate so
+    # lineitem is pre-pruned before its one shuffle; the supplier side
+    # is a broadcast semi-join (distinct suppkeys are tiny).
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red")).select("p_partkey")
+    l = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    in_97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    shipped = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.when(in_97, F.col("l_quantity")).otherwise(F.lit(0))).alias("qty_1997"),
+        F.sum("l_quantity").alias("qty_total"),
+    )
+    excess = (
+        shipped.filter(F.col("qty_1997") > 0.5 * F.col("qty_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return s.join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi").select(
+        "s_name", round2(F.col("s_acctbal")).alias("s_acctbal")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

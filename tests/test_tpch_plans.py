@@ -67,6 +67,16 @@ def test_h21_exists_pair_plans_semi_and_anti(spark, sf_dir):
     assert "CartesianProduct" not in physical
 
 
+def test_h20_part_filter_under_aggregate(spark, sf_dir):
+    physical, full = _plans(spark, sf_dir, "h20_potential_promotion")
+    # the red-part broadcast prunes lineitem BEFORE its one shuffle, and
+    # the supplier probe is a broadcast semi-join — no sort-merge anywhere
+    assert "BroadcastHashJoin" in physical
+    assert "LeftSemi" in physical
+    assert "SortMergeJoin" not in physical
+    assert "StartsWith(p_name,red)" in full
+
+
 def test_h15_scalar_max_broadcasts(spark, sf_dir):
     physical, _ = _plans(spark, sf_dir, "h15_top_supplier")
     # the 1-row MAX aggregate must join by broadcast, never shuffle the
