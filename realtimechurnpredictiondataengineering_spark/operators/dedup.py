@@ -421,9 +421,21 @@ def connected_components(
 
     Returns (id, component) for every node appearing in ``pairs``.
     """
+    # Both edge directions from ONE pass over ``pairs`` (explode, not a
+    # self-union): referencing ``pairs`` twice would execute its whole
+    # upstream plan — for near-dup graphs that is the expensive
+    # inverted-index join — twice.
+    src, dst = F.col(src_col), F.col(dst_col)
     edges = (
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .unionByName(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(src.alias("src"), dst.alias("dst")),
+                    F.struct(dst.alias("src"), src.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )

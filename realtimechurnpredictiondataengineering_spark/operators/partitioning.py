@@ -41,6 +41,29 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     return df
 
 
+def stage_hot_table(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """``fan_out`` + persist: stage an under-split table once so every
+    downstream pass over it runs at full parallelism.
+
+    ``fan_out`` alone is not enough for *filters*: Catalyst pushes a
+    deterministic Filter straight through a Repartition node, so a
+    regex-heavy quality gate lands back in the unsplittable single-task
+    scan stage (and the surviving Project re-evaluates the same
+    expressions a second time above the exchange).  Persisting the
+    repartitioned table is both the optimizer barrier (filters apply on
+    top of the 32-way InMemoryTableScan, not under the exchange) and the
+    standard "stage the hot input" pattern.  Spark's CacheManager keys
+    cache entries by canonicalized plan, so N queries staging the same
+    table share ONE copy.  On a well-split source this is a no-op — no
+    repartition, no cache — which is exactly the cluster-scale behavior:
+    a 100 TB corpus never round-trips through the block manager; only a
+    small local/laptop-shaped input pays (and benefits)."""
+    staged = fan_out(df, multiple)
+    if staged is df:
+        return df
+    return staged.persist()
+
+
 def interleave_bits(quantized: list[Column], bits: int) -> Column:
     """Morton-interleave ``bits`` low bits of each (already-quantized,
     non-negative integral) column: output bit ``i*len(cols)+j`` is bit

@@ -29,7 +29,7 @@ from realtimechurnpredictiondataengineering_spark.functions import text as tx
 from realtimechurnpredictiondataengineering_spark.functions import vectors as vec
 from realtimechurnpredictiondataengineering_spark.functions.scalar import pseudo_score, round2
 from realtimechurnpredictiondataengineering_spark.operators import dedup, joins, similarity
-from realtimechurnpredictiondataengineering_spark.operators.partitioning import fan_out
+from realtimechurnpredictiondataengineering_spark.operators.partitioning import stage_hot_table
 from realtimechurnpredictiondataengineering_spark.plans.gold import DEFAULT_AS_OF, churn_features
 from realtimechurnpredictiondataengineering_spark.sources.batch import load_table
 
@@ -57,11 +57,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _td(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents with the under-split-input guard, for the regex-heavy
-    text kernels (language-id, quality) where per-row compute dwarfs the
-    repartition cost; light kernels read the scan layout as-is.  On a
-    well-split source fan_out is a no-op."""
-    return fan_out(load_table(spark, "documents", sf_dir))
+    """documents staged for the regex-heavy text kernels (language-id,
+    quality) where per-row compute dwarfs the repartition cost; light
+    kernels read the scan layout as-is.  Staged (repartition + shared
+    persist), not merely fanned out, because Catalyst pushes filters
+    through a bare Repartition back into the single-task scan.  On a
+    well-split source this is a no-op."""
+    return stage_hot_table(load_table(spark, "documents", sf_dir))
+
+
+def _te(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings staged the same way: every similarity kernel is a
+    dense O(dim) pass per row (or per candidate pair), so an
+    under-split scan serializes the whole vector workload."""
+    return stage_hot_table(load_table(spark, "embeddings", sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -871,7 +880,7 @@ def w06(spark, sf_dir):
     f"SELECT doc_id, {SQL_TOKEN_COUNT} AS n_tokens, CAST({SQL_BPE_COUNT} AS INT) AS n_bpe_tokens FROM documents",
 )
 def t01(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.select(
         "doc_id",
         tx.token_count("text").alias("n_tokens"),
@@ -908,7 +917,7 @@ def t03(spark, sf_dir):
     f"SELECT doc_id, md5({SQL_NORM}) AS fingerprint FROM documents",
 )
 def t04(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.select("doc_id", tx.fingerprint_md5("text").alias("fingerprint"))
 
 
@@ -919,7 +928,7 @@ def t04(spark, sf_dir):
 )
 def t05(spark, sf_dir):
     # tokenize + explode + frequency — the corpus vocabulary profile.
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return (
         d.select(F.explode(tx.tokens("text")).alias("word"))
         .groupBy("word")
@@ -961,7 +970,7 @@ def t07(spark, sf_dir):
 )
 def d01(spark, sf_dir):
     # Exact dedup with deterministic survivor (min id per content hash).
-    return dedup.content_hash_dedup(_t(spark, sf_dir, "documents"))
+    return dedup.content_hash_dedup(_td(spark, sf_dir))
 
 
 @register(
@@ -990,7 +999,7 @@ def d02(spark, sf_dir):
     # (boilerplate-shingle skew guard) is mirrored in the oracle's freq
     # CTE so the approximate-but-scalable semantics are value-checked.
     return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5, max_doc_freq=200
+        _td(spark, sf_dir), shingle_k=3, threshold=0.5, max_doc_freq=200
     )
 
 
@@ -1025,24 +1034,24 @@ def d06(spark, sf_dir):
     # propagation) over the exact-Jaccard pair graph; the oracle computes
     # the same components via a recursive reachability CTE.
     pairs = dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), shingle_k=3, threshold=0.5, max_doc_freq=200
+        _td(spark, sf_dir), shingle_k=3, threshold=0.5, max_doc_freq=200
     )
     return dedup.connected_components(pairs)
 
 
 @register("d03_minhash_near_dup", None)  # LSH banding is not SQL-expressible
 def d03(spark, sf_dir):
-    return dedup.minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return dedup.minhash_near_duplicates(_td(spark, sf_dir), threshold=0.5)
 
 
 @register("d04_simhash_near_dup", None)
 def d04(spark, sf_dir):
-    return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"), max_hamming=8)
+    return dedup.simhash_near_duplicates(_td(spark, sf_dir), max_hamming=8)
 
 
 @register("d05_near_dedup_survivors", None)
 def d05(spark, sf_dir):
-    surv = dedup.near_dedup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    surv = dedup.near_dedup(_td(spark, sf_dir), threshold=0.5)
     return surv.select("doc_id", "lang", "source")
 
 
@@ -1062,7 +1071,7 @@ def _as_double(col: str):
     "FROM embeddings",
 )
 def v01(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    e = _te(spark, sf_dir)
     dv = _as_double("embedding")
     return e.select(
         "vec_id",
@@ -1087,7 +1096,7 @@ FROM ranked WHERE rank <= 5
 def v02(spark, sf_dir):
     # Exact cosine top-k: broadcast 3 query vectors over one corpus scan,
     # two-phase top-k reduction (no per-query global sort).
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("embedding"))
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
     qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1136,7 +1145,7 @@ FROM ranked WHERE rank <= 5
 
 @register("v03_lsh_topk", _v03_sql())
 def v03(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("embedding"))
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
     qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1175,7 +1184,7 @@ WHERE {cos} >= 0.95
 
 @register("v04_embedding_near_dup", _v04_sql())
 def v04(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _te(spark, sf_dir).select(
         "vec_id", _as_double("embedding").alias("embedding")
     )
     return dedup.embedding_near_duplicates(e, _v04_planes(), threshold=0.95)
@@ -1238,7 +1247,7 @@ FROM ranked WHERE rank <= 5
 
 @register("v05_ivf_topk", _v05_sql)  # lazy: building the twin trains the quantizer
 def v05(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("embedding"))
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
     qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -1669,7 +1678,7 @@ def s05(spark, sf_dir):
     # rebuilding the corpus never migrates rows between train and test.
     from realtimechurnpredictiondataengineering_spark.operators import sampling
 
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     train, test = sampling.train_test_split(d, "doc_id", test_percent=10)
     def summary(df, name):
         return df.agg(
@@ -1706,7 +1715,7 @@ def s03(spark, sf_dir):
 )
 def t06(spark, sf_dir):
     # corpus length profile — the standard pre-training data audit chart.
-    d = _t(spark, sf_dir, "documents")
+    d = _td(spark, sf_dir)
     return d.groupBy(F.floor(F.col("n_chars") / 100).alias("bucket_100")).agg(
         F.count("*").alias("n_docs"),
         F.min("n_chars").alias("min_chars"),

@@ -33,6 +33,7 @@ BNLJ_ALLOWED = {
     "h11_important_parts",
     "h15_top_supplier",
     "h22_global_sales_opportunity",
+    "z01_zorder_values",  # 1-row min/max layout-stats aggregate broadcast onto rows
 }
 
 
