@@ -26,6 +26,7 @@ from realtimechurnpredictiondataengineering_spark.session import get_spark
 HEADLINE = (
     "q00_flagship_churn_features",
     "ll01_corpus_prep",
+    "ll02_sequence_packing",
     "a06_pricing_summary",
     "a01_max_sum_groupby",
     "j01_left_join_features",
@@ -60,6 +61,9 @@ HEADLINE = (
     "z01_zorder_values",
     "sql03_recursive_cte",
     "p21_variant_shred",
+    "t08_pii_redaction",
+    "d07_benchmark_contamination",
+    "h20_potential_promotion",
 )
 
 

@@ -145,6 +145,33 @@ def quality_score(col: Column | str) -> Column:
     return F.round(score, 2)
 
 
+#: PII patterns kept in the common Java-regex/RE2 subset (no lookaround,
+#: no backrefs) so the same pattern text runs in Spark, DuckDB, and any
+#: RE2-based scrubber.  Replacement ORDER matters (emails contain dots
+#: and digits): email -> ip -> phone, fixed by this dict's order.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-category PII match counts (pre-redaction)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {kind: F.regexp_count(c, F.lit(pat)) for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace every PII match with ``[<KIND>]`` — the standard scrubbing
+    pass before corpus release.  One chained ``regexp_replace`` per
+    category, entirely JVM-side."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return c
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Content fingerprint: md5 of the normalized text.  Engine-portable
     (DuckDB md5 is identical) → the exact-dedup key."""

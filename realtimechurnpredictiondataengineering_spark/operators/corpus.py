@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from realtimechurnpredictiondataengineering_spark.functions.text import tokens
+from realtimechurnpredictiondataengineering_spark.functions.text import shingles, tokens
 
 
 def tfidf_top_terms(
@@ -53,4 +53,39 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(F.col(id_col), F.col("rank").cast("int").alias("rank"), "term", "tfidf")
+    )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus documents sharing at
+    least ``min_overlap`` distinct word ``shingle_k``-grams with any
+    benchmark document (the eval-leakage check every pretraining corpus
+    runs before release).
+
+    The benchmark side is small by definition (eval suites are KBs, the
+    corpus is TBs), so its exploded shingle index BROADCASTS: the corpus
+    side is one explode + map-side hash join + pair aggregate — no
+    shuffle of corpus shingles, no candidate blowup beyond truly
+    overlapping grams.  Returns (doc_id, bench_id, n_shared).
+    """
+    c_inv = corpus.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    )
+    b_inv = benchmarks.select(
+        F.col(id_col).alias("bench_id"),
+        F.explode(shingles(text_col, shingle_k)).alias("shingle"),
+    )
+    return (
+        c_inv.join(F.broadcast(b_inv), "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+        .select(F.col(id_col), "bench_id", F.col("n_shared").cast("long").alias("n_shared"))
     )

@@ -1,0 +1,93 @@
+"""Sequence packing for pretraining batches (north star; SURVEY §2.10).
+
+Packing concatenates documents in a deterministic order and slices the
+token stream into fixed-budget training sequences.  The primitive it
+needs — a GLOBAL running total of token counts — is exactly the
+operation a naive window (``Window.orderBy`` with no partition key)
+serializes onto one task.  ``global_prefix_sum`` is the scale-correct
+form: a two-phase distributed scan (range-partition on the order key,
+per-partition local cumsum in parallel, then a broadcast of the tiny
+per-partition exclusive offsets).  Wall-clock is two narrow passes over
+the data plus an O(num_partitions) driver-side-free side table — the
+same shape at 32 partitions and at 100k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from realtimechurnpredictiondataengineering_spark.functions import text as tx
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "prefix_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive running sum of ``value_col`` over the TOTAL order given
+    by ``order_cols`` (must be a unique key for a deterministic result),
+    without a single-task global window.
+
+    Phase 1: ``repartitionByRange`` on the order key, local cumsum per
+    partition (parallel).  Phase 2: per-partition totals (one tiny row
+    per partition) get their own exclusive prefix via a window over the
+    partition ids — O(partitions) rows, not O(rows) — and broadcast-join
+    back.  Exact same result as ``Window.orderBy(...)`` with no
+    partition key, minus the scale cliff.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_local_cum", F.sum(value_col).over(local_w))
+    offsets_w = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_part_total"))
+        .withColumn("_offset", F.coalesce(F.sum("_part_total").over(offsets_w), F.lit(0)))
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local_cum") + F.col("_offset"))
+        .drop("_pid", "_local_cum", "_offset")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a training sequence: documents are
+    concatenated in ``id_col`` order and a document belongs to the
+    sequence containing its START token offset (token-level chunking of
+    stragglers happens downstream at tensorization).  Returns the input
+    plus ``n_tokens``, ``start_offset``, ``seq_id``.
+    """
+    with_tc = docs.withColumn("n_tokens", tx.token_count(text_col))
+    cum = global_prefix_sum(with_tc, [id_col], "n_tokens", out_col="_cum")
+    return (
+        cum.withColumn("start_offset", (F.col("_cum") - F.col("n_tokens")).cast("long"))
+        .withColumn("seq_id", F.floor(F.col("start_offset") / budget))
+        .drop("_cum")
+    )
+
+
+def sequence_stats(packed: DataFrame) -> DataFrame:
+    """Per-sequence packing report: document count and token fill."""
+    return packed.groupBy("seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("seq_tokens"),
+    )

@@ -132,6 +132,12 @@ SQL_COSINE = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
+#: word k-gram shingles of `text`, k=5 (twin of functions.text.shingles)
+SQL_SHINGLES_K5 = (
+    f"list_distinct(list_transform(range(1, greatest(len(string_split({SQL_NORM}, ' ')) - 4, 1) + 1), "
+    f"i -> array_to_string(string_split({SQL_NORM}, ' ')[i:i+4], ' ')))"
+)
+
 
 # ---------------------------------------------------------------------------
 # Flagship (q00)
@@ -3459,6 +3465,112 @@ def h20(spark, sf_dir):
     return s.join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi").select(
         "s_name", round2(F.col("s_acctbal")).alias("s_acctbal")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline extensions: packing, PII scrub, contamination
+# ---------------------------------------------------------------------------
+
+_LL02_SQL = f"""
+WITH tc AS (SELECT doc_id, {SQL_TOKEN_COUNT} AS n_tokens FROM documents),
+off AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM tc
+)
+SELECT CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+FROM off GROUP BY 1
+"""
+
+
+@register("ll02_sequence_packing", _LL02_SQL)
+def ll02(spark, sf_dir):
+    # Pretraining sequence packing: docs concatenated in doc_id order,
+    # each assigned to the 512-token sequence holding its start offset.
+    # The oracle's one global window IS the scale trap the operator
+    # avoids: pack_sequences computes the same prefix sum as a
+    # range-partitioned two-phase scan (parallel local cumsums + an
+    # O(partitions) offset broadcast), identical values, no single-task
+    # window over the corpus.
+    from realtimechurnpredictiondataengineering_spark.operators import packing
+
+    packed = packing.pack_sequences(_td(spark, sf_dir), budget=512)
+    return packing.sequence_stats(packed)
+
+
+def _t08_aug_sql() -> str:
+    return (
+        "concat(text, "
+        "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id, '@example.com now') ELSE '' END, "
+        "CASE WHEN doc_id % 4 = 0 THEN ' call 555-867-5309' ELSE '' END, "
+        "CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.0.1 port 80' ELSE '' END)"
+    )
+
+
+def _t08_sql() -> str:
+    redacted = "t"
+    counts = []
+    for kind, pat in tx.PII_PATTERNS.items():
+        lit = pat.replace("'", "''")
+        counts.append(f"CAST(len(regexp_extract_all(t, '{lit}')) AS INT) AS n_{kind}")
+        redacted = f"regexp_replace({redacted}, '{lit}', '[{kind.upper()}]', 'g')"
+    return (
+        f"WITH aug AS (SELECT doc_id, {_t08_aug_sql()} AS t FROM documents)\n"
+        f"SELECT doc_id, {', '.join(counts)}, md5({redacted}) AS redacted_md5 FROM aug"
+    )
+
+
+@register("t08_pii_redaction", _t08_sql())
+def t08(spark, sf_dir):
+    # PII scrub before corpus release: count + redact emails/IPs/phones
+    # with patterns in the Java-regex/RE2 common subset.  The documents
+    # table has no native PII, so both engines append identical
+    # deterministic PII derived from doc_id — the redaction itself is
+    # value-checked via md5 of the scrubbed text.
+    d = _td(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" call 555-867-5309")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" from 10.0.0.1 port 80")).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    counts = tx.pii_counts("t")
+    return t.select(
+        "doc_id",
+        *[c.cast("int").alias(f"n_{kind}") for kind, c in counts.items()],
+        F.md5(tx.redact_pii("t")).alias("redacted_md5"),
+    )
+
+
+_D07_SQL = f"""
+WITH sh AS (SELECT doc_id, {SQL_SHINGLES_K5} AS sh FROM documents),
+c AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 10 <> 0),
+b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 10 = 0)
+SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM c JOIN b USING (shingle)
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+@register("d07_benchmark_contamination", _D07_SQL)
+def d07(spark, sf_dir):
+    # Eval-leakage check: corpus docs sharing >= 3 distinct 5-grams with
+    # a "benchmark" slice (every 10th doc stands in for the eval suite).
+    # The benchmark shingle index broadcasts — corpus shingles are never
+    # shuffled, which is what makes this run on a 100 TB corpus.
+    from realtimechurnpredictiondataengineering_spark.operators.corpus import contamination_pairs
+
+    d = _td(spark, sf_dir)
+    corpus_side = d.filter(F.col("doc_id") % 10 != 0)
+    bench_side = d.filter(F.col("doc_id") % 10 == 0)
+    return contamination_pairs(corpus_side, bench_side, shingle_k=5, min_overlap=3)
 
 
 def queries() -> dict[str, QueryFn]:

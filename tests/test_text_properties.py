@@ -138,3 +138,45 @@ def test_tfidf_ranks_distinctive_terms_first(spark):
     # smooth-idf spot value: ubiquitous term has idf exactly 1 -> tfidf == tf
     assert by[(2, 1)][1] == 2.0
     assert len(out) == 6
+
+
+def test_redact_pii_scrubs_all_categories(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-y.co.uk or x@y.io, call 555-123-4567, host 192.168.0.1 done"),
+            (2, "no pii here, just 12345 and a.dot."),
+            (3, ""),
+        ],
+        "id int, text string",
+    )
+    out = df.select(
+        "id",
+        tx.redact_pii("text").alias("red"),
+        *[c.alias(f"n_{k}") for k, c in tx.pii_counts("text").items()],
+    ).collect()
+    by = {r["id"]: r for r in out}
+    assert by[1]["n_email"] == 2 and by[1]["n_phone"] == 1 and by[1]["n_ip"] == 1
+    assert by[1]["red"] == "mail [EMAIL] or [EMAIL], call [PHONE], host [IP] done"
+    assert by[2]["red"] == "no pii here, just 12345 and a.dot." and by[2]["n_email"] == 0
+    assert by[3]["red"] == ""
+
+
+def test_contamination_requires_min_overlap_and_broadcasts(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " one two three"),        # shares 4 5-grams with bench
+            (2, "alpha beta gamma delta other"), # shares only 1 5-gram
+            (3, "nothing in common at all here"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id int, text string")
+    got = corpus.contamination_pairs(docs, bench, shingle_k=5, min_overlap=2)
+    rows = got.collect()
+    assert [(r["doc_id"], r["bench_id"]) for r in rows] == [(1, 100)]
+    assert rows[0]["n_shared"] == 4
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # bench index must broadcast
