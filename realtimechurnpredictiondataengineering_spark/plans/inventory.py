@@ -3573,6 +3573,80 @@ def d07(spark, sf_dir):
     return contamination_pairs(corpus_side, bench_side, shingle_k=5, min_overlap=3)
 
 
+@register(
+    "a17_median_mode",
+    """
+SELECT o_orderstatus,
+       round(median(o_totalprice), 2) AS median_price,
+       CAST(min(o_orderpriority) AS VARCHAR) AS min_priority,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def a17(spark, sf_dir):
+    # Exact median per group (Spark plans percentile(0.5) as a full-sort
+    # aggregate — fine for low-cardinality groups; use approx_percentile
+    # at high cardinality).  mode() ties break engine-specifically, so
+    # the deterministic min stands in for the categorical pick.
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        round2(F.median("o_totalprice")).alias("median_price"),
+        F.min("o_orderpriority").alias("min_priority"),
+        round2(F.avg("o_totalprice")).alias("avg_price"),
+    )
+
+
+@register(
+    "w07_distribution_ranks",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def w07(spark, sf_dir):
+    # Distribution-rank window trio; o_orderkey tie-break keeps every
+    # rank deterministic across engines.
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_SQL04 = """
+SELECT c.c_custkey, t.o_orderkey, round(t.o_totalprice, 2) AS o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@register("sql04_lateral_topn", _SQL04)
+def sql04(spark, sf_dir):
+    # Correlated LATERAL subquery (top-2 orders per customer) through the
+    # SQL parser — identical text on DuckDB.  Spark 4 decorrelates the
+    # LATERAL into a partitioned window top-k, so it plans as one shuffle
+    # + rank filter, not a per-row subquery.
+    from realtimechurnpredictiondataengineering_spark.sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL04)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
