@@ -51,6 +51,7 @@ HEADLINE = (
     "v03_lsh_topk",
     "v04_embedding_near_dup",
     "v05_ivf_topk",
+    "v06_int8_quantization",
     "t03_quality_score",
     "t05_word_frequencies",
     "st05_tumbling_window",

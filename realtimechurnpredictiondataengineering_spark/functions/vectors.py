@@ -95,3 +95,46 @@ def hyperplane_table_buckets(vec: Column, plane_sets: list[list[list[float]]]) -
             lambda acc, plane: acc * 2 + (dot(vec, plane) >= 0).cast("long"),
         ),
     )
+
+
+def quantize_int8(df, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Per-vector symmetric int8 quantization via ``mapInArrow`` — the
+    compression step in front of a large-scale ANN index (4x smaller
+    vectors, SIMD-friendly dot products downstream).
+
+    ``q_i = floor(127 * v_i / scale + 0.5)`` with ``scale = max|v|``
+    (floor(x+0.5) instead of round() so the result is reproducible
+    across engines regardless of banker's-rounding conventions; all-zero
+    vectors quantize to zeros with scale 0).
+
+    This kernel is the sanctioned Arrow path: record batches cross the
+    JVM/Python boundary zero-copy, the per-row reduction is one
+    ``np.maximum.reduceat`` over the list array's flattened values —
+    no per-row Python, no pandas materialization — and output batches
+    rebuild the list structure from the SAME offsets buffer.  Returns
+    (id, qvec array<byte>, scale double).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            emb = batch.column(1)
+            offsets = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            lens = np.diff(offsets)
+            scales = np.zeros(len(lens), dtype=np.float64)
+            nonempty = lens > 0
+            if nonempty.any():
+                absmax = np.maximum.reduceat(np.abs(vals), offsets[:-1][nonempty])
+                scales[nonempty] = absmax
+            safe = np.where(scales == 0.0, 1.0, scales)
+            q = np.floor(127.0 * vals / np.repeat(safe, lens) + 0.5).astype(np.int8)
+            qvec = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), pa.array(q))
+            yield pa.RecordBatch.from_arrays(
+                [ids, qvec, pa.array(scales)], names=[id_col, "qvec", "scale"]
+            )
+
+    out_schema = f"{id_col} long, qvec array<byte>, scale double"
+    return df.select(id_col, vec_col).mapInArrow(kernel, out_schema)

@@ -50,8 +50,13 @@ def prepare_corpus(
     references it, so this function cannot unpersist); callers invoking
     this repeatedly in one session should pass ``False`` or write/read a
     staged parquet instead."""
-    scored = docs.withColumn("quality", tx.quality_score("text")).withColumn(
-        "lang_pred", tx.language_id("text")
+    scored = (
+        docs.withColumn("quality", tx.quality_score("text"))
+        .withColumn("lang_pred", tx.language_id("text"))
+        # token counts ride along from this first (cached-input) scan so
+        # the final stats pass sums a column instead of re-running the
+        # normalize+split regexes over every surviving document
+        .withColumn("n_tokens", tx.token_count("text"))
     )
     kept = scored.filter(
         (F.col("quality") >= quality_min) & F.col("lang_pred").isin(*langs)
@@ -70,9 +75,11 @@ def prepare_corpus(
 def corpus_stats(clean: DataFrame) -> DataFrame:
     """Per-source corpus report over the cleaned docs: volume, token
     budget, quality profile — the numbers a pretraining data team tracks
-    per snapshot."""
+    per snapshot.  Uses the ``n_tokens`` column carried from the scoring
+    scan when present; falls back to counting tokens here."""
+    n_tok = F.col("n_tokens") if "n_tokens" in clean.columns else tx.token_count("text")
     return clean.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum(tx.token_count("text")).alias("total_tokens"),
+        F.sum(n_tok).alias("total_tokens"),
         F.round(F.avg("quality"), 4).alias("avg_quality"),
     )

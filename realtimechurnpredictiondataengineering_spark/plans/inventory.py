@@ -3647,6 +3647,69 @@ def sql04(spark, sf_dir):
     return spark.sql(_SQL04)
 
 
+_V06_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale
+      FROM v)
+SELECT vec_id,
+       list_transform(v, x -> CAST(floor(127 * x / (CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END) + 0.5) AS TINYINT)) AS qvec,
+       round(scale, 6) AS scale
+FROM s
+"""
+
+
+@register("v06_int8_quantization", _V06_SQL)
+def v06(spark, sf_dir):
+    # Symmetric int8 vector quantization through the zero-copy Arrow
+    # path (mapInArrow + reduceat, no per-row Python) — bit-exact
+    # against the oracle because both sides use floor(x+0.5) instead of
+    # engine-specific round().  Reads the RAW scan, not the staged
+    # 32-partition cache: a Python-side kernel pays one worker spin-up
+    # PER PARTITION, so its parallelism should follow the input's real
+    # splits (1 here, thousands on a cluster), like m01/m02.
+    q = vec.quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return q.withColumn("scale", F.round("scale", 6))
+
+
+@register(
+    "t09_udtf_bigrams",
+    f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+              WHERE doc_id % 100 = 0 AND length({SQL_NORM}) > 0)
+SELECT doc_id, CAST(x.i AS INT) AS pos, array_to_string(t[x.i:x.i+1], ' ') AS bigram
+FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i) x
+""",
+)
+def t09(spark, sf_dir):
+    # Python UDTF (Spark 4 table function): one input row fans out to
+    # a row per bigram.  Row-at-a-time Python is the SLOW path — the
+    # engine's n-gram kernels are JVM-side (functions.text.shingles);
+    # this entry exists to cover the UDTF extension surface, on a
+    # 1-percent document slice for exactly that reason.
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, bigram string")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):  # noqa: ARG002 - udtf contract
+            import re
+
+            norm = re.sub(r"\s+", " ", (text or "").lower()).strip()
+            if not norm:
+                return
+            toks = norm.split(" ")
+            for i in range(len(toks) - 1):
+                yield i + 1, f"{toks[i]} {toks[i + 1]}"
+
+    spark.udtf.register("bigrams_udtf", Bigrams)
+    d = _td(spark, sf_dir).filter(F.col("doc_id") % 100 == 0)
+    d.createOrReplaceTempView("_t09_docs")
+    return spark.sql(
+        "SELECT doc_id, b.pos, b.bigram "
+        "FROM _t09_docs, LATERAL bigrams_udtf(doc_id, text) b"
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -113,3 +113,17 @@ def test_ivf_centroids_deterministic_and_unit_norm(spark):
     b = train_ivf_centroids(vecs, nlist=4)
     assert a == b
     assert all(abs(float(np.linalg.norm(c)) - 1.0) < 1e-9 for c in a)
+
+
+def test_quantize_int8_edges(spark):
+    from realtimechurnpredictiondataengineering_spark.functions import vectors as vec
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0]), (3, [])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in vec.quantize_int8(df).collect()}
+    assert got[1]["scale"] == 2.0
+    assert got[1]["qvec"] == [64, -127, 32]  # floor(127*v/2 + .5)
+    assert got[2]["qvec"] == [0, 0] and got[2]["scale"] == 0.0
+    assert got[3]["qvec"] == [] and got[3]["scale"] == 0.0
