@@ -65,6 +65,12 @@ HEADLINE = (
     "t08_pii_redaction",
     "d07_benchmark_contamination",
     "h20_potential_promotion",
+    "a17_median_mode",
+    "w07_distribution_ranks",
+    "j08_shuffle_hash_hint",
+    "j09_null_safe_join",
+    "sql04_lateral_topn",
+    "t09_udtf_bigrams",
 )
 
 
