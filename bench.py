@@ -71,6 +71,11 @@ HEADLINE = (
     "j09_null_safe_join",
     "sql04_lateral_topn",
     "t09_udtf_bigrams",
+    "ll03_document_chunking",
+    "s06_source_mixture",
+    "t10_fuzzy_pairs",
+    "d08_incremental_dedup",
+    "prof01_column_profile",
 )
 
 

@@ -89,3 +89,57 @@ def contamination_pairs(
         .filter(F.col("n_shared") >= min_overlap)
         .select(F.col(id_col), "bench_id", F.col("n_shared").cast("long").alias("n_shared"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    ``chunk_tokens``-word windows advancing by ``chunk_tokens -
+    overlap`` words — the context-window preparation step between a
+    cleaned corpus and sequence packing.
+
+    Chunk boundaries are WORD positions of the whitespace-split trimmed
+    text, so the cut is deterministic on any engine and never lands
+    mid-word.  The start positions come from ``sequence()`` +
+    ``explode`` — a pure codegen'd fan-out, one scan, no shuffle, no
+    UDF; a document shorter than one window yields exactly one chunk.
+    ``chunk_id`` is derived arithmetically from the start offset
+    (``(start-1)/stride``) rather than from ``posexplode`` ordinals so
+    an oracle without WITH ORDINALITY can reproduce it.
+
+    Returns (id, keep_cols..., chunk_id, n_chunk_tokens, chunk_text).
+    At 100 TB this is embarrassingly parallel: output size ~= input *
+    (1 + overlap/stride), and the explode keeps each document's chunks
+    inside its input partition — downstream packing re-shuffles anyway.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], words.alias("__words")
+    ).withColumn("__n", F.size("__words"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("__n") - overlap, F.lit(1)), F.lit(stride)
+    )
+    exploded = base.select(
+        F.col(id_col), *[F.col(c) for c in keep_cols], F.col("__words"), F.col("__n"),
+        F.explode(starts).alias("__start"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.floor((F.col("__start") - 1) / stride).cast("long").alias("chunk_id"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start") + 1)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+        F.array_join(F.slice(F.col("__words"), F.col("__start"), chunk_tokens), " ").alias(
+            "chunk_text"
+        ),
+    )

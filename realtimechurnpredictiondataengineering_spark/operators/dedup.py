@@ -469,3 +469,129 @@ def connected_components(
             "rounds; the graph has a longer chain than expected — raise max_iter"
         )
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 20,
+    block_chars: int = 8,
+    cmp_chars: int = 100,
+    max_block: int = 50,
+) -> DataFrame:
+    """Edit-distance near-dup candidates via prefix blocking: documents
+    whose normalized texts share their first ``block_chars`` characters
+    and differ by at most ``max_distance`` edits over the first
+    ``cmp_chars`` characters.
+
+    Levenshtein is quadratic per comparison and useless as an all-pairs
+    metric; the standard scale shape is block -> compare: the equi-join
+    on the prefix key confines comparisons to each block, and
+    ``max_block`` drops degenerate blocks (boilerplate prefixes shared
+    by thousands of documents) with a broadcast anti-join — the same
+    skew valve as ``ngram_jaccard_pairs``' document-frequency cap, and
+    the same tradeoff: a true near-dup pair differing inside the first
+    ``block_chars`` characters is missed (use the shingle or MinHash
+    operators for cut-insensitive recall).  Comparing capped prefixes
+    (``cmp_chars``) bounds per-pair cost on book-length documents.
+
+    One shuffle on the block key; everything stays in whole-stage
+    codegen (``levenshtein`` is a built-in).  Returns
+    (id_a, id_b, distance)."""
+    from realtimechurnpredictiondataengineering_spark.functions.text import normalized
+
+    blocked = df.select(
+        F.col(id_col),
+        F.substring(normalized(text_col), 1, block_chars).alias("block"),
+        F.substring(normalized(text_col), 1, cmp_chars).alias("prefix"),
+    )
+    hot = (
+        blocked.groupBy("block")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > max_block)
+        .select("block")
+    )
+    capped = blocked.join(F.broadcast(hot), "block", "left_anti")
+    a = capped.select(F.col("block"), F.col(id_col).alias("id_a"), F.col("prefix").alias("pa"))
+    b = capped.select(F.col("block"), F.col(id_col).alias("id_b"), F.col("prefix").alias("pb"))
+    return (
+        a.join(b, "block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("pa", "pb"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", F.col("distance").cast("long").alias("distance"))
+    )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    jaccard_threshold: float | None = 0.5,
+    max_doc_freq: int = 1_000,
+) -> DataFrame:
+    """Dedup an incoming snapshot AGAINST the existing corpus — the
+    production shape: each crawl/delivery dedups against everything
+    already accepted, not just against itself.
+
+    Three pruning stages, cheapest first, each only over what the
+    previous kept:
+
+    1. exact self-dedup of the batch (min-id survivor per content hash);
+    2. exact cross-dedup: anti-join of batch fingerprints against the
+       existing corpus' fingerprint set — at 100 TB the existing side
+       is a pre-computed fingerprint table (8-byte hashes, not text),
+       so the anti-join shuffles hashes only;
+    3. near-dup (optional, ``jaccard_threshold=None`` skips): shingle
+       inverted-index join of the SURVIVING batch against existing —
+       never batch x batch x existing; the existing index is filtered
+       by the same document-frequency cap before the join so
+       boilerplate grams don't pair everything with everything.
+
+    Returns surviving ``incoming`` rows unchanged.  A near-dup against
+    ``existing`` always drops the incoming row (the corpus is the
+    canon); ties inside the batch keep the smaller id."""
+    inc_fp = incoming.select(
+        F.col(id_col), fingerprint_md5(text_col).alias("fingerprint")
+    )
+    batch_canon = inc_fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    ex_fp = existing.select(fingerprint_md5(text_col).alias("fingerprint"))
+    fresh_ids = batch_canon.join(ex_fp, "fingerprint", "left_anti").select(id_col)
+    survivors = incoming.join(fresh_ids, id_col, "left_semi")
+    if jaccard_threshold is None:
+        return survivors
+
+    def _index(df: DataFrame, side: str) -> DataFrame:
+        sh = fan_out(df).select(F.col(id_col), shingles(text_col, shingle_k).alias("sh"))
+        return sh.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.size("sh").alias(f"n_{side}"),
+            F.explode("sh").alias("shingle"),
+        ).withColumn("shingle", F.xxhash64("shingle"))
+
+    inc_inv = _index(survivors, "a")
+    ex_inv = _index(existing, "b")
+    hot = (
+        ex_inv.groupBy("shingle")
+        .agg(F.count("*").alias("df_"))
+        .filter(F.col("df_") > max_doc_freq)
+        .select("shingle")
+    )
+    inter = (
+        inc_inv.join(F.broadcast(hot), "shingle", "left_anti")
+        .join(ex_inv.join(F.broadcast(hot), "shingle", "left_anti"), "shingle")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    near = (
+        inter.filter(
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= jaccard_threshold
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(near, id_col, "left_anti")

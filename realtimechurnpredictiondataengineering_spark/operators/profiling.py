@@ -1,0 +1,90 @@
+"""Column profiling (data-quality surface).
+
+The `ANALYZE TABLE` / expectation-suite primitive: per-column row
+count, null count, distinct count, min, max — two jobs regardless of
+column count, never a per-column loop of scans, and the 1-row result
+pivots to long form driver-free with ``stack``.
+
+Why TWO aggregation passes instead of one wide agg: Spark's fast
+HashAggregate requires fixed-width mutable aggregation buffers, and
+``min``/``max`` over string columns carry string buffers — one agg
+mixing those with exact multi-distinct forces a SortAggregate that
+fully SORTS the distinct-dedup Expand (rows x (|cols|+1)) on every
+profiled column.  Split, each pass gets its fast shape: the basic
+pass (count/nulls/min/max) is keyless — no grouping, no sort, pure
+map-side partials; the distinct pass carries only long buffers, so
+the Expand dedups in a HashAggregate.  Each side pivots to long form
+before a broadcast equi-join on ``col_name`` recombines them (a 1x1
+crossJoin of the wide rows would plan a nested-loop join).
+
+Min/max surface as strings so one schema carries every column type;
+floating-point columns should be pre-cast to DECIMAL by the caller
+for engine-portable text (double→string formatting differs across
+engines).
+
+At 100 TB exact distinct counts are still the expensive part (the
+Expand multiplies the shuffle input); pass ``approx=True`` to switch
+to HyperLogLog ``approx_count_distinct`` — no Expand at all, the
+whole profile collapses back to ONE keyless pass (HLL buffers are
+fixed-width, so the hash path survives the strings' sort fallback
+being keyless-trivial) — which is what a scheduled profiling job
+should run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def column_profile(df: DataFrame, cols: list[str], approx: bool = False) -> DataFrame:
+    """Profile ``cols``: one row per column with columns
+    (col_name, n_rows, n_nulls, n_distinct, min_value, max_value).
+    The label column is ``col_name``, not ``column`` — COLUMN is a
+    reserved word in several SQL dialects an oracle might run in."""
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    basic_aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        basic_aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__nulls_{c}"),
+            F.min(c).cast("string").alias(f"__min_{c}"),
+            F.max(c).cast("string").alias(f"__max_{c}"),
+        ]
+    if approx:
+        row = df.agg(
+            *basic_aggs, *[F.approx_count_distinct(c).alias(f"__dist_{c}") for c in cols]
+        )
+        stack_args = ", ".join(
+            f"'{c}', __nulls_{c}, __dist_{c}, __min_{c}, __max_{c}" for c in cols
+        )
+        long_form = row.selectExpr(
+            "__n",
+            f"stack({len(cols)}, {stack_args})"
+            " AS (col_name, n_nulls, n_distinct, min_value, max_value)",
+        )
+    else:
+        # each 1-row side pivots to long form FIRST, then an equi-join on
+        # col_name recombines them — a broadcast hash join, not the
+        # nested-loop join a 1x1 crossJoin would plan
+        dist_row = df.agg(
+            *[F.count_distinct(F.col(c)).alias(f"__dist_{c}") for c in cols]
+        )
+        dist_stack = ", ".join(f"'{c}', __dist_{c}" for c in cols)
+        dist_long = dist_row.selectExpr(
+            f"stack({len(cols)}, {dist_stack}) AS (col_name, n_distinct)"
+        )
+        basic_stack = ", ".join(f"'{c}', __nulls_{c}, __min_{c}, __max_{c}" for c in cols)
+        basic_long = df.agg(*basic_aggs).selectExpr(
+            "__n",
+            f"stack({len(cols)}, {basic_stack}) AS (col_name, n_nulls, min_value, max_value)",
+        )
+        long_form = basic_long.join(F.broadcast(dist_long), "col_name")
+    return long_form.select(
+        F.col("col_name"),
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )

@@ -59,3 +59,39 @@ def train_test_split(
     test = df.filter(b < threshold)
     train = df.filter(b >= threshold)
     return train, test
+
+
+def source_mixture(
+    df: DataFrame,
+    mixture: dict[str, tuple[int, int]],
+    source_col: str = "source",
+    key: str = "doc_id",
+    buckets: int = 100,
+) -> DataFrame:
+    """Weighted corpus mixing: per-source deterministic downsampling plus
+    integer upsampling — the "data mixture" step that turns raw source
+    proportions into training proportions (e.g. keep 40% of common-crawl,
+    repeat wikipedia 3x).
+
+    ``mixture`` maps source -> (keep_percent, repeats).  Sources absent
+    from the dict are DROPPED — the mixture is the explicit allowlist.
+    The keep decision is ``hash_bucket(key) < keep_percent`` (content
+    hash, so the same row makes the same cut on any engine or cluster),
+    and upsampling is ``explode(sequence(1, repeats))``, emitting an
+    ``epoch`` column so downstream shuffles (packing, global sort) spread
+    repeats instead of colocating byte-identical rows.
+
+    The per-source rate/repeat lookup compiles to a literal CASE chain
+    (the mixture is config, not data), so the whole operator is one scan
+    with a codegen'd filter + fan-out: no join, no shuffle, and the
+    filter prunes before the explode multiplies."""
+    if not mixture:
+        raise ValueError("mixture must name at least one source")
+    src = F.col(source_col)
+    rate = F.lit(None).cast("int")
+    reps = F.lit(None).cast("int")
+    for name, (keep_percent, repeats) in mixture.items():
+        rate = F.when(src == name, F.lit(keep_percent)).otherwise(rate)
+        reps = F.when(src == name, F.lit(repeats)).otherwise(reps)
+    kept = df.filter(hash_bucket(key, buckets) < rate)
+    return kept.withColumn("epoch", F.explode(F.sequence(F.lit(1), reps)))

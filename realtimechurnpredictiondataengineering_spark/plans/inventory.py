@@ -3710,6 +3710,179 @@ def t09(spark, sf_dir):
     )
 
 
+@register(
+    "ll03_document_chunking",
+    r"""
+WITH w AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS words FROM documents
+),
+n AS (SELECT doc_id, source, words, len(words) AS n_words FROM w),
+s AS (SELECT doc_id, source, words, n_words,
+             unnest(generate_series(1, greatest(n_words - 8, 1), 16)) AS start
+      FROM n)
+SELECT doc_id, source,
+       CAST(floor((start - 1) / 16.0) AS BIGINT) AS chunk_id,
+       CAST(least(24, n_words - start + 1) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(words, start, start + 23), ' ') AS chunk_text
+FROM s
+""",
+)
+def ll03(spark, sf_dir):
+    # Sliding-window context-size chunking (24-word windows, 8-word
+    # overlap): sequence+explode fan-out, word-boundary cuts, chunk ids
+    # derived arithmetically so the oracle needs no WITH ORDINALITY.
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    return corpus.chunk_documents(
+        _td(spark, sf_dir), chunk_tokens=24, overlap=8, keep_cols=("source",)
+    )
+
+
+_MIXTURE = {
+    # source -> (keep_percent, repeats): upsample the two "high-quality"
+    # sources 3x, half-sample the next two with 2 epochs, keep src4-9
+    # as-is, thin src10-14 to 40%; src15-19 are dropped (not in the map).
+    **{s: (100, 3) for s in ("src0", "src1")},
+    **{s: (50, 2) for s in ("src2", "src3")},
+    **{f"src{i}": (100, 1) for i in range(4, 10)},
+    **{f"src{i}": (40, 1) for i in range(10, 15)},
+}
+
+
+def _mixture_case(expr: str) -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {vals[0] if expr == 'rate' else vals[1]}"
+        for s, vals in _MIXTURE.items()
+    )
+    return f"CASE source {cases} ELSE NULL END"
+
+
+@register(
+    "s06_source_mixture",
+    f"""
+WITH rated AS (
+  SELECT doc_id, source, {_mixture_case('rate')} AS rate, {_mixture_case('reps')} AS reps
+  FROM documents
+),
+kept AS (SELECT * FROM rated WHERE {_SQL_HASH_BUCKET.format(col='doc_id')} < rate)
+SELECT doc_id, source, CAST(unnest(generate_series(1, reps)) AS BIGINT) AS epoch
+FROM kept
+""",
+)
+def s06(spark, sf_dir):
+    # Weighted corpus mixing: literal CASE-chain rates/repeats, content-
+    # hash keep decision, sequence-explode upsampling with an epoch
+    # column — one scan, no join, no shuffle.
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    mixed = sampling.source_mixture(_td(spark, sf_dir), _MIXTURE)
+    return mixed.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
+@register(
+    "t10_fuzzy_pairs",
+    f"""
+WITH b AS (
+  SELECT doc_id, substr({SQL_NORM}, 1, 8) AS block, substr({SQL_NORM}, 1, 100) AS prefix
+  FROM documents
+),
+ok AS (SELECT block FROM b GROUP BY block HAVING count(*) <= 50),
+c AS (SELECT b.* FROM b JOIN ok USING (block))
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       CAST(levenshtein(a.prefix, b2.prefix) AS BIGINT) AS distance
+FROM c a JOIN c b2 USING (block)
+WHERE a.doc_id < b2.doc_id AND levenshtein(a.prefix, b2.prefix) <= 20
+""",
+)
+def t10(spark, sf_dir):
+    # Edit-distance near-dup candidates: prefix blocking + capped-prefix
+    # levenshtein, with the hot-block anti-join valve — never all-pairs.
+    return dedup.fuzzy_pairs(
+        _td(spark, sf_dir), max_distance=20, block_chars=8, cmp_chars=100, max_block=50
+    )
+
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        expr = f"CAST({c} AS DECIMAL(18,2))" if c == "o_totalprice" else c
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"CAST(min({expr}) AS VARCHAR) AS min_value, "
+            f"CAST(max({expr}) AS VARCHAR) AS max_value FROM orders"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "d08_incremental_dedup",
+    f"""
+WITH inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+ex AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+incfp AS (SELECT doc_id, md5({SQL_NORM}) AS fp FROM inc),
+canon AS (SELECT fp, min(doc_id) AS doc_id FROM incfp GROUP BY fp),
+exfp AS (SELECT DISTINCT md5({SQL_NORM}) AS fp FROM ex),
+fresh AS (SELECT c.doc_id FROM canon c ANTI JOIN exfp e ON c.fp = e.fp),
+surv AS (SELECT i.* FROM inc i SEMI JOIN fresh f ON i.doc_id = f.doc_id),
+ash AS (SELECT doc_id AS id_a, {SQL_SHINGLES_K3} AS sh FROM surv),
+an AS (SELECT id_a, len(sh) AS n_a FROM ash),
+ainv AS (SELECT id_a, unnest(sh) AS shingle FROM ash),
+bsh AS (SELECT doc_id AS id_b, {SQL_SHINGLES_K3} AS sh FROM ex),
+bn AS (SELECT id_b, len(sh) AS n_b FROM bsh),
+binv AS (SELECT id_b, unnest(sh) AS shingle FROM bsh),
+hot AS (SELECT shingle FROM binv GROUP BY shingle HAVING count(*) > 1000),
+ainv2 AS (SELECT ainv.* FROM ainv ANTI JOIN hot USING (shingle)),
+binv2 AS (SELECT binv.* FROM binv ANTI JOIN hot USING (shingle)),
+inter AS (SELECT id_a, id_b, count(*) AS n_inter
+          FROM ainv2 JOIN binv2 USING (shingle) GROUP BY 1, 2),
+near AS (SELECT DISTINCT id_a AS doc_id
+         FROM inter JOIN an USING (id_a) JOIN bn USING (id_b)
+         WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.5)
+SELECT s.* FROM surv s ANTI JOIN near n ON s.doc_id = n.doc_id
+""",
+)
+def d08(spark, sf_dir):
+    # Incremental snapshot dedup: the odd-id "delivery" dedups against
+    # the even-id "accepted corpus" — exact self-dedup, fingerprint
+    # anti-join, then batch-vs-corpus shingle join (never batch x batch
+    # x corpus).  The hash-shingle collision noise floor is shared with
+    # ngram_jaccard_pairs.
+    docs = _td(spark, sf_dir)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    ex = docs.filter(F.col("doc_id") % 2 == 0)
+    return dedup.incremental_dedup(inc, ex, shingle_k=3, jaccard_threshold=0.5)
+
+
+@register("prof01_column_profile", _profile_oracle())
+def prof01(spark, sf_dir):
+    # ANALYZE-style column profiling: every column's null/distinct/
+    # min/max stats in one scan (stack pivots the 1-row wide aggregate).
+    # o_totalprice pre-cast to DECIMAL so min/max stringify identically
+    # across engines.  fan_out parallelizes the exact-distinct Expand
+    # (x |cols|+1 row inflation) that would otherwise run inside the
+    # single-split scan task; no filter exists for Catalyst to push
+    # below the exchange, so a bare repartition suffices (no persist).
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+    from realtimechurnpredictiondataengineering_spark.operators.partitioning import fan_out
+
+    o = fan_out(_t(spark, sf_dir, "orders")).withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    return profiling.column_profile(o, _PROFILE_COLS)
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

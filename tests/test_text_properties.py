@@ -18,7 +18,15 @@ from realtimechurnpredictiondataengineering_spark.functions import text as tx
 
 TEXTS = st.lists(
     st.text(
-        alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+        # exclude_categories=Cn: characters UNASSIGNED in this Python's
+        # Unicode tables may be assigned — with case mappings — in the
+        # JVM's (newer) tables, making lower() itself diverge (found by
+        # hypothesis: U+10D50 GARAY LETTER, cased in Unicode 16, unknown
+        # to Python 3.11).  Unicode's stability policy freezes existing
+        # case mappings, so characters both sides know are safe.
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00", exclude_categories=("Cn",)
+        ),
         max_size=120,
     ),
     min_size=1,
