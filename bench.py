@@ -106,27 +106,37 @@ def main() -> int:
         "t03_quality_score",
         "v01_vector_norms",
     ):
-        _force(REGISTRY[warm][0](spark, sf_dir))
+        try:
+            _force(REGISTRY[warm][0](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 - warmup must never kill the run
+            print(f"warmup {warm} failed: {exc}", file=sys.stderr)
 
+    # Per-query fault isolation: one broken query must cost only its own
+    # number, never the whole round's JSON line (round-2 lesson: a single
+    # AnalysisException discarded 32 already-measured timings).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = REGISTRY[name][0]
         t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
+        try:
+            _force(REGISTRY[name][0](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 - recorded, not fatal
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"query {name} failed: {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     return 0
 
 

@@ -3883,13 +3883,83 @@ def prof01(spark, sf_dir):
     return profiling.column_profile(o, _PROFILE_COLS)
 
 
+# The driver's correctness gate checks the first 50 ``queries()`` entries
+# in dict order.  Decorator order above is pedagogical (projection →
+# filter → agg → …), which would spend the whole window on scalar
+# warm-ups; PRIORITY front-loads the operators whose correctness is the
+# engine's actual value — dedup, similarity, corpus prep, CDC, text,
+# sampling, heavy TPC-H shapes.  Everything else follows in decorator
+# order, so the full 144-query surface is unchanged.
+PRIORITY: tuple[str, ...] = (
+    "q00_flagship_churn_features",
+    "d01_exact_content_dedup",
+    "d02_ngram_jaccard_pairs",
+    "d03_minhash_near_dup",
+    "d04_simhash_near_dup",
+    "d05_near_dedup_survivors",
+    "d06_dup_clusters",
+    "d07_benchmark_contamination",
+    "d08_incremental_dedup",
+    "v01_vector_norms",
+    "v02_brute_force_topk",
+    "v03_lsh_topk",
+    "v04_embedding_near_dup",
+    "v05_ivf_topk",
+    "v06_int8_quantization",
+    "ll01_corpus_prep",
+    "ll02_sequence_packing",
+    "ll03_document_chunking",
+    "t07_tfidf_top_terms",
+    "t10_fuzzy_pairs",
+    "c01_cdc_latest_state",
+    "c02_scd2_history",
+    "c03_scd2_lookup",
+    "c04_snapshot_diff",
+    "t01_token_counts",
+    "t02_language_id",
+    "t03_quality_score",
+    "t04_fingerprint",
+    "t08_pii_redaction",
+    "t09_udtf_bigrams",
+    "s02_hash_sample",
+    "s03_stratified_sample",
+    "s06_source_mixture",
+    "prof01_column_profile",
+    "m01_media_features",
+    "m02_video_frame_sample",
+    "x01_pandas_group_rank",
+    "j06_asof_join",
+    "j07_range_join",
+    "h03_shipping_priority",
+    "h07_volume_shipping",
+    "h08_market_share",
+    "h20_potential_promotion",
+    "h21_waiting_supplier",
+    "a10_salted_sum",
+    "a17_median_mode",
+    "z01_zorder_values",
+    "sql03_recursive_cte",
+    "sql04_lateral_topn",
+    "st08_hierarchical_rollup",
+)
+
+
+def _ordered() -> list[str]:
+    missing = [n for n in PRIORITY if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"PRIORITY names not in REGISTRY: {missing}")
+    rest = [n for n in REGISTRY if n not in set(PRIORITY)]
+    return list(PRIORITY) + rest
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: REGISTRY[name][0] for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
-        name: (sql() if callable(sql) else sql)
-        for name, (fn, sql) in REGISTRY.items()
-        if sql is not None
-    }
+    out = {}
+    for name in _ordered():
+        sql = REGISTRY[name][1]
+        if sql is not None:
+            out[name] = sql() if callable(sql) else sql
+    return out

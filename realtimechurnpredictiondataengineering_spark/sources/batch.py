@@ -30,11 +30,17 @@ TABLES: tuple[str, ...] = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader does
-# not support natively: with spark.sql.legacy.parquet.nanosAsLong=true
-# (set by session.ENGINE_CONF/tune_runtime) they arrive as long and are
-# converted to micros timestamps here.  Integer `div` — not `/` — because
-# epoch-nanos exceed double's 2^53 exact-integer range.
+# Columns whose parquet physical encoding varies by writer and must be
+# normalized to a plain TIMESTAMP so downstream type contracts hold
+# (e.g. unix_millis rejects TIMESTAMP_NTZ):
+#  - TIMESTAMP(NANOS): Spark's reader does not support it natively; with
+#    spark.sql.legacy.parquet.nanosAsLong=true (set by session.ENGINE_CONF/
+#    tune_runtime) it arrives as long and is converted to micros timestamps
+#    here.  Integer `div` — not `/` — because epoch-nanos exceed double's
+#    2^53 exact-integer range.
+#  - TIMESTAMP_NTZ (isAdjustedToUTC=false): cast to TIMESTAMP.  The session
+#    timezone is pinned UTC (session.ENGINE_CONF), so the cast is an exact
+#    relabeling, not a wall-clock shift.
 NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -44,8 +50,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in NANO_TS_COLS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
