@@ -1,0 +1,66 @@
+"""Regenerate the machine-generated plan blocks in PLANS.md.
+
+Keeps every prose annotation and every hand-compressed excerpt (blocks
+that do NOT start with ``== Physical Plan ==``); replaces each block
+that does with the current ``.explain("formatted")`` tree for the query
+named by the section header.  This makes PLANS.md reproducible: prose is
+curated, trees are from the code.
+
+Run: PYTHONPATH=/root/repo python tools/gen_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+PLANS = "PLANS.md"
+
+
+def formatted_tree(df) -> str:
+    """The numbered operator tree of explain('formatted') (details omitted)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    lines = buf.getvalue().splitlines()
+    tree: list[str] = []
+    for line in lines:
+        if not line.strip() and tree:
+            break
+        tree.append(line.rstrip())
+    return "\n".join(tree).rstrip()
+
+
+def main() -> int:
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
+    from realtimechurnpredictiondataengineering_spark.session import get_spark
+
+    spark = get_spark(app_name="gen-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    text = open(PLANS).read()
+    # Split into sections on "## " headers, preserving the preamble.
+    parts = re.split(r"(?m)^(## .+)$", text)
+    out = [parts[0]]
+    refreshed = []
+    for i in range(1, len(parts), 2):
+        header, body = parts[i], parts[i + 1]
+        name = header.removeprefix("## ").strip()
+        block = re.search(r"```\n== Physical Plan ==\n.*?```", body, re.S)
+        if name in REGISTRY and block:
+            df = REGISTRY[name][0](spark, SF_DIR)
+            new_block = f"```\n{formatted_tree(df)}\n```"
+            body = body[: block.start()] + new_block + body[block.end() :]
+            refreshed.append(name)
+        out.append(header)
+        out.append(body)
+    open(PLANS, "w").write("".join(out))
+    print(f"refreshed {len(refreshed)} plan blocks: {', '.join(refreshed)}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
