@@ -76,6 +76,7 @@ HEADLINE = (
     "t10_fuzzy_pairs",
     "d08_incremental_dedup",
     "prof01_column_profile",
+    "viz01_binned_scatter",
 )
 
 

@@ -3883,6 +3883,65 @@ def prof01(spark, sf_dir):
     return profiling.column_profile(o, _PROFILE_COLS)
 
 
+# ---------------------------------------------------------------------------
+# Report / visualization layer (GoldDataVisualiztion1.py parity)
+# ---------------------------------------------------------------------------
+
+_VIZ01_SQL = f"""
+WITH gold AS ({_FLAGSHIP_SQL})
+SELECT CAST(floor(total_revenue / 25000) AS INT) AS x_bin,
+       CAST(floor(sessions / 5) AS INT) AS y_bin,
+       count(*) AS n,
+       round(avg(churn_risk), 4) AS avg_churn_risk
+FROM gold
+WHERE total_revenue IS NOT NULL AND sessions IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("viz01_binned_scatter", _VIZ01_SQL)
+def viz01(spark, sf_dir):
+    # The dashboard's revenue-vs-sessions scatter (GoldDataVisualiztion1.
+    # py:33-38) as a fixed-width 2D density grid: output is O(occupied
+    # bins) regardless of input rows — the collect-side payload a 100 TB
+    # dashboard needs.  One extra shuffle over gold (map-side combined).
+    from realtimechurnpredictiondataengineering_spark.plans import report
+
+    return report.binned_scatter(
+        churn_features(spark, sf_dir),
+        x="total_revenue",
+        y="sessions",
+        x_width=25000,
+        y_width=5,
+        weight="churn_risk",
+    )
+
+
+_VIZ02_SQL = f"""
+WITH gold AS ({_FLAGSHIP_SQL}),
+signup AS (
+  SELECT user_id AS customer_id,
+         CAST(datediff('day', CAST(min(ts) AS DATE),
+                       CAST(TIMESTAMP '{DEFAULT_AS_OF}' AS DATE)) AS INT)
+           AS signup_days_ago,
+         round(avg(value), 2) AS avg_resolution_time
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT s.customer_id, s.avg_resolution_time, g.avg_ticket_sentiment
+FROM signup s JOIN gold g ON g.customer_id = s.customer_id
+"""
+
+
+@register("viz02_support_scatter", _VIZ02_SQL)
+def viz02(spark, sf_dir):
+    # Support scatter input (GoldDataVisualiztion1.py:41-46):
+    # avg_resolution_time × avg_ticket_sentiment, rebuilt from events
+    # because gold's output drops the resolution column (Gold1.py:123).
+    from realtimechurnpredictiondataengineering_spark.plans import report
+
+    return report.scatter_datasets(spark, sf_dir)["support_features"]
+
+
 # The driver's correctness gate checks the first 50 ``queries()`` entries
 # in dict order.  Decorator order above is pedagogical (projection →
 # filter → agg → …), which would spend the whole window on scalar
