@@ -77,6 +77,8 @@ HEADLINE = (
     "d08_incremental_dedup",
     "prof01_column_profile",
     "viz01_binned_scatter",
+    "t11_repetition_metrics",
+    "v07_quantized_topk",
 )
 
 

@@ -203,3 +203,51 @@ def shingles(col: Column | str, k: int = 5) -> Column:
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return F.array_distinct(grams)
+
+
+def repetition_ratio(col: Column | str) -> Column:
+    """Token repetition: 1 − distinct/total tokens (0 for empty text).
+
+    The Gopher/RefinedWeb-family duplication signal — high values mean
+    boilerplate or degenerate generation.  Pure column expression: no
+    shuffle, no UDF."""
+    toks = tokens(col)
+    n = token_count(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n
+    )
+
+
+def top_bigram_fraction(col: Column | str) -> Column:
+    """Fraction of all word bigrams taken by the single most frequent one
+    (0 when fewer than 2 tokens).
+
+    Computed scan-local: build the bigram array, sort it, and fold once
+    counting the longest run of equal adjacent elements — O(n log n) per
+    row inside codegen'd expressions, ZERO shuffles, where the textbook
+    explode → count → max formulation costs two exchanges per corpus.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        )
+    )
+    best_run = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return F.when(n < 2, F.lit(0.0)).otherwise(best_run / (n - 1))

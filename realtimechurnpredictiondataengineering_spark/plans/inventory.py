@@ -3884,6 +3884,104 @@ def prof01(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Repetition quality metrics (t11) and quantized ANN (v07)
+# ---------------------------------------------------------------------------
+
+_T11_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         round(1.0 - len(list_distinct(t)) / len(t), 4) AS rep_ratio,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS grams
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM base WHERE n_tokens >= 2),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(c) AS max_c FROM cnt GROUP BY 1)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens, b.rep_ratio,
+       coalesce(round(CAST(a.max_c AS DOUBLE) / (b.n_tokens - 1), 4), 0.0)
+         AS top_bigram_frac
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("t11_repetition_metrics", _T11_SQL)
+def t11(spark, sf_dir):
+    # Gopher/RefinedWeb-family repetition signals, entirely scan-local:
+    # rep_ratio is an array-distinct expression and top_bigram_frac a
+    # sort+fold over the row's own bigram array — zero shuffles where
+    # the textbook explode→count→max costs two exchanges per corpus.
+    d = _td(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        tx.token_count("text").cast("int").alias("n_tokens"),
+        F.round(tx.repetition_ratio("text"), 4).alias("rep_ratio"),
+        F.round(tx.top_bigram_fraction("text"), 4).alias("top_bigram_frac"),
+    )
+
+
+_V07_SQL = f"""
+WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qz AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS am
+  FROM c
+),
+qv AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> floor(127 * x / (CASE WHEN am = 0 THEN 1 ELSE am END) + 0.5)) AS q
+  FROM qz
+),
+qn AS (SELECT vec_id, v, q, sqrt(list_dot_product(q, q)) AS nq FROM qv),
+qs AS (SELECT vec_id AS query_id, v AS qfull, q AS qq, nq AS nqq
+       FROM qn WHERE vec_id IN (0, 1, 2)),
+approx AS (
+  SELECT qs.query_id, qn.vec_id,
+         CASE WHEN qn.nq * qs.nqq = 0 THEN 0.0
+              ELSE list_dot_product(qn.q, qs.qq) / (qn.nq * qs.nqq) END AS qcos
+  FROM qn, qs
+),
+cand AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id DESC) AS rk
+  FROM approx
+),
+rescored AS (
+  SELECT cand.query_id, cand.vec_id,
+         {SQL_COSINE.format(a='qs.qfull', b='c.v')} AS cos
+  FROM cand
+  JOIN qs ON qs.query_id = cand.query_id
+  JOIN c ON c.vec_id = cand.vec_id
+  WHERE cand.rk <= 20
+),
+ranked AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id DESC) AS rank
+  FROM rescored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("v07_quantized_topk", _V07_SQL)
+def v07(spark, sf_dir):
+    # int8 approximate scan (4x fewer bytes) -> exact float rescore of
+    # 4k candidates.  Both stages oracle-checked, including the int8
+    # candidate cut itself (floor(127x/absmax+0.5) replicated in SQL).
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.quantized_topk(e, qs, k=5, rescore_factor=4)
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cos_sim"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Report / visualization layer (GoldDataVisualiztion1.py parity)
 # ---------------------------------------------------------------------------
 

@@ -109,3 +109,36 @@ class TestScalar:
             x=1,
         )
         assert str(out) == "2024-01-01 00:05:00"
+
+
+class TestRepetitionMetrics:
+    def test_repetition_ratio_values(self, spark):
+        from realtimechurnpredictiondataengineering_spark.functions import text as tx
+
+        df = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a a a a"), (2, "a b a b"), (3, "")],
+            "id long, text string",
+        )
+        rows = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                F.round(tx.repetition_ratio("text"), 4).alias("rep"),
+                F.round(tx.top_bigram_fraction("text"), 4).alias("big"),
+            ).collect()
+        }
+        assert rows[0]["rep"] == 0.0          # all distinct
+        assert rows[1]["rep"] == 0.75         # 1 distinct of 4
+        assert rows[1]["big"] == 1.0          # "a a" is every bigram
+        assert rows[2]["rep"] == 0.5
+        # bigrams of "a b a b": [a b, b a, a b] -> top frac 2/3
+        assert rows[2]["big"] == round(2 / 3, 4)
+        assert rows[3]["rep"] == 0.0 and rows[3]["big"] == 0.0
+
+    def test_single_token_doc(self, spark):
+        from realtimechurnpredictiondataengineering_spark.functions import text as tx
+
+        [r] = spark.createDataFrame([("word",)], "text string").select(
+            tx.top_bigram_fraction("text").alias("big")
+        ).collect()
+        assert r["big"] == 0.0

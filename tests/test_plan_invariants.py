@@ -28,6 +28,7 @@ EXECUTES_ON_BUILD = {"d06_dup_clusters"} | {n for n in REGISTRY if n.startswith(
 BNLJ_ALLOWED = {
     "v01_vector_norms",
     "v02_brute_force_topk",
+    "v07_quantized_topk",  # int8 scan broadcasts the 3 quantized queries
     "t07_tfidf_top_terms",
     "st09_gap_fill",
     "h11_important_parts",

@@ -127,3 +127,24 @@ def test_quantize_int8_edges(spark):
     assert got[1]["qvec"] == [64, -127, 32]  # floor(127*v/2 + .5)
     assert got[2]["qvec"] == [0, 0] and got[2]["scale"] == 0.0
     assert got[3]["qvec"] == [] and got[3]["scale"] == 0.0
+
+
+def test_quantized_topk_rescore_matches_brute_force(spark, corpus, queries, corpus_np):
+    # with a generous rescore pool the exact-rescored top-k must equal
+    # brute force exactly (rescore scores are float cosine, same ties)
+    out = similarity.quantized_topk(corpus, queries, k=K, rescore_factor=8).collect()
+    by_query = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_query.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qi in range(3):
+        assert by_query[qi] == _ground_truth_topk(corpus_np, qi, K)
+
+
+def test_quantized_topk_no_corpus_shuffle(spark, corpus, queries):
+    plan = (
+        similarity.quantized_topk(corpus, queries, k=K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # candidate set and queries broadcast; the only exchanges are the
+    # two top-k reductions keyed by query id
+    assert "SortMergeJoin" not in plan
