@@ -246,3 +246,44 @@ def compact_rollup(
     shutil.rmtree(partials_dir)
     shutil.move(staged, partials_dir)
     return spark.read.parquet(partials_dir).count()
+
+
+def streaming_incremental_dedup(
+    docs_stream: DataFrame,
+    corpus_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming flavor of ``operators.dedup.incremental_dedup`` stage
+    1+2: the Kafka→corpus ingest path where every arriving document must
+    be new against (a) everything already accepted into the corpus and
+    (b) everything seen earlier on the stream itself.
+
+    (a) is a stream-static LEFT ANTI join on the content fingerprint —
+    the corpus side is its precomputed 8-byte/32-char fingerprint table
+    (never the text), small enough to broadcast per micro-batch, and
+    re-resolved each batch so a corpus refresh is picked up without
+    restarting the query.  (b) is watermarked
+    ``dropDuplicatesWithinWatermark`` on the fingerprint, so stream
+    state stays bounded by the watermark horizon instead of growing with
+    corpus size — the unbounded-state trap (Silver1.py:41) does not
+    scale to a crawl feed.  Near-dup (stage 3) stays a batch job over
+    the accepted snapshot: shingle indexes are not per-microbatch state.
+
+    Returns the deduplicated streaming DataFrame (original columns).
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import fingerprint_md5
+
+    fp = docs_stream.withColumn("_fp", fingerprint_md5(text_col))
+    fresh = fp.join(
+        F.broadcast(corpus_fingerprints.withColumnRenamed("fingerprint", "_fp")),
+        "_fp",
+        "left_anti",
+    )
+    return (
+        fresh.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_fp"])
+        .drop("_fp")
+    )

@@ -308,3 +308,39 @@ def test_deviation_processor_fold_logic():
     # history capped at max_history=6 and persisted through the stub state
     assert len(h.state.rows) == 6
     assert [r[0] for r in h.state.rows][-2:] == [10.5, 99.0]
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    from realtimechurnpredictiondataengineering_spark.functions.text import fingerprint_md5
+
+    # docs feed: d1 duplicates the corpus, d2/d3 duplicate each other
+    # (different ids, same content), d4 is fresh
+    feed = str(tmp_path / "docs_feed")
+    spark.createDataFrame(
+        [
+            (1, "already in the corpus", "2024-01-01 00:00:00"),
+            (2, "new doc twice on stream", "2024-01-01 00:00:10"),
+            (3, "new doc twice on stream", "2024-01-01 00:00:20"),
+            (4, "genuinely fresh content", "2024-01-01 00:00:30"),
+        ],
+        "doc_id long, text string, ts string",
+    ).selectExpr("doc_id", "text", "CAST(ts AS TIMESTAMP) AS ts").coalesce(1).write.json(feed)
+
+    corpus = spark.createDataFrame(
+        [("already in the corpus",)], "text string"
+    ).select(fingerprint_md5("text").alias("fingerprint"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp").json(feed)
+    )
+    q = memory_sink(
+        pipelines.streaming_incremental_dedup(stream, corpus), "stream_dedup"
+    )
+    _drain(q)
+    rows = spark.sql("SELECT doc_id FROM stream_dedup ORDER BY doc_id").collect()
+    kept = [r["doc_id"] for r in rows]
+    # corpus dup dropped; one of (2,3) survives; 4 survives
+    assert 1 not in kept
+    assert 4 in kept
+    assert len([d for d in kept if d in (2, 3)]) == 1
+    assert set(spark.sql("SELECT * FROM stream_dedup").columns) == {"doc_id", "text", "ts"}

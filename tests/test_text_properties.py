@@ -188,3 +188,26 @@ def test_contamination_requires_min_overlap_and_broadcasts(spark):
     assert rows[0]["n_shared"] == 4
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan  # bench index must broadcast
+
+
+@PROP_SETTINGS
+@given(texts=TEXTS)
+def test_repetition_metrics_match_python_model(sparkm, texts):
+    from collections import Counter
+
+    rows = _run(
+        sparkm,
+        texts,
+        tx.repetition_ratio("text").alias("rep"),
+        tx.top_bigram_fraction("text").alias("big"),
+    )
+    for r in rows:
+        toks = _tokens(r["text"])
+        exp_rep = 0.0 if not toks else 1.0 - len(set(toks)) / len(toks)
+        assert abs(r["rep"] - exp_rep) < 1e-9, repr(r["text"])
+        if len(toks) < 2:
+            exp_big = 0.0
+        else:
+            grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            exp_big = Counter(grams).most_common(1)[0][1] / len(grams)
+        assert abs(r["big"] - exp_big) < 1e-9, repr(r["text"])
