@@ -95,3 +95,26 @@ def source_mixture(
         reps = F.when(src == name, F.lit(repeats)).otherwise(reps)
     kept = df.filter(hash_bucket(key, buckets) < rate)
     return kept.withColumn("epoch", F.explode(F.sequence(F.lit(1), reps)))
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    test_percent: int = 10,
+    buckets: int = 100,
+) -> tuple[DataFrame, DataFrame]:
+    """Leakage-safe (train, test) split: the hash decision is keyed on a
+    GROUP column (source, domain, dedup-cluster id), so every row of a
+    group lands on the same side.  This is the split discipline for
+    eval-set integrity — near-duplicate documents cluster within groups,
+    and a row-keyed split (``train_test_split``) would strand one copy
+    in train and its near-twin in test, silently inflating eval scores.
+
+    Same plan shape as the row split: complementary codegen'd filters
+    over one scan, no shuffle, no group registry to maintain — the group
+    key itself carries the decision."""
+    threshold = round(buckets * test_percent / 100.0)
+    b = hash_bucket(group_col, buckets)
+    test = df.filter(b < threshold)
+    train = df.filter(b >= threshold)
+    return train, test

@@ -3883,6 +3883,34 @@ def prof01(spark, sf_dir):
     return profiling.column_profile(o, _PROFILE_COLS)
 
 
+@register(
+    "s07_group_split",
+    f"""
+SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs
+FROM (SELECT source,
+             CASE WHEN {{hb}} < 20 THEN 'test' ELSE 'train' END AS split
+      FROM documents)
+GROUP BY source, split
+""".format(hb=_SQL_HASH_BUCKET.format(col="source")),
+)
+def s07(spark, sf_dir):
+    # Leakage-safe split: hash keyed on the GROUP (source), so every doc
+    # of a group lands on one side — near-dup twins cluster within
+    # groups and must not straddle train/test.  Whole groups flip sides,
+    # so per (source, split) the count is all-or-nothing.
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    d = _td(spark, sf_dir)
+    train, test = sampling.group_split(d, "source", test_percent=20)
+
+    def summary(df, name):
+        return df.groupBy("source").agg(F.count("*").alias("n_docs")).select(
+            "source", F.lit(name).alias("split"), "n_docs"
+        )
+
+    return summary(train, "train").unionByName(summary(test, "test"))
+
+
 # ---------------------------------------------------------------------------
 # Repetition quality metrics (t11) and quantized ANN (v07)
 # ---------------------------------------------------------------------------

@@ -190,3 +190,20 @@ def test_column_profile_plan_shapes(spark):
     assert prof == {"id": 1, "cat": 1}
     with pytest.raises(ValueError):
         profiling.column_profile(df, [])
+
+
+def test_group_split_keeps_groups_intact(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 7}") for i in range(700)], "doc_id long, source string"
+    )
+    train, test = sampling.group_split(df, "source", test_percent=30)
+    train_src = {r["source"] for r in train.select("source").distinct().collect()}
+    test_src = {r["source"] for r in test.select("source").distinct().collect()}
+    # no group straddles the split, nothing is lost
+    assert train_src.isdisjoint(test_src)
+    assert train.count() + test.count() == 700
+    # deterministic: same assignment on a rerun with different partitioning
+    train2, _ = sampling.group_split(df.repartition(13), "source", test_percent=30)
+    assert {r["source"] for r in train2.select("source").distinct().collect()} == train_src
