@@ -408,9 +408,13 @@ def connected_components(
     cluster (the transitive closure that the one-pass ``near_dedup``
     survivor rule approximates).
 
-    Each round is one shuffle (edges ⋈ labels, groupBy min) and runs in
-    O(cluster diameter) rounds — near-dup clusters are shallow (a dozen
-    rounds covers web-scale corpora).  ``localCheckpoint`` truncates
+    Each round is one shuffle (edges ⋈ labels, groupBy min); from round
+    3 a pointer jump through the labels joins in as well, giving
+    O(log diameter) convergence — the jump collapses chains
+    exponentially, so even a 1000-link duplicate chain (mirror
+    cascades) needs ~10 rounds where plain neighbor propagation needs
+    1000, while shallow graphs converge before ever paying the extra
+    join.  ``localCheckpoint`` truncates
     lineage each round; without it the iterated plan nests ``max_iter``
     joins deep and Catalyst re-analysis dominates (the classic
     iterative-algorithm trap on Spark).  The convergence flag rides the
@@ -442,21 +446,44 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
     converged = False
-    for _ in range(max_iter):
+    for round_idx in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
-                (F.coalesce("nb_label", "label") < F.col("label")).alias("_changed"),
-            )
-            .localCheckpoint(eager=True)
+        propagated = labels.join(
+            neighbor_min, labels.id == neighbor_min.src, "left"
+        ).select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
+            (F.coalesce("nb_label", "label") < F.col("label")).alias("_changed"),
         )
+        if round_idx >= 2:
+            # Pointer jump (label <- label's label) from round 3 on: one
+            # extra equi-join per round turns O(diameter) convergence
+            # into O(log diameter), so a 1000-link duplicate chain
+            # (mirror cascades produce them) finishes in ~10 rounds
+            # instead of blowing max_iter.  Deferred two rounds because
+            # typical near-dup clusters are shallow and converge before
+            # ever paying the jump join.  Safe: a node's label only
+            # ever decreases toward its component minimum.
+            parents = propagated.select(
+                F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+            )
+            propagated = propagated.join(
+                parents, propagated.label == F.col("_pid"), "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("_plabel", "label")
+                ).alias("label"),
+                (
+                    F.col("_changed")
+                    | (F.coalesce("_plabel", "label") < F.col("label"))
+                ).alias("_changed"),
+            )
+        updated = propagated.localCheckpoint(eager=True)
         changed = updated.filter("_changed").limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:

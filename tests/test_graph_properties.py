@@ -87,3 +87,16 @@ def test_range_join_matches_brute_force(spark, intervals, points):
         if s <= p < e
     )
     assert got == want
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    # a 200-link chain has diameter 200; pointer jumping must converge
+    # within O(log n) rounds — plain neighbor propagation would need 200
+    # rounds and trip the max_iter guard
+    chain = [(i, i + 1) for i in range(200)]
+    got = dedup.connected_components(
+        spark.createDataFrame(chain, "id_a int, id_b int"), max_iter=12
+    )
+    rows = got.collect()
+    assert len(rows) == 201
+    assert {r["component"] for r in rows} == {0}
