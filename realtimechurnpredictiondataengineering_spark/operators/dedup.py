@@ -305,9 +305,17 @@ def ngram_jaccard_pairs(
     - each index row carries its document's set size, so the Jaccard
       denominator is grouped through the pair aggregation instead of
       re-joined per side (the naive form pays two extra joins);
-    - the frequency cap is a broadcast ANTI-join against the (tiny) set
-      of over-cap shingles — boilerplate grams are few by construction,
-      so the cap never shuffles the index itself;
+    - the frequency cap is a broadcast ANTI-join against the set of
+      over-cap shingles, which prunes boilerplate postings MAP-SIDE —
+      each over-cap shingle carries >max_doc_freq index rows, so
+      dropping them before the pair shuffle is the whole point; a
+      shuffled anti-join would move exactly those postings.  Envelope:
+      the broadcast is 8 bytes per over-cap shingle, and the over-cap
+      set shrinks as the cap grows (Zipf), so size it so the hot set
+      stays in driver memory (~10⁷ shingles ≈ 100 MB is fine; if a
+      corpus ever exceeds that, the exact cap must yield to an
+      approximate one — e.g. a Bloom filter over the hot set, trading
+      a bounded false-drop rate for O(1) memory);
     - ``hash_shingles`` (default) folds each shingle string to xxhash64
       before the shuffle: 8-byte join keys instead of arbitrary-length
       text.  A collision merges two shingles' postings — odds ~n²/2⁶⁴,
