@@ -79,6 +79,7 @@ HEADLINE = (
     "viz01_binned_scatter",
     "t11_repetition_metrics",
     "v07_quantized_topk",
+    "ll04_corpus_shuffle",
 )
 
 

@@ -91,3 +91,28 @@ def sequence_stats(packed: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("seq_tokens"),
     )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: str = "42",
+    out_col: str = "position",
+) -> DataFrame:
+    """Deterministic global permutation for training order: every row
+    gets a ``position`` in 1..N ordered by ``md5(seed || key)`` — the
+    pre-training shuffle that decorrelates document order from crawl
+    order, reproducible on any cluster/partitioning/engine (same
+    hash-order trick as ``operators.sampling``; change ``seed`` for a
+    fresh epoch permutation).
+
+    The position assignment is ``global_prefix_sum`` of 1s over the
+    hash order — two narrow passes, no single-task global window, no
+    ``zipWithIndex`` RDD round-trip.  Ties are impossible in practice
+    (md5) but ``key`` rides in the order spec so the order is total by
+    construction."""
+    hashed = df.withColumn(
+        "_sk", F.md5(F.concat(F.lit(seed), F.col(key).cast("string")))
+    ).withColumn("_one", F.lit(1))
+    out = global_prefix_sum(hashed, ["_sk", key], "_one", out_col=out_col)
+    return out.withColumn(out_col, F.col(out_col).cast("long")).drop("_sk", "_one")

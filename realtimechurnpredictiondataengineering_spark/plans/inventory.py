@@ -3884,6 +3884,26 @@ def prof01(spark, sf_dir):
 
 
 @register(
+    "ll04_corpus_shuffle",
+    """
+SELECT doc_id, source,
+       CAST(row_number() OVER (
+         ORDER BY md5('42' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS position
+FROM documents
+""",
+)
+def ll04(spark, sf_dir):
+    # Deterministic pre-training shuffle: position 1..N by seeded hash
+    # order — distributed two-phase prefix sum, no single-task global
+    # window; the oracle's row_number() checks the entire permutation.
+    from realtimechurnpredictiondataengineering_spark.operators import packing
+
+    d = _td(spark, sf_dir).select("doc_id", "source")
+    return packing.corpus_shuffle(d, "doc_id", seed="42")
+
+
+@register(
     "s07_group_split",
     f"""
 SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs

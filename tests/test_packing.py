@@ -59,3 +59,32 @@ def test_pack_sequences_fills_budget(spark):
     # start offsets are the exclusive prefix sum in doc_id order
     first = packed.filter("doc_id = 0").first()
     assert first["start_offset"] == 0 and first["seq_id"] == 0
+
+
+def test_corpus_shuffle_is_reproducible_permutation(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import packing
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = packing.corpus_shuffle(df, "doc_id").collect()
+    positions = sorted(r["position"] for r in out)
+    assert positions == list(range(1, 501))  # exact permutation of 1..N
+    by_id = {r["doc_id"]: r["position"] for r in out}
+    # same assignment under a different partitioning
+    out2 = packing.corpus_shuffle(df.repartition(17), "doc_id").collect()
+    assert {r["doc_id"]: r["position"] for r in out2} == by_id
+    # a different seed is a different permutation
+    out3 = packing.corpus_shuffle(df, "doc_id", seed="7").collect()
+    assert {r["doc_id"]: r["position"] for r in out3} != by_id
+
+
+def test_corpus_shuffle_no_single_task_window(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import packing
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = (
+        packing.corpus_shuffle(df, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the order exchange must be a range partitioning, never a
+    # SinglePartition gather for the window
+    assert "rangepartitioning" in plan.lower()

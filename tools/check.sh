@@ -1,0 +1,13 @@
+#!/bin/sh
+# Full verification recipe, one command (see .claude/skills/verify/SKILL.md):
+#   1. unit/streaming/plan tests        (~9 min)
+#   2. 149-query DuckDB oracle parity   (~11 min)
+#   3. headline bench at sf0.1          (~3 min)
+# Usage: tools/check.sh  (from the repo root)
+set -e
+cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD"
+
+python -m pytest tests/ -q
+python tests/oracle_harness.py /root/testdata/sf0.01
+python bench.py
