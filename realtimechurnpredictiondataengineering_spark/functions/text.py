@@ -251,3 +251,61 @@ def top_bigram_fraction(col: Column | str) -> Column:
         lambda acc: acc.best,
     )
     return F.when(n < 2, F.lit(0.0)).otherwise(best_run / (n - 1))
+
+
+def dup_ngram_char_fraction(col: Column | str, k: int = 3) -> Column:
+    """Fraction of characters inside duplicated word k-grams (0 when
+    fewer than ``k`` tokens) — the other Gopher-family repetition
+    signal: high values mean long stretches of the document repeat.
+
+    A character is "inside a duplicated k-gram" if it belongs to any
+    k-gram occurrence whose gram appears more than once in the document;
+    we approximate char attribution the way the reference formulations
+    do — each occurrence owns its gram's character length — and divide
+    by the total k-gram-owned length.  Scan-local like
+    ``top_bigram_fraction``: sort the gram array, fold once counting
+    characters in equal-adjacent runs of length >= 2, zero shuffles.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+    # fold state: (prev gram, run length, chars in duplicated runs so
+    # far, chars total so far).  When a run ends with length r >= 2 its
+    # r*len(gram) chars count as duplicated; the finish lambda flushes
+    # the last run.
+    folded = F.aggregate(
+        grams,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("dup_chars"),
+            F.lit(0).cast("long").alias("total_chars"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                acc.dup_chars
+                + F.when(
+                    (x != acc.prev) & (acc.run >= 2),
+                    acc.run * F.length(acc.prev),
+                ).otherwise(F.lit(0))
+            ).alias("dup_chars"),
+            (acc.total_chars + F.length(x)).alias("total_chars"),
+        ),
+        lambda acc: F.struct(
+            (
+                acc.dup_chars
+                + F.when(acc.run >= 2, acc.run * F.length(acc.prev)).otherwise(F.lit(0))
+            ).alias("dup_chars"),
+            acc.total_chars.alias("total_chars"),
+        ),
+    )
+    return F.when((n < k) | (folded.total_chars == 0), F.lit(0.0)).otherwise(
+        folded.dup_chars / folded.total_chars
+    )

@@ -283,3 +283,30 @@ def quantized_topk(
         )
     )
     return topk_reduce(rescored, query_id_col, id_col, "cos_sim", k)
+
+
+def mips_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact maximum-inner-product top-k (MIPS): the retrieval scoring
+    used when magnitudes carry signal (recommendation/two-tower models)
+    — unlike cosine, NOT scale-invariant, so no normalization happens.
+    Same plan as ``brute_force_topk``: broadcast query set over one
+    corpus scan, two-phase top-k reduction.  Returns
+    (query_id, rank, vec_id, dot).
+    """
+    scored = (
+        fan_out(corpus).crossJoin(F.broadcast(queries))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            dot(F.col(vec_col), F.col(query_vec_col)).alias("dot"),
+        )
+    )
+    return topk_reduce(scored, query_id_col, id_col, "dot", k)

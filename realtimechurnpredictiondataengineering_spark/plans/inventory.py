@@ -3935,6 +3935,73 @@ def s07(spark, sf_dir):
 # Repetition quality metrics (t11) and quantized ANN (v07)
 # ---------------------------------------------------------------------------
 
+_T12_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n,
+         list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                        i -> array_to_string(t[i:i+2], ' ')) AS grams
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM base WHERE n >= 3),
+cnt AS (SELECT doc_id, g, count(*) AS c, length(g) AS lg
+        FROM ex GROUP BY doc_id, g, length(g)),
+agg AS (
+  SELECT doc_id,
+         sum(CASE WHEN c >= 2 THEN c * lg ELSE 0 END) AS dup_chars,
+         sum(c * lg) AS total_chars
+  FROM cnt GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(
+         round(CASE WHEN a.total_chars = 0 THEN 0.0
+                    ELSE CAST(a.dup_chars AS DOUBLE) / a.total_chars END, 4),
+         0.0
+       ) AS dup_char_frac
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("t12_dup_ngram_chars", _T12_SQL)
+def t12(spark, sf_dir):
+    # Gopher's chars-in-duplicated-3-grams signal, scan-local (sorted
+    # gram array + one fold; zero shuffles); the oracle recomputes it
+    # relationally (unnest -> group -> sum) and must agree exactly.
+    d = _td(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(tx.dup_ngram_char_fraction("text", k=3), 4).alias("dup_char_frac"),
+    )
+
+
+_V08_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (SELECT query_id, vec_id, list_dot_product(qv, cv) AS dot FROM q, c),
+ranked AS (SELECT query_id, vec_id, dot,
+           row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id DESC) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(dot, 6) AS dot
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("v08_mips_topk", _V08_SQL)
+def v08(spark, sf_dir):
+    # Exact max-inner-product retrieval (two-tower scoring): same
+    # broadcast-queries single-scan plan as v02, no normalization.
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.mips_topk(e, qs, k=5)
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "dot"
+    )
+
+
 _T11_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents

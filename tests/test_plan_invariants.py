@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "v01_vector_norms",
     "v02_brute_force_topk",
     "v07_quantized_topk",  # int8 scan broadcasts the 3 quantized queries
+    "v08_mips_topk",  # broadcast query-set pattern, same as v02
     "t07_tfidf_top_terms",
     "st09_gap_fill",
     "h11_important_parts",

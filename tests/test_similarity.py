@@ -148,3 +148,17 @@ def test_quantized_topk_no_corpus_shuffle(spark, corpus, queries):
     # candidate set and queries broadcast; the only exchanges are the
     # two top-k reductions keyed by query id
     assert "SortMergeJoin" not in plan
+
+
+def test_mips_topk_matches_numpy(spark, corpus, queries, corpus_np):
+    import numpy as np
+
+    out = similarity.mips_topk(corpus, queries, k=K).collect()
+    by_query = {}
+    for r in sorted(out, key=lambda r: (r["query_id"], r["rank"])):
+        by_query.setdefault(r["query_id"], []).append(r["vec_id"])
+    for qi in range(3):
+        dots = corpus_np @ corpus_np[qi]
+        # ties broken by id DESC, matching topk_reduce's struct sort
+        want = [int(i) for i in sorted(range(len(dots)), key=lambda i: (-dots[i], -i))[:K]]
+        assert by_query[qi] == want

@@ -211,3 +211,22 @@ def test_repetition_metrics_match_python_model(sparkm, texts):
             grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
             exp_big = Counter(grams).most_common(1)[0][1] / len(grams)
         assert abs(r["big"] - exp_big) < 1e-9, repr(r["text"])
+
+
+@PROP_SETTINGS
+@given(texts=TEXTS)
+def test_dup_ngram_char_fraction_matches_python_model(sparkm, texts):
+    from collections import Counter
+
+    rows = _run(sparkm, texts, tx.dup_ngram_char_fraction("text", k=3).alias("f"))
+    for r in rows:
+        toks = _tokens(r["text"])
+        if len(toks) < 3:
+            expect = 0.0
+        else:
+            grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            counts = Counter(grams)
+            total = sum(len(g) * c for g, c in counts.items())
+            dup = sum(len(g) * c for g, c in counts.items() if c >= 2)
+            expect = 0.0 if total == 0 else dup / total
+        assert abs(r["f"] - expect) < 1e-9, repr(r["text"])
