@@ -1285,7 +1285,8 @@ SELECT doc_id AS media_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
        CAST(64 + {_SQL_SHA_BYTE.format(pos=1)} % 192 AS INT) AS width,
        CAST(64 + {_SQL_SHA_BYTE.format(pos=3)} % 192 AS INT) AS height,
-       {_SQL_M01_FEATURE} AS feature
+       array_to_string(list_transform({_SQL_M01_FEATURE},
+                                      x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)), ',') AS feature
 FROM documents
 """
 
@@ -1296,15 +1297,29 @@ def m01(spark, sf_dir):
 
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"))
     out = multimodal.extract_media_features(media)
-    # float32 features quantize identically on both sides (REAL cast in
-    # the twin), compared as double.
-    return out.withColumn("feature", F.col("feature").cast("array<double>"))
+    # The float32 feature vector is serialized for comparison as a CSV of
+    # micro-units (floor(x*1e6 + 0.5), exact on both sides because the
+    # REAL-cast twin sees the same doubles) — the driver's canonicalizer
+    # cannot sort/hash list cells.  `extract_media_features` itself keeps
+    # the typed array<float> column.
+    return out.withColumn(
+        "feature",
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5))
+                .cast("bigint")
+                .cast("string"),
+            ),
+            ",",
+        ),
+    )
 
 
 _M02_SQL = """
 SELECT doc_id AS media_id,
        CAST(unnest(range(0, octet_length(encode(text)) // 30720 + 1)) AS INT) AS frame_no,
-       encode(substr(text, 1, 16)) AS frame
+       hex(encode(substr(text, 1, 16))) AS frame
 FROM documents
 """
 
@@ -1314,7 +1329,11 @@ def m02(spark, sf_dir):
     from realtimechurnpredictiondataengineering_spark.operators import multimodal
 
     media = multimodal.documents_as_media(_t(spark, sf_dir, "documents"), kind="video")
-    return multimodal.sample_video_frames(media, every_n=30)
+    frames = multimodal.sample_video_frames(media, every_n=30)
+    # Frame bytes hex-encoded for comparison (uppercase on both engines);
+    # the operator itself keeps the binary column — the driver's
+    # canonicalizer cannot sort bytearray cells.
+    return frames.withColumn("frame", F.hex("frame"))
 
 
 # ---------------------------------------------------------------------------
@@ -3653,7 +3672,7 @@ s AS (SELECT vec_id, v,
              coalesce(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale
       FROM v)
 SELECT vec_id,
-       list_transform(v, x -> CAST(floor(127 * x / (CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END) + 0.5) AS TINYINT)) AS qvec,
+       array_to_string(list_transform(v, x -> CAST(floor(127 * x / (CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END) + 0.5) AS TINYINT)), ',') AS qvec,
        round(scale, 6) AS scale
 FROM s
 """
@@ -3668,8 +3687,16 @@ def v06(spark, sf_dir):
     # 32-partition cache: a Python-side kernel pays one worker spin-up
     # PER PARTITION, so its parallelism should follow the input's real
     # splits (1 here, thousands on a cluster), like m01/m02.
+    # The qvec array is serialized to a CSV string ONLY for comparison —
+    # the driver's canonicalizer sorts pandas cells and cannot hash
+    # list cells; `vectors.quantize_int8` itself still returns
+    # array<tinyint> for downstream ANN use (v07).
     q = vec.quantize_int8(_t(spark, sf_dir, "embeddings"))
-    return q.withColumn("scale", F.round("scale", 6))
+    return q.select(
+        "vec_id",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec"),
+        F.round("scale", 6).alias("scale"),
+    )
 
 
 @register(
