@@ -63,6 +63,26 @@ def content_hash_dedup(
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------------
 
+#: Mersenne prime 2^31 - 1: the modulus of the portable MinHash
+#: permutation family.  Small enough that (num_hashes * p) products stay
+#: far below 2^63 on both engines (ANSI-overflow-safe), prime so every
+#: (a*x + b) mod p with a != 0 is a bijection of Z_p — exactly what
+#: MinHash needs from a "seeded hash".
+PORTABLE_MINHASH_P = 2_147_483_647
+
+
+def portable_hash60(col) -> F.Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5, as bigint.
+
+    DuckDB twin: ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``.
+    15 hex chars (not 16) so the value always fits a signed 64-bit int
+    without overflow on either engine.  Used by the ``portable_hash``
+    modes below, which exist so the LSH operators can be value-checked
+    against a SQL oracle; xxhash64 stays the default hot path.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
 
 def minhash_signature(
     df: DataFrame,
@@ -70,6 +90,7 @@ def minhash_signature(
     text_col: str = "text",
     num_hashes: int = 64,
     shingle_k: int = 5,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature.
 
@@ -83,35 +104,82 @@ def minhash_signature(
     per query, dominating small-batch latency.  Docs with no shingles
     (shorter than ``shingle_k``) keep the Long.MAX sentinel in every
     slot, so they band-bucket only with other empty docs.
+
+    ``portable_hash=True`` swaps both hash stages for engine-portable
+    ones so a DuckDB oracle can replay the signature bit-for-bit: base =
+    ``portable_hash60`` (one md5 per shingle — same per-shingle cost
+    shape as the default), derived = the permutation
+    ``((s+1) * (base & p) + s) mod p`` with ``p = PORTABLE_MINHASH_P``
+    (``& p`` masks base to 31 bits; pure arithmetic, no extra hashing).
+    Same fold, same plan shape; only the leaf expressions change.
     Returns (id, shingles, sig: array<bigint>).
     """
     with_sh = df.select(
         F.col(id_col), shingles(text_col, shingle_k).alias("shingles")
-    ).withColumn("base_hashes", F.transform("shingles", lambda s: F.xxhash64(s)))
-    sig = F.expr(
-        f"""
-        aggregate(
-          base_hashes,
-          array_repeat(cast(9223372036854775807 as bigint), {num_hashes}),
-          (acc, h) -> zip_with(
-            acc,
-            sequence(0, {num_hashes - 1}),
-            (a, s) -> least(a, xxhash64(h, s))
-          )
-        )
-        """
     )
+    if portable_hash:
+        with_sh = with_sh.withColumn(
+            "base_hashes",
+            F.transform("shingles", lambda s: portable_hash60(s)),
+        )
+        p = PORTABLE_MINHASH_P
+        sig = F.expr(
+            f"""
+            aggregate(
+              base_hashes,
+              array_repeat(cast({p} as bigint), {num_hashes}),
+              (acc, h) -> zip_with(
+                acc,
+                sequence(0, {num_hashes - 1}),
+                (a, s) -> least(a, ((s + 1) * (h & {p}) + s) % {p})
+              )
+            )
+            """
+        )
+    else:
+        with_sh = with_sh.withColumn(
+            "base_hashes", F.transform("shingles", lambda s: F.xxhash64(s))
+        )
+        sig = F.expr(
+            f"""
+            aggregate(
+              base_hashes,
+              array_repeat(cast(9223372036854775807 as bigint), {num_hashes}),
+              (acc, h) -> zip_with(
+                acc,
+                sequence(0, {num_hashes - 1}),
+                (a, s) -> least(a, xxhash64(h, s))
+              )
+            )
+            """
+        )
     return with_sh.select(F.col(id_col), "shingles", sig.alias("sig"))
 
 
-def _band_buckets(sig_df: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
-    """Explode a signature into (band_id, band_hash, id) LSH bucket rows."""
+def _band_buckets(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Explode a signature into (band_id, band_hash, id) LSH bucket rows.
+
+    Portable mode hashes each band slice as md5 of the comma-joined
+    decimal values (DuckDB: ``md5(array_to_string(list_slice(...), ','))``)
+    instead of xxhash64 of the array; only equality matters for the
+    bucket join, so the band-hash type (string vs bigint) is internal.
+    """
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
         chunk = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        if portable_hash:
+            band_hash = F.md5(F.array_join(chunk.cast("array<string>"), ","))
+        else:
+            band_hash = F.xxhash64(chunk)
         band_cols.append(
-            F.struct(F.lit(b).alias("band_id"), F.xxhash64(chunk).alias("band_hash"))
+            F.struct(F.lit(b).alias("band_id"), band_hash.alias("band_hash"))
         )
     return (
         sig_df.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
@@ -146,6 +214,7 @@ def minhash_near_duplicates(
     shingle_k: int = 5,
     threshold: float = 0.7,
     max_bucket: int = 10_000,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH, verified with true Jaccard.
 
@@ -153,11 +222,15 @@ def minhash_near_duplicates(
     (band_id, band_hash) → distinct pairs → join back shingle sets →
     exact Jaccard filter.  Candidate volume is controlled by the banding
     (16 bands × 4 rows ⇒ s-curve threshold ≈ 0.5) + the bucket cap.
+    ``portable_hash`` selects the oracle-replayable hash family (see
+    ``minhash_signature``); the verify stage is exact Jaccard either way.
     Returns (id_a, id_b, jaccard).
     """
-    sigs = minhash_signature(fan_out(df), id_col, text_col, num_hashes, shingle_k)
+    sigs = minhash_signature(
+        fan_out(df), id_col, text_col, num_hashes, shingle_k, portable_hash
+    )
     sigs = sigs.persist()
-    buckets = _band_buckets(sigs, id_col, num_hashes, bands)
+    buckets = _band_buckets(sigs, id_col, num_hashes, bands, portable_hash)
     pairs = _capped_bucket_pairs(buckets, id_col, ["band_id", "band_hash"], max_bucket)
 
     sh = sigs.select(F.col(id_col), "shingles")
@@ -195,15 +268,25 @@ def near_dedup(
 # --------------------------------------------------------------------------
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    portable_hash: bool = False,
+) -> DataFrame:
     """64-bit SimHash fingerprint per document.
 
     Token hashes are folded into 64 signed bit-counters with a single
     ``aggregate`` + ``zip_with`` pass (per-row, no shuffle), then packed
-    into one bigint.  Returns (id, simhash).
+    into one bigint.  ``portable_hash=True`` swaps the token hash for
+    ``portable_hash60`` so a DuckDB oracle can replay the fingerprint;
+    its bits 60-63 are then always zero (counter −n, never set), so the
+    portable fingerprint is effectively 60-bit — the fold and packing
+    are unchanged.  Returns (id, simhash).
     """
+    token_hash = portable_hash60 if portable_hash else F.xxhash64
     hashed = df.select(
-        F.col(id_col), F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("hs")
+        F.col(id_col), F.transform(tokens(text_col), lambda t: token_hash(t)).alias("hs")
     )
     counters = F.expr(
         """
@@ -238,6 +321,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 10_000,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with Hamming-distance verification.
 
@@ -247,7 +331,7 @@ def simhash_near_duplicates(
     finds all of them without an all-pairs pass.  Returns
     (id_a, id_b, hamming).
     """
-    fp = simhash64(fan_out(df), id_col, text_col).persist()
+    fp = simhash64(fan_out(df), id_col, text_col, portable_hash).persist()
     chunk_rows = fp.select(
         F.col(id_col),
         F.col("simhash"),

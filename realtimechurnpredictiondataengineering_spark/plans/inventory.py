@@ -1045,19 +1045,112 @@ def d06(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
-@register("d03_minhash_near_dup", None)  # LSH banding is not SQL-expressible
+#: DuckDB replay of the portable MinHash-LSH pipeline (d03/d05): md5-based
+#: 31-bit base hash + the (s+1)*x+s mod 2^31-1 permutation family +
+#: md5-of-joined-slice band hashes, all bit-identical to
+#: dedup.minhash_signature(portable_hash=True) / _band_buckets.  The
+#: banding IS the query semantics here (which candidate pairs exist), so
+#: the twin replicates it exactly rather than approximating with a
+#: threshold-only all-pairs Jaccard.
+_SQL_MINHASH_LSH_CTES = f"""
+sh AS (SELECT doc_id, {SQL_SHINGLES_K5} AS sh FROM documents),
+u AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+base AS (SELECT doc_id,
+                CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) & 2147483647 AS x
+         FROM u),
+seeds AS (SELECT unnest(range(0, 64)) AS s),
+sig AS (SELECT doc_id, s, min(((s + 1) * x + s) % 2147483647) AS h
+        FROM base CROSS JOIN seeds GROUP BY doc_id, s),
+sigl AS (SELECT doc_id, array_agg(h ORDER BY s) AS sig FROM sig GROUP BY doc_id),
+bands AS (SELECT doc_id, b.band_id,
+                 md5(array_to_string(list_slice(sig, b.band_id * 4 + 1, b.band_id * 4 + 4), ',')) AS band_hash
+          FROM sigl, (SELECT unnest(range(0, 16)) AS band_id) b),
+capped AS (SELECT doc_id, band_id, band_hash FROM (
+             SELECT doc_id, band_id, band_hash,
+                    count(*) OVER (PARTITION BY band_id, band_hash) AS n
+             FROM bands)
+           WHERE n <= 10000),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM capped a JOIN capped b USING (band_id, band_hash)
+         WHERE a.doc_id < b.doc_id),
+verified AS (SELECT id_a, id_b,
+                    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                    len(list_distinct(sa.sh || sb.sh)) AS j
+             FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+                       JOIN sh sb ON sb.doc_id = cand.id_b)
+"""
+
+_D03_SQL = f"""
+WITH {_SQL_MINHASH_LSH_CTES}
+SELECT id_a, id_b, round(j, 4) AS jaccard FROM verified WHERE j >= 0.5
+"""
+
+
+@register("d03_minhash_near_dup", _D03_SQL)
 def d03(spark, sf_dir):
-    return dedup.minhash_near_duplicates(_td(spark, sf_dir), threshold=0.5)
+    # portable_hash swaps xxhash64 for the md5/permutation family both
+    # engines can compute (operators/dedup.py:portable_hash60); the LSH
+    # plan shape is identical to the xxhash64 hot path.
+    return dedup.minhash_near_duplicates(
+        _td(spark, sf_dir), threshold=0.5, portable_hash=True
+    )
 
 
-@register("d04_simhash_near_dup", None)
+_D04_SQL = f"""
+WITH th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split({SQL_NORM}, ' ')) AS tok FROM documents)
+),
+bits AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM th, (SELECT unnest(range(0, 60)) AS b) b
+  GROUP BY doc_id, b.b
+),
+fp AS (SELECT doc_id,
+              sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+       FROM bits GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, simhash, c.i AS chunk_id, (simhash >> (16 * c.i)) & 65535 AS chunk_value
+  FROM fp, (SELECT unnest(range(0, 4)) AS i) c
+),
+capped AS (SELECT doc_id, simhash, chunk_id, chunk_value FROM (
+             SELECT doc_id, simhash, chunk_id, chunk_value,
+                    count(*) OVER (PARTITION BY chunk_id, chunk_value) AS n
+             FROM chunks)
+           WHERE n <= 10000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM capped a JOIN capped b USING (chunk_id, chunk_value)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 8
+"""
+
+
+@register("d04_simhash_near_dup", _D04_SQL)
 def d04(spark, sf_dir):
-    return dedup.simhash_near_duplicates(_td(spark, sf_dir), max_hamming=8)
+    # Portable fingerprint is effectively 60-bit (dedup.simhash64), so
+    # the twin folds bits 0-59; Spark's 64-slot fold packs the same
+    # value because bits 60-63 never set.
+    return dedup.simhash_near_duplicates(
+        _td(spark, sf_dir), max_hamming=8, portable_hash=True
+    )
 
 
-@register("d05_near_dedup_survivors", None)
+_D05_SQL = f"""
+WITH {_SQL_MINHASH_LSH_CTES},
+losers AS (SELECT DISTINCT id_b FROM verified WHERE j >= 0.5)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN losers l ON d.doc_id = l.id_b
+WHERE l.id_b IS NULL
+"""
+
+
+@register("d05_near_dedup_survivors", _D05_SQL)
 def d05(spark, sf_dir):
-    surv = dedup.near_dedup(_td(spark, sf_dir), threshold=0.5)
+    surv = dedup.near_dedup(_td(spark, sf_dir), threshold=0.5, portable_hash=True)
     return surv.select("doc_id", "lang", "source")
 
 
