@@ -4281,7 +4281,17 @@ def viz02(spark, sf_dir):
 # warm-ups; PRIORITY front-loads the operators whose correctness is the
 # engine's actual value — dedup, similarity, corpus prep, CDC, text,
 # sampling, heavy TPC-H shapes.  Everything else follows in decorator
-# order, so the full 144-query surface is unchanged.
+# order, so the full query surface is unchanged.
+#
+# Round-4 policy (from round-3 advice): every window slot must be
+# value-checkable (d03/d04/d05 now carry full DuckDB twins via the
+# portable-hash mode, so they stay), and every query ADDED or RESHAPED
+# in the latest round must sit inside the window so the external gate —
+# not just the local harness — validates the new code (v06/m01/m02
+# reshapes, d03-d05 twins, plus all eight round-3 additions: v07, v08,
+# t11, t12, ll04, s07, viz01, viz02).  The eight entries rotated out to
+# make room (t01-t04, t08, s02, s03, s06) were driver-green in BOTH
+# rounds 2 and 3 and remain value-checked by tests/oracle_harness.py.
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
     "d01_exact_content_dedup",
@@ -4298,24 +4308,22 @@ PRIORITY: tuple[str, ...] = (
     "v04_embedding_near_dup",
     "v05_ivf_topk",
     "v06_int8_quantization",
+    "v07_quantized_topk",
+    "v08_mips_topk",
     "ll01_corpus_prep",
     "ll02_sequence_packing",
     "ll03_document_chunking",
+    "ll04_corpus_shuffle",
     "t07_tfidf_top_terms",
+    "t09_udtf_bigrams",
     "t10_fuzzy_pairs",
+    "t11_repetition_metrics",
+    "t12_dup_ngram_chars",
     "c01_cdc_latest_state",
     "c02_scd2_history",
     "c03_scd2_lookup",
     "c04_snapshot_diff",
-    "t01_token_counts",
-    "t02_language_id",
-    "t03_quality_score",
-    "t04_fingerprint",
-    "t08_pii_redaction",
-    "t09_udtf_bigrams",
-    "s02_hash_sample",
-    "s03_stratified_sample",
-    "s06_source_mixture",
+    "s07_group_split",
     "prof01_column_profile",
     "m01_media_features",
     "m02_video_frame_sample",
@@ -4333,6 +4341,8 @@ PRIORITY: tuple[str, ...] = (
     "sql03_recursive_cte",
     "sql04_lateral_topn",
     "st08_hierarchical_rollup",
+    "viz01_binned_scatter",
+    "viz02_support_scatter",
 )
 
 
