@@ -143,13 +143,18 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_suite_wall",
-        "value": total,
+        # A partial run sums only the surviving queries, which would look
+        # BETTER than a complete one — so the suite total is only
+        # comparable (non-null) when every headline query ran.
+        "value": None if errors else total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
     if errors:
         result["errors"] = errors
+        result["failed_count"] = len(errors)
+        result["partial_sum"] = total
     print(json.dumps(result))
     return 0
 

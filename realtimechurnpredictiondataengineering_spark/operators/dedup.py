@@ -560,6 +560,11 @@ def connected_components(
             # typical near-dup clusters are shallow and converge before
             # ever paying the jump join.  Safe: a node's label only
             # ever decreases toward its component minimum.
+            # Checkpoint BEFORE deriving parents: both jump-join branches
+            # read ``propagated``, and Spark does not CSE across join
+            # branches — unmaterialized, the edges⋈labels + groupBy
+            # neighbor aggregation above would execute twice per round.
+            propagated = propagated.localCheckpoint(eager=True)
             parents = propagated.select(
                 F.col("id").alias("_pid"), F.col("label").alias("_plabel")
             )

@@ -4127,8 +4127,16 @@ WITH toks AS (
   SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
 ),
 base AS (
-  SELECT doc_id, len(t) AS n_tokens,
-         round(1.0 - len(list_distinct(t)) / len(t), 4) AS rep_ratio,
+  -- Guarded token count (not bare len(t)): DuckDB's string_split('', ' ')
+  -- yields [''] (len 1) where Spark token_count returns 0, so empty /
+  -- whitespace-only docs would mismatch; same guard on rep_ratio's
+  -- denominator (Spark repetition_ratio returns 0.0 for empty text).
+  -- t[1] = '' can only be the empty-normalized-text sentinel because
+  -- splitting normalized text never produces empty tokens.
+  SELECT doc_id,
+         CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens,
+         CASE WHEN t[1] = '' THEN 0.0
+              ELSE round(1.0 - len(list_distinct(t)) / len(t), 4) END AS rep_ratio,
          list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS grams
   FROM toks
 ),
