@@ -10,4 +10,9 @@ export PYTHONPATH="$PWD"
 
 python -m pytest tests/ -q
 python tests/oracle_harness.py /root/testdata/sf0.01
+# Driver-shaped gate: the 50-entry PRIORITY window must canonicalize
+# under the driver's pandas contract (sortable + hashable cells) AND
+# value-match its oracles — catches v06/m01/m02-class output-shape
+# failures the tuple-based harness above cannot see.
+python tools/selfcheck_window.py /root/testdata/sf0.01
 python bench.py

@@ -1,0 +1,97 @@
+"""Driver-shaped self-check over the exact 50-query PRIORITY window.
+
+The external driver canonicalizes each query's output as a pandas frame
+(column-sorted, row-sorted, value-hashed).  That contract is stricter
+than tests/oracle_harness.py's tuple canonicalization: pandas sorting /
+``pd.util.hash_pandas_object`` raise ``TypeError`` on ``list`` and
+``bytearray`` cells, which is exactly how v06/m01/m02 went driver-red in
+round 3 while passing the local harness.  This check replays BOTH
+contracts on every window entry:
+
+1. canonicalizability — the Spark output AND the DuckDB oracle output
+   must survive pandas column-sort + row-sort + hash (the driver's
+   ``_canon`` shape);
+2. value match — tests/oracle_harness.py's row-count/columns/value
+   comparison.
+
+Any failure (including a missing oracle: the window policy is that every
+slot is value-checkable) exits non-zero.  Runs at sf0.001 by default for
+speed; pass the sf0.01 dir to mirror the driver's scale exactly.
+
+Usage: PYTHONPATH=. python tools/selfcheck_window.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+from realtimechurnpredictiondataengineering_spark.plans.inventory import PRIORITY, REGISTRY
+from realtimechurnpredictiondataengineering_spark.sources.batch import TABLES
+
+
+def driver_canon_probe(pdf: pd.DataFrame) -> str | None:
+    """Replicate the driver's canonicalization; return an error string if
+    the frame cannot be canonicalized (unsortable/unhashable cells)."""
+    try:
+        cols = sorted(pdf.columns)
+        out = pdf[cols].sort_values(by=cols).reset_index(drop=True)
+        pd.util.hash_pandas_object(out, index=False)
+    except Exception as exc:  # noqa: BLE001 - the probe's whole job
+        return f"{type(exc).__name__}: {exc}"
+    return None
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from realtimechurnpredictiondataengineering_spark.session import get_spark
+
+    sys.path.insert(0, "tests")
+    from oracle_harness import compare_query  # noqa: E402
+
+    spark = get_spark(app_name="selfcheck-window", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    n_bad = 0
+    for name in PRIORITY:
+        fn, sql = REGISTRY[name]
+        if callable(sql):
+            sql = sql()
+        errs: list[str] = []
+        if sql is None:
+            errs.append("no_oracle (window slots must be value-checkable)")
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            if (probe := driver_canon_probe(spdf)) is not None:
+                errs.append(f"spark output uncanonicalizable: {probe}")
+        except Exception as exc:  # noqa: BLE001 - report, don't abort the sweep
+            errs.append(f"spark EXCEPTION: {type(exc).__name__}: {exc}")
+        if sql is not None:
+            try:
+                dpdf = con.execute(sql).df()
+                if (probe := driver_canon_probe(dpdf)) is not None:
+                    errs.append(f"oracle output uncanonicalizable: {probe}")
+            except Exception as exc:  # noqa: BLE001
+                errs.append(f"oracle EXCEPTION: {type(exc).__name__}: {exc}")
+            if not errs:
+                ok, msg = compare_query(spark, con, name, sf_dir)
+                if not ok:
+                    errs.append(msg)
+        if errs:
+            n_bad += 1
+            print(f"FAIL {name}: {'; '.join(errs)}")
+        else:
+            print(f"PASS {name}")
+    print(f"\n{len(PRIORITY) - n_bad}/{len(PRIORITY)} window entries clean")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
