@@ -100,3 +100,18 @@ def test_connected_components_long_chain_converges_fast(spark):
     rows = got.collect()
     assert len(rows) == 201
     assert {r["component"] for r in rows} == {0}
+
+
+def test_connected_components_1000_link_chain_design_depth(spark):
+    # The design-depth case for the pointer jump: a 1,000-link chain
+    # (mirror-cascade duplicates) must converge well under 20 rounds —
+    # 2 plain-propagation warm rounds + ~log2(1000) jump rounds.  The
+    # worst labels start at the far end, so this exercises the jump path
+    # end-to-end at the depth the operator documents.
+    chain = [(i, i + 1) for i in range(1000)]
+    got = dedup.connected_components(
+        spark.createDataFrame(chain, "id_a int, id_b int"), max_iter=16
+    )
+    rows = got.collect()
+    assert len(rows) == 1001
+    assert {r["component"] for r in rows} == {0}
