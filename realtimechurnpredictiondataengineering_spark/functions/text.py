@@ -309,3 +309,58 @@ def dup_ngram_char_fraction(col: Column | str, k: int = 3) -> Column:
     return F.when((n < k) | (folded.total_chars == 0), F.lit(0.0)).otherwise(
         folded.dup_chars / folded.total_chars
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher rule-set document gates
+# --------------------------------------------------------------------------
+
+
+def alpha_word_fraction(col: Column | str) -> Column:
+    """Fraction of tokens containing at least one alphabetic character
+    (0 for empty text) — Gopher's 80%-alphabetic rule input.  Computed
+    as one regex count over the normalized text (a token with a letter
+    matches ``\\S*[A-Za-z]\\S*`` exactly once), no explode."""
+    n = normalized(col)
+    tc = token_count(col)
+    n_alpha = F.regexp_count(n, F.lit(r"\S*[A-Za-z]\S*"))
+    return F.when(tc == 0, F.lit(0.0)).otherwise(n_alpha.cast("double") / tc)
+
+
+def symbol_word_ratio(col: Column | str) -> Column:
+    """Gopher's symbol-to-word ratio: occurrences of hash marks and
+    ellipses per token (0 for empty text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    tc = token_count(col)
+    n_sym = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    return F.when(tc == 0, F.lit(0.0)).otherwise(n_sym.cast("double") / tc)
+
+
+def gopher_rules(col: Column | str) -> dict[str, Column]:
+    """The Gopher (Rae et al. 2021, §A1.1) document-quality gates as
+    individual boolean columns plus the conjunction ``keep``.
+
+    Thresholds follow the paper where the signal exists in this engine:
+    50-100k tokens, mean word length in [3, 10], ≥80% alphabetic words,
+    symbol-to-word ratio ≤0.1, ≥2 English stopword hits, and the
+    RefinedWeb-style additions: token repetition ratio ≤0.3 and
+    duplicated-3-gram character fraction ≤0.2.  Every gate is a
+    scan-local built-in expression (regex counts + array folds): the
+    whole rule set is ONE projection, no shuffle, no UDF — at 100 TB it
+    runs at scan speed and feeds the corpus-prep gate chain.
+    """
+    tc = token_count(col)
+    rules = {
+        "tokens_ok": (tc >= 50) & (tc <= 100_000),
+        "word_len_ok": (mean_word_length(col) >= 3.0) & (mean_word_length(col) <= 10.0),
+        "alpha_ok": alpha_word_fraction(col) >= 0.8,
+        "symbol_ok": symbol_word_ratio(col) <= 0.1,
+        "stopwords_ok": marker_hits(col, EN_STOPWORDS) >= 2,
+        "repetition_ok": repetition_ratio(col) <= 0.3,
+        "dup_gram_ok": dup_ngram_char_fraction(col, k=3) <= 0.2,
+    }
+    keep = F.lit(True)
+    for flag in rules.values():
+        keep = keep & flag
+    rules["keep"] = keep
+    return rules

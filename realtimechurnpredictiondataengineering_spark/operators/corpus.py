@@ -143,3 +143,56 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def segment_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_tokens: int = 20,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Corpus-wide duplicated-segment statistics — the C4/RefinedWeb
+    "remove repeated spans" signal generalized to flat text: cut each
+    document into fixed ``segment_tokens``-word segments (non-overlapping
+    ``chunk_documents`` windows), hash each segment, count how many
+    DISTINCT documents contain each hash corpus-wide, and report per
+    document how much of it is made of segments that also appear
+    elsewhere.
+
+    Plan: chunk fan-out (scan-local) → segment-hash aggregate counting
+    distinct docs (one shuffle on an 8-byte key) → join counts back →
+    per-doc aggregate (second shuffle on doc id).  No text ever
+    shuffles: only (hash, id) pairs move, so at 100 TB the exchanges
+    carry a few bytes per segment.  Degenerate universal segments (the
+    boilerplate skew bomb) are naturally bounded because counts are
+    aggregated BEFORE the join back — a segment in 10⁶ docs is one
+    count row, not 10⁶ join partners.
+
+    ``portable_hash`` uses the md5-derived 60-bit key (oracle-
+    replayable); default is xxhash64.  Returns
+    (id, n_segments, n_dup_segments, dup_segment_frac).
+    """
+    from realtimechurnpredictiondataengineering_spark.operators.dedup import portable_hash60
+
+    segs = chunk_documents(
+        df, id_col=id_col, text_col=text_col,
+        chunk_tokens=segment_tokens, overlap=0,
+    )
+    hash_fn = portable_hash60 if portable_hash else F.xxhash64
+    segs = segs.select(F.col(id_col), hash_fn(F.col("chunk_text")).alias("seg_hash"))
+    counts = segs.groupBy("seg_hash").agg(
+        F.count_distinct(id_col).alias("n_docs_with_seg")
+    )
+    return (
+        segs.join(counts, "seg_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum((F.col("n_docs_with_seg") > 1).cast("long")).alias("n_dup_segments"),
+        )
+        .withColumn(
+            "dup_segment_frac",
+            F.round(F.col("n_dup_segments") / F.col("n_segments"), 4),
+        )
+    )

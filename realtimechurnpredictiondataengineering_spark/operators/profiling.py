@@ -88,3 +88,42 @@ def column_profile(df: DataFrame, cols: list[str], approx: bool = False) -> Data
         "min_value",
         "max_value",
     )
+
+
+def token_length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Log2-bucketed token-length histogram — the corpus-shape summary a
+    packing/chunking configuration is sized from (what fraction of
+    documents fit one context window, how heavy is the long tail).
+
+    Bucket b holds documents with token count in [2^b, 2^(b+1));
+    empty documents land in bucket -1.  One scan-local projection
+    (token_count + floor(log2)) and one tiny groupBy — the histogram has
+    ≤ ~40 rows at any corpus size, so the aggregate is all map-side
+    partials.  Returns (bucket, lo_tokens, n_docs, frac) sorted by
+    bucket, frac rounded to 6.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count
+
+    from pyspark.sql import Window
+
+    tc = token_count(text_col)
+    bucket = F.when(tc == 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(tc.cast("double")))
+    ).cast("int")
+    hist = df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count("*").alias("n_docs")
+    )
+    # normalizer as an unpartitioned window over the ALREADY-aggregated
+    # histogram (≤ ~40 rows) — no second scan, no driver-side count.
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return hist.select(
+        "bucket",
+        F.when(F.col("bucket") < 0, F.lit(0))
+        .otherwise(F.pow(F.lit(2.0), F.col("bucket")).cast("long"))
+        .alias("lo_tokens"),
+        "n_docs",
+        F.round(F.col("n_docs") / total, 6).alias("frac"),
+    ).orderBy("bucket")

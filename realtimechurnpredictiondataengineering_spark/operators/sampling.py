@@ -118,3 +118,42 @@ def group_split(
     test = df.filter(b < threshold)
     train = df.filter(b >= threshold)
     return train, test
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based source sampling weights (the multilingual /
+    multi-source mixing rule from mT5/XLM-R: draw from source s with
+    probability ∝ n_s^alpha).  ``alpha`` < 1 flattens the mixture toward
+    small sources; 1.0 is proportional, 0.0 uniform.
+
+    Output per source: raw count, normalized sampling weight, and the
+    per-document inclusion rate (weight / share — >1 means the source
+    must be upsampled/repeated to hit its target share).  Plan: one
+    groupBy(source) aggregate, then the normalizer joins back via a
+    single-row broadcast — the per-source table is config-sized at any
+    corpus scale, so this is one shuffle over counts and nothing else.
+
+    Returns (source, n_docs, weight, rate) with weight/rate rounded to 6.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n_docs"))
+    totals = counts.agg(
+        F.sum(F.pow(F.col("n_docs"), F.lit(alpha))).alias("__z"),
+        F.sum("n_docs").alias("__n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(source_col),
+            F.col("n_docs"),
+            F.round(F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("__z"), 6).alias("weight"),
+            F.round(
+                (F.pow(F.col("n_docs"), F.lit(alpha)) / F.col("__z"))
+                / (F.col("n_docs") / F.col("__n")),
+                6,
+            ).alias("rate"),
+        )
+    )

@@ -310,3 +310,40 @@ def mips_topk(
         )
     )
     return topk_reduce(scored, query_id_col, id_col, "dot", k)
+
+
+def ann_recall(
+    approx_topk: DataFrame,
+    exact_topk: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact one —
+    the evaluation loop that tunes LSH table counts / IVF probe counts
+    before a corpus-scale run.
+
+    Both inputs are (query_id, rank, vec_id, ...) frames as produced by
+    the ``*_topk`` operators.  Recall@k = |approx ∩ exact| / |exact| per
+    query.  One left-semi-shaped join on (query, id) and a per-query
+    aggregate; result cardinality = number of queries, so everything
+    after the (tiny) topk inputs is negligible at any scale.
+    Returns (query_id, k, n_hit, recall).
+    """
+    exact = exact_topk.select(F.col(query_id_col), F.col(id_col))
+    approx = approx_topk.select(
+        F.col(query_id_col), F.col(id_col).alias("__approx_id")
+    )
+    hits = exact.join(
+        approx,
+        (exact[query_id_col] == approx[query_id_col])
+        & (exact[id_col] == approx["__approx_id"]),
+        "left",
+    ).select(
+        exact[query_id_col].alias(query_id_col),
+        F.col("__approx_id").isNotNull().cast("long").alias("__hit"),
+    )
+    return hits.groupBy(query_id_col).agg(
+        F.count("*").cast("int").alias("k"),
+        F.sum("__hit").alias("n_hit"),
+        F.round(F.sum("__hit") / F.count("*"), 4).alias("recall"),
+    )

@@ -4283,6 +4283,200 @@ def viz02(spark, sf_dir):
     return report.scatter_datasets(spark, sf_dir)["support_features"]
 
 
+# ---------------------------------------------------------------------------
+# Round-4 corpus-pipeline additions: Gopher rule set, segment-level dup
+# stats, temperature mixture weights, token histogram, ANN recall eval
+# ---------------------------------------------------------------------------
+
+_T13_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, len(t) AS n,
+         list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                        i -> array_to_string(t[i:i+2], ' ')) AS g
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(g) AS gr FROM grams WHERE n >= 3),
+cnt AS (SELECT doc_id, gr, count(*) AS c, length(gr) AS lg
+        FROM ex GROUP BY doc_id, gr, length(gr)),
+dup AS (SELECT doc_id,
+               sum(CASE WHEN c >= 2 THEN c * lg ELSE 0 END) AS dup_chars,
+               sum(c * lg) AS total_chars
+        FROM cnt GROUP BY doc_id),
+feat AS (
+  SELECT d.doc_id,
+         {SQL_TOKEN_COUNT} AS tc,
+         {SQL_MEAN_WORD_LEN} AS mwl,
+         CASE WHEN {SQL_TOKEN_COUNT} = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all({SQL_NORM}, '\\S*[A-Za-z]\\S*')) AS DOUBLE)
+                   / {SQL_TOKEN_COUNT} END AS alpha_frac,
+         CASE WHEN {SQL_TOKEN_COUNT} = 0 THEN 0.0
+              ELSE CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+                   / {SQL_TOKEN_COUNT} END AS sym_ratio,
+         {_sql_stop_hits} AS stop_hits,
+         CASE WHEN {SQL_TOKEN_COUNT} = 0 THEN 0.0
+              ELSE 1.0 - CAST(len(list_distinct(tk.t)) AS DOUBLE) / len(tk.t) END AS rep,
+         coalesce(CASE WHEN u.total_chars = 0 THEN 0.0
+                       ELSE CAST(u.dup_chars AS DOUBLE) / u.total_chars END, 0.0) AS dupfrac
+  FROM documents d
+  JOIN toks tk USING (doc_id)
+  LEFT JOIN dup u USING (doc_id)
+)
+SELECT doc_id,
+       tc BETWEEN 50 AND 100000 AS tokens_ok,
+       mwl BETWEEN 3.0 AND 10.0 AS word_len_ok,
+       alpha_frac >= 0.8 AS alpha_ok,
+       sym_ratio <= 0.1 AS symbol_ok,
+       stop_hits >= 2 AS stopwords_ok,
+       rep <= 0.3 AS repetition_ok,
+       dupfrac <= 0.2 AS dup_gram_ok,
+       (tc BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+         AND alpha_frac >= 0.8 AND sym_ratio <= 0.1 AND stop_hits >= 2
+         AND rep <= 0.3 AND dupfrac <= 0.2 AS keep
+FROM feat
+"""
+
+
+@register("t13_gopher_rules", _T13_SQL)
+def t13(spark, sf_dir):
+    # Full Gopher document-gate set (functions/text.py:gopher_rules):
+    # one scan-local projection per document, every gate value-checked.
+    d = _td(spark, sf_dir)
+    rules = tx.gopher_rules("text")
+    return d.select("doc_id", *[flag.alias(name) for name, flag in rules.items()])
+
+
+_D09_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+n AS (SELECT doc_id, words, len(words) AS nw FROM w),
+s AS (SELECT doc_id, array_to_string(list_slice(words, start, start + 19), ' ') AS seg
+      FROM (SELECT doc_id, words, nw,
+                   unnest(generate_series(1, greatest(nw, 1), 20)) AS start
+            FROM n)),
+h AS (SELECT doc_id, CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT) AS seg_hash FROM s),
+c AS (SELECT seg_hash, count(DISTINCT doc_id) AS nd FROM h GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+       round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         AS dup_segment_frac
+FROM h JOIN c USING (seg_hash)
+GROUP BY doc_id
+"""
+
+
+@register("d09_segment_dup_stats", _D09_SQL)
+def d09(spark, sf_dir):
+    # C4-style duplicated-span statistics over 20-token segments
+    # (operators/corpus.py:segment_dup_stats); portable md5-60 segment
+    # keys so the twin replays the hash aggregate exactly.
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    return corpus.segment_dup_stats(_td(spark, sf_dir), portable_hash=True)
+
+
+_S08_SQL = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT sum(pow(n_docs, 0.5)) AS z, sum(n_docs) AS n FROM c)
+SELECT source, n_docs,
+       round(pow(n_docs, 0.5) / z, 6) AS weight,
+       round((pow(n_docs, 0.5) / z) / (CAST(n_docs AS DOUBLE) / n), 6) AS rate
+FROM c, t
+"""
+
+
+@register("s08_mixture_weights", _S08_SQL)
+def s08(spark, sf_dir):
+    # Temperature sampling weights (alpha=0.5) per source
+    # (operators/sampling.py:temperature_mixture_weights).
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    return sampling.temperature_mixture_weights(_td(spark, sf_dir), alpha=0.5)
+
+
+_PROF02_SQL = f"""
+WITH b AS (
+  SELECT CASE WHEN {SQL_TOKEN_COUNT} = 0 THEN -1
+              ELSE CAST(length(bin({SQL_TOKEN_COUNT})) - 1 AS INT) END AS bucket
+  FROM documents
+),
+h AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY 1)
+SELECT bucket,
+       CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+            ELSE (CAST(1 AS BIGINT) << bucket) END AS lo_tokens,
+       n_docs,
+       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS frac
+FROM h ORDER BY bucket
+"""
+
+
+@register("prof02_token_histogram", _PROF02_SQL)
+def prof02(spark, sf_dir):
+    # Log2 token-length histogram (operators/profiling.py).
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    return profiling.token_length_histogram(_td(spark, sf_dir))
+
+
+def _v09_sql() -> str:
+    """Recall@5 of the v03 LSH tables against exact cosine ranking —
+    the approximate and exact CTE chains are the v03/v02 twins verbatim,
+    joined on set membership."""
+    rows = ",\n".join(
+        f"({t}, {p}, [{', '.join(repr(x) for x in plane)}])"
+        for t, planes in enumerate(_v03_plane_sets())
+        for p, plane in enumerate(planes)
+    )
+    cos_a = SQL_COSINE.format(a="q.v", b="cv.v")
+    return f"""
+WITH planes(table_id, plane_id, pv) AS (VALUES {rows}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT c.vec_id, p.table_id,
+         sum(CAST(list_dot_product(c.v, p.pv) >= 0 AS INT) * (1 << (5 - p.plane_id))) AS bucket
+  FROM c, planes p GROUP BY 1, 2
+),
+qb AS (SELECT vec_id AS query_id, table_id, bucket FROM cb WHERE vec_id IN (0, 1, 2)),
+cand AS (SELECT DISTINCT qb.query_id, cb.vec_id FROM cb JOIN qb USING (table_id, bucket)),
+ascored AS (
+  SELECT cand.query_id, cand.vec_id, {cos_a} AS cos
+  FROM cand JOIN c q ON q.vec_id = cand.query_id JOIN c cv ON cv.vec_id = cand.vec_id
+),
+aranked AS (SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id DESC) AS rank
+            FROM ascored),
+approx AS (SELECT query_id, vec_id FROM aranked WHERE rank <= 5),
+escored AS (
+  SELECT q.vec_id AS query_id, cv.vec_id, {cos_a} AS cos
+  FROM c q, c cv WHERE q.vec_id IN (0, 1, 2)
+),
+eranked AS (SELECT query_id, vec_id,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id DESC) AS rank
+            FROM escored),
+exact AS (SELECT query_id, vec_id FROM eranked WHERE rank <= 5)
+SELECT e.query_id,
+       CAST(count(*) AS INT) AS k,
+       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS recall
+FROM exact e LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+"""
+
+
+@register("v09_ann_recall", _v09_sql())
+def v09(spark, sf_dir):
+    # ANN tuning loop: recall@5 of the LSH tables vs exact cosine
+    # (operators/similarity.py:ann_recall).
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = similarity.lsh_topk(e, qs, _v03_plane_sets(), k=5)
+    exact = similarity.brute_force_topk(e, qs, k=5)
+    return similarity.ann_recall(approx, exact)
+
+
 # The driver's correctness gate checks the first 50 ``queries()`` entries
 # in dict order.  Decorator order above is pedagogical (projection →
 # filter → agg → …), which would spend the whole window on scalar
@@ -4297,9 +4491,11 @@ def viz02(spark, sf_dir):
 # in the latest round must sit inside the window so the external gate —
 # not just the local harness — validates the new code (v06/m01/m02
 # reshapes, d03-d05 twins, plus all eight round-3 additions: v07, v08,
-# t11, t12, ll04, s07, viz01, viz02).  The eight entries rotated out to
-# make room (t01-t04, t08, s02, s03, s06) were driver-green in BOTH
-# rounds 2 and 3 and remain value-checked by tests/oracle_harness.py.
+# t11, t12, ll04, s07, viz01, viz02, and the five new round-4 operators
+# t13, d09, s08, prof02, v09).  The thirteen entries rotated out to make
+# room (t01-t04, t08, s02, s03, s06, x01, j06, h03, h07, a10) were
+# driver-green in round 3 (most also in round 2) and remain
+# value-checked by tests/oracle_harness.py.
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
     "d01_exact_content_dedup",
@@ -4335,15 +4531,15 @@ PRIORITY: tuple[str, ...] = (
     "prof01_column_profile",
     "m01_media_features",
     "m02_video_frame_sample",
-    "x01_pandas_group_rank",
-    "j06_asof_join",
+    "t13_gopher_rules",
+    "d09_segment_dup_stats",
     "j07_range_join",
-    "h03_shipping_priority",
-    "h07_volume_shipping",
+    "s08_mixture_weights",
+    "prof02_token_histogram",
     "h08_market_share",
     "h20_potential_promotion",
     "h21_waiting_supplier",
-    "a10_salted_sum",
+    "v09_ann_recall",
     "a17_median_mode",
     "z01_zorder_values",
     "sql03_recursive_cte",

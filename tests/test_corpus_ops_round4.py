@@ -1,0 +1,112 @@
+"""Unit tests for the round-4 corpus-pipeline operators: Gopher rules,
+segment-level dup stats, temperature mixture weights, token histogram,
+and ANN recall."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from realtimechurnpredictiondataengineering_spark.functions import text as tx
+from realtimechurnpredictiondataengineering_spark.operators import corpus, profiling, sampling, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_gopher_rules_flags_and_keep(spark):
+    # 62 distinct tokens (no repetition), stopword hits, all-alpha,
+    # mean word length in range, no symbols -> passes every gate
+    good = "the quick brown fox jumps over and beside certain lazy dogs " + " ".join(
+        f"word{i:02d}x" for i in range(53)
+    )
+    bad_short = "tiny doc"
+    bad_repeat = " ".join(["spam"] * 80)
+    df = _docs(spark, [(1, good), (2, bad_short), (3, bad_repeat), (4, "")])
+    rules = tx.gopher_rules("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in rules.items()]
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["tokens_ok"] is False and out[2]["keep"] is False
+    # 80x the same token: repetition ratio 1 - 1/80 >> 0.3
+    assert out[3]["repetition_ok"] is False and out[3]["keep"] is False
+    assert out[4]["keep"] is False
+
+
+def test_segment_dup_stats_flags_shared_segments(spark):
+    shared = " ".join(f"w{i}" for i in range(20))
+    unique_a = " ".join(f"a{i}" for i in range(20))
+    unique_b = " ".join(f"b{i}" for i in range(20))
+    df = _docs(
+        spark,
+        [
+            (1, shared + " " + unique_a),  # 2 segments, 1 shared
+            (2, shared + " " + unique_b),  # 2 segments, 1 shared
+            (3, " ".join(f"c{i}" for i in range(40))),  # 2 unique segments
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.segment_dup_stats(df).collect()}
+    assert out[1]["n_segments"] == 2 and out[1]["n_dup_segments"] == 1
+    assert out[1]["dup_segment_frac"] == 0.5
+    assert out[2]["n_dup_segments"] == 1
+    assert out[3]["n_dup_segments"] == 0 and out[3]["dup_segment_frac"] == 0.0
+
+
+def test_segment_dup_stats_portable_matches_default(spark):
+    # hash family must not change the statistics, only the key encoding
+    df = _docs(spark, [(i, " ".join(f"t{i % 3}_{j}" for j in range(30))) for i in range(9)])
+    a = sorted(map(tuple, corpus.segment_dup_stats(df).collect()))
+    b = sorted(map(tuple, corpus.segment_dup_stats(df, portable_hash=True).collect()))
+    assert a == b
+
+
+def test_temperature_mixture_weights(spark):
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(90)] + [(i, "small") for i in range(10)],
+        "doc_id long, source string",
+    )
+    out = {r["source"]: r for r in sampling.temperature_mixture_weights(df, alpha=0.5).collect()}
+    z = math.sqrt(90) + math.sqrt(10)
+    assert abs(out["big"]["weight"] - math.sqrt(90) / z) < 1e-6
+    assert abs(sum(r["weight"] for r in out.values()) - 1.0) < 1e-5
+    # alpha<1 upsamples the small source relative to its share
+    assert out["small"]["rate"] > 1.0 > out["big"]["rate"]
+    # alpha=1 is proportional: every rate 1
+    prop = sampling.temperature_mixture_weights(df, alpha=1.0).collect()
+    assert all(abs(r["rate"] - 1.0) < 1e-6 for r in prop)
+
+
+def test_token_length_histogram_buckets(spark):
+    df = _docs(
+        spark,
+        [
+            (1, ""),                     # bucket -1
+            (2, "one"),                  # 1 token  -> bucket 0
+            (3, "a b c"),                # 3 tokens -> bucket 1
+            (4, " ".join(["x"] * 8)),    # 8 tokens -> bucket 3 (exact power)
+        ],
+    )
+    out = {r["bucket"]: r for r in profiling.token_length_histogram(df).collect()}
+    assert set(out) == {-1, 0, 1, 3}
+    assert out[3]["lo_tokens"] == 8 and out[-1]["lo_tokens"] == 0
+    assert abs(sum(r["frac"] for r in out.values()) - 1.0) < 1e-5
+
+
+def test_ann_recall_exact_and_partial(spark):
+    exact = spark.createDataFrame(
+        [(1, r, 100 + r) for r in range(1, 6)] + [(2, r, 200 + r) for r in range(1, 6)],
+        "query_id long, rank int, vec_id long",
+    )
+    # query 1: approx returns the exact set; query 2: 3 of 5 overlap
+    approx = spark.createDataFrame(
+        [(1, r, 100 + r) for r in range(1, 6)]
+        + [(2, 1, 201), (2, 2, 202), (2, 3, 203), (2, 4, 999), (2, 5, 998)],
+        "query_id long, rank int, vec_id long",
+    )
+    out = {r["query_id"]: r for r in similarity.ann_recall(approx, exact).collect()}
+    assert out[1]["recall"] == 1.0 and out[1]["k"] == 5
+    assert out[2]["n_hit"] == 3 and out[2]["recall"] == 0.6
