@@ -36,6 +36,8 @@ BNLJ_ALLOWED = {
     "h15_top_supplier",
     "h22_global_sales_opportunity",
     "z01_zorder_values",  # 1-row min/max layout-stats aggregate broadcast onto rows
+    "s08_mixture_weights",  # 1-row normalizer (Σn^α, Σn) broadcast onto the per-source counts
+    "v09_ann_recall",  # exact side reuses v02's broadcast query-set scan
 }
 
 
