@@ -196,3 +196,63 @@ def segment_dup_stats(
             F.round(F.col("n_dup_segments") / F.col("n_segments"), 4),
         )
     )
+
+
+def remove_common_segments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_tokens: int = 20,
+    max_docs: int = 1,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """The C4 "remove repeated spans" cleaning pass itself: drop every
+    fixed-size segment that appears in more than ``max_docs`` documents
+    corpus-wide and REBUILD each document from its surviving segments
+    (in original order) — the destructive sibling of
+    ``segment_dup_stats``.
+
+    Plan: chunk fan-out → hash aggregate of distinct-doc counts (counts
+    are reduced BEFORE joining back, so a boilerplate segment in 10⁶
+    docs is one count row) → filter → per-doc rebuild via
+    ``collect_list(struct(chunk_id, text))`` + ``array_sort`` (the
+    struct sorts by its leading chunk_id field, so reassembly order is
+    deterministic with no window/sort stage) → left join back so fully
+    boilerplate documents survive as empty rows rather than vanishing.
+    The only shuffles carry (hash, id) pairs and the kept segments.
+    Returns (id, n_kept_segments, clean_text).
+    """
+    from realtimechurnpredictiondataengineering_spark.operators.dedup import portable_hash60
+
+    segs = chunk_documents(
+        df, id_col=id_col, text_col=text_col,
+        chunk_tokens=segment_tokens, overlap=0,
+    )
+    hash_fn = portable_hash60 if portable_hash else F.xxhash64
+    hashed = segs.select(
+        F.col(id_col), F.col("chunk_id"), F.col("chunk_text"),
+        hash_fn(F.col("chunk_text")).alias("seg_hash"),
+    )
+    counts = hashed.groupBy("seg_hash").agg(
+        F.count_distinct(id_col).alias("__n_docs")
+    )
+    kept = hashed.join(counts, "seg_hash").filter(F.col("__n_docs") <= max_docs)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept_segments"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda x: x["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_kept_segments", F.lit(0)).alias("n_kept_segments"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -4477,6 +4477,89 @@ def v09(spark, sf_dir):
     return similarity.ann_recall(approx, exact)
 
 
+_D10_SQL = r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+n AS (SELECT doc_id, words, len(words) AS nw FROM w),
+s AS (SELECT doc_id,
+             CAST(floor((start - 1) / 20.0) AS BIGINT) AS chunk_id,
+             array_to_string(list_slice(words, start, start + 19), ' ') AS seg
+      FROM (SELECT doc_id, words, nw,
+                   unnest(generate_series(1, greatest(nw, 1), 20)) AS start
+            FROM n)),
+h AS (SELECT doc_id, chunk_id, seg,
+             CAST(('0x' || substr(md5(seg), 1, 15)) AS BIGINT) AS seg_hash
+      FROM s),
+c AS (SELECT seg_hash, count(DISTINCT doc_id) AS nd FROM h GROUP BY 1),
+kept AS (SELECT h.doc_id, h.chunk_id, h.seg FROM h JOIN c USING (seg_hash) WHERE nd <= 1),
+r AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept_segments,
+             string_agg(seg, ' ' ORDER BY chunk_id) AS clean_text
+      FROM kept GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(r.n_kept_segments, 0) AS n_kept_segments,
+       coalesce(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN r USING (doc_id)
+"""
+
+
+@register("d10_segment_cleaned_docs", _D10_SQL)
+def d10(spark, sf_dir):
+    # The destructive C4 span-removal pass: rebuild each document from
+    # segments unique to it (operators/corpus.py:remove_common_segments).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    return corpus.remove_common_segments(_td(spark, sf_dir), portable_hash=True)
+
+
+def _v10_sql() -> str:
+    """Recursive-CTE twin of the embedding duplicate clustering: the v04
+    pair generation verbatim, closed transitively like d06's oracle."""
+    rows = ",\n".join(
+        f"({p}, [{', '.join(repr(x) for x in plane)}])"
+        for p, plane in enumerate(_v04_planes())
+    )
+    cos = SQL_COSINE.format(a="ca.v", b="cb.v")
+    return f"""
+WITH RECURSIVE planes(plane_id, pv) AS (VALUES {rows}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (
+  SELECT c.vec_id,
+         sum(CAST(list_dot_product(c.v, p.pv) >= 0 AS INT) * (1 << (7 - p.plane_id))) AS bucket
+  FROM c, planes p GROUP BY 1
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+  FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN c ca ON ca.vec_id = id_a JOIN c cb ON cb.vec_id = id_b
+  WHERE {cos} >= 0.3
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(s, d) AS (SELECT s, d FROM edges
+               UNION SELECT w.s, e.d FROM walk w JOIN edges e ON e.s = w.d)
+SELECT s AS id, least(s, min(d)) AS component FROM walk GROUP BY s
+"""
+
+
+@register("v10_embedding_dup_clusters", _v10_sql())
+def v10(spark, sf_dir):
+    # Embedding-level duplicate clustering: transitive closure over the
+    # v04-style near-dup pair graph — the "keep one canonical vector per
+    # cluster" step of embedding-dedup, via the same iterative CC
+    # operator as d06 (pointer jumping, localCheckpoint per round).
+    # Threshold 0.3, not v04's 0.95: the synthetic embeddings' global
+    # max pairwise cosine is ~0.51, so a production threshold would
+    # yield an empty graph and never exercise the closure; 0.3 gives a
+    # real multi-edge graph at every test sf.
+    e = _te(spark, sf_dir).select(
+        "vec_id", _as_double("embedding").alias("embedding")
+    )
+    pairs = dedup.embedding_near_duplicates(e, _v04_planes(), threshold=0.3)
+    return dedup.connected_components(pairs)
+
+
 # The driver's correctness gate checks the first 50 ``queries()`` entries
 # in dict order.  Decorator order above is pedagogical (projection →
 # filter → agg → …), which would spend the whole window on scalar
@@ -4491,11 +4574,11 @@ def v09(spark, sf_dir):
 # in the latest round must sit inside the window so the external gate —
 # not just the local harness — validates the new code (v06/m01/m02
 # reshapes, d03-d05 twins, plus all eight round-3 additions: v07, v08,
-# t11, t12, ll04, s07, viz01, viz02, and the five new round-4 operators
-# t13, d09, s08, prof02, v09).  The thirteen entries rotated out to make
-# room (t01-t04, t08, s02, s03, s06, x01, j06, h03, h07, a10) were
-# driver-green in round 3 (most also in round 2) and remain
-# value-checked by tests/oracle_harness.py.
+# t11, t12, ll04, s07, viz01, viz02, and the seven new round-4 operators
+# t13, d09, d10, s08, prof02, v09, v10).  The fifteen entries rotated
+# out to make room (t01-t04, t08, s02, s03, s06, x01, j06, h03, h07,
+# h08, h21, a10) were driver-green in round 3 (most also in round 2)
+# and remain value-checked by tests/oracle_harness.py.
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
     "d01_exact_content_dedup",
@@ -4536,9 +4619,9 @@ PRIORITY: tuple[str, ...] = (
     "j07_range_join",
     "s08_mixture_weights",
     "prof02_token_histogram",
-    "h08_market_share",
+    "d10_segment_cleaned_docs",
     "h20_potential_promotion",
-    "h21_waiting_supplier",
+    "v10_embedding_dup_clusters",
     "v09_ann_recall",
     "a17_median_mode",
     "z01_zorder_values",

@@ -110,3 +110,31 @@ def test_ann_recall_exact_and_partial(spark):
     out = {r["query_id"]: r for r in similarity.ann_recall(approx, exact).collect()}
     assert out[1]["recall"] == 1.0 and out[1]["k"] == 5
     assert out[2]["n_hit"] == 3 and out[2]["recall"] == 0.6
+
+
+def test_remove_common_segments_rebuilds_unique_text(spark):
+    shared = " ".join(f"w{i}" for i in range(20))
+    unique_a = " ".join(f"a{i}" for i in range(20))
+    df = _docs(
+        spark,
+        [
+            (1, shared + " " + unique_a),   # shared segment removed, unique kept
+            (2, shared),                    # fully boilerplate -> empty row survives
+            (3, " ".join(f"c{i}" for i in range(25))),  # untouched (2 segments)
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.remove_common_segments(df).collect()}
+    assert out[1]["n_kept_segments"] == 1 and out[1]["clean_text"] == unique_a
+    assert out[2]["n_kept_segments"] == 0 and out[2]["clean_text"] == ""
+    # reassembly preserves original segment order
+    assert out[3]["clean_text"] == " ".join(f"c{i}" for i in range(25))
+
+
+def test_remove_common_segments_portable_matches_default(spark):
+    df = _docs(
+        spark,
+        [(i, " ".join(f"s{i % 2}_{j}" for j in range(30))) for i in range(6)],
+    )
+    a = sorted(map(tuple, corpus.remove_common_segments(df).collect()))
+    b = sorted(map(tuple, corpus.remove_common_segments(df, portable_hash=True).collect()))
+    assert a == b
