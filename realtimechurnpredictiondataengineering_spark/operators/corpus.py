@@ -256,3 +256,73 @@ def remove_common_segments(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def exact_contamination(
+    corpus: DataFrame,
+    benchmarks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_tokens: int = 10,
+) -> DataFrame:
+    """Exact-substring eval-leakage check, complementing the n-gram
+    overlap of ``contamination_pairs``: a corpus document is contaminated
+    when it CONTAINS a benchmark document's probe string (its first
+    ``probe_tokens`` normalized words) verbatim — the canary-string test
+    eval suites publish.
+
+    The probe table is eval-suite-sized (KBs), so it broadcasts and the
+    corpus side is one normalized scan with a codegen'd ``contains``
+    per probe — the Spark-expressible stand-in for the Aho-Corasick
+    multi-pattern scan a specialized engine would run; no corpus bytes
+    shuffle.  Empty benchmark docs are dropped (an empty probe matches
+    everything).  Returns (doc_id, bench_id).
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import normalized, tokens
+
+    probes = (
+        benchmarks.filter(F.length(normalized(text_col)) > 0)
+        .select(
+            F.col(id_col).alias("bench_id"),
+            F.array_join(F.slice(tokens(text_col), 1, probe_tokens), " ").alias("__probe"),
+        )
+    )
+    c = corpus.select(F.col(id_col), normalized(text_col).alias("__t"))
+    return (
+        c.crossJoin(F.broadcast(probes))
+        .filter(F.col("__t").contains(F.col("__probe")))
+        .select(id_col, "bench_id")
+    )
+
+
+def quality_percentile_gate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    percentile: float = 0.5,
+) -> DataFrame:
+    """Data-driven quality gating: keep documents whose quality score is
+    at or above the corpus' exact ``percentile`` — "keep the best half"
+    instead of a hand-tuned absolute threshold, so the gate adapts to
+    each crawl's quality distribution.
+
+    Two-phase: one scan computes scores, a single-row exact-percentile
+    aggregate becomes the threshold, broadcast back onto the scored rows
+    (1-row nested-loop, the same shape as z01's layout-stats broadcast).
+    Exact ``percentile`` matches DuckDB's ``quantile_cont`` bit-for-bit
+    (established by the a09 oracle); at 100 TB swap in
+    ``approx_percentile`` with a documented error bound if the exact
+    sort-based percentile's single-pass shuffle is too heavy.
+    Returns (id, quality).
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import quality_score
+
+    scored = df.select(F.col(id_col), quality_score(text_col).alias("quality"))
+    thr = scored.agg(
+        F.expr(f"percentile(quality, {percentile})").alias("__thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("__thr"))
+        .select(id_col, "quality")
+    )

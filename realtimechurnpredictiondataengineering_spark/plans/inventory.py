@@ -4560,6 +4560,48 @@ def v10(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+_D11_SQL = f"""
+WITH probes AS (
+  SELECT doc_id AS bench_id,
+         array_to_string(string_split({SQL_NORM}, ' ')[1:10], ' ') AS probe
+  FROM documents WHERE doc_id % 10 = 0 AND length({SQL_NORM}) > 0
+),
+corpus AS (SELECT doc_id, {SQL_NORM} AS t FROM documents WHERE doc_id % 10 != 0)
+SELECT corpus.doc_id, probes.bench_id
+FROM corpus, probes WHERE contains(t, probe)
+"""
+
+
+@register("d11_exact_contamination", _D11_SQL)
+def d11(spark, sf_dir):
+    # Canary-string leakage: corpus docs containing a benchmark doc's
+    # 10-token probe verbatim (operators/corpus.py:exact_contamination);
+    # same corpus/bench split as d07.
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    d = _td(spark, sf_dir)
+    return corpus.exact_contamination(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+_T14_SQL = f"""
+WITH q AS (SELECT doc_id, {SQL_QUALITY} AS quality FROM documents),
+t AS (SELECT quantile_cont(quality, 0.5) AS thr FROM q)
+SELECT doc_id, quality FROM q, t WHERE quality >= thr
+"""
+
+
+@register("t14_quality_threshold", _T14_SQL)
+def t14(spark, sf_dir):
+    # Keep-the-best-half gating: exact corpus median quality as the
+    # threshold (operators/corpus.py:quality_percentile_gate).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    return corpus.quality_percentile_gate(_td(spark, sf_dir), percentile=0.5)
+
+
 # The driver's correctness gate checks the first 50 ``queries()`` entries
 # in dict order.  Decorator order above is pedagogical (projection →
 # filter → agg → …), which would spend the whole window on scalar
@@ -4574,11 +4616,12 @@ def v10(spark, sf_dir):
 # in the latest round must sit inside the window so the external gate —
 # not just the local harness — validates the new code (v06/m01/m02
 # reshapes, d03-d05 twins, plus all eight round-3 additions: v07, v08,
-# t11, t12, ll04, s07, viz01, viz02, and the seven new round-4 operators
-# t13, d09, d10, s08, prof02, v09, v10).  The fifteen entries rotated
-# out to make room (t01-t04, t08, s02, s03, s06, x01, j06, h03, h07,
-# h08, h21, a10) were driver-green in round 3 (most also in round 2)
-# and remain value-checked by tests/oracle_harness.py.
+# t11, t12, ll04, s07, viz01, viz02, and the nine new round-4 operators
+# t13, t14, d09, d10, d11, s08, prof02, v09, v10).  The seventeen
+# entries rotated out to make room (t01-t04, t08, s02, s03, s06, x01,
+# j06, h03, h07, h08, h20, h21, a10, a17) were driver-green in round 3
+# (most also in round 2) and remain value-checked by
+# tests/oracle_harness.py.
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
     "d01_exact_content_dedup",
@@ -4620,10 +4663,10 @@ PRIORITY: tuple[str, ...] = (
     "s08_mixture_weights",
     "prof02_token_histogram",
     "d10_segment_cleaned_docs",
-    "h20_potential_promotion",
+    "d11_exact_contamination",
     "v10_embedding_dup_clusters",
     "v09_ann_recall",
-    "a17_median_mode",
+    "t14_quality_threshold",
     "z01_zorder_values",
     "sql03_recursive_cte",
     "sql04_lateral_topn",

@@ -138,3 +138,38 @@ def test_remove_common_segments_portable_matches_default(spark):
     a = sorted(map(tuple, corpus.remove_common_segments(df).collect()))
     b = sorted(map(tuple, corpus.remove_common_segments(df, portable_hash=True).collect()))
     assert a == b
+
+
+def test_exact_contamination_finds_probe_substring(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    corp = _docs(
+        spark,
+        [
+            (1, "prefix words alpha beta gamma delta epsilon suffix words"),
+            (2, "no overlap here at all"),
+            (3, "ALPHA  BETA gamma DELTA epsilon"),  # normalization catches case/space
+        ],
+    )
+    out = sorted(
+        (r["doc_id"], r["bench_id"])
+        for r in corpus.exact_contamination(corp, bench, probe_tokens=5).collect()
+    )
+    assert out == [(1, 100), (3, 100)]
+
+
+def test_exact_contamination_drops_empty_probes(spark):
+    bench = _docs(spark, [(100, "   ")])
+    corp = _docs(spark, [(1, "anything")])
+    assert corpus.exact_contamination(corp, bench).count() == 0
+
+
+def test_quality_percentile_gate_keeps_upper_half(spark):
+    rows = [(i, "word " * 10) for i in range(4)]  # low quality: short, no stopwords
+    rows += [
+        (10 + i, "the quick brown fox jumps over the lazy dog and then " * 8)
+        for i in range(4)
+    ]  # higher quality
+    df = _docs(spark, rows)
+    out = corpus.quality_percentile_gate(df, percentile=0.5)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {10, 11, 12, 13}

@@ -38,6 +38,8 @@ BNLJ_ALLOWED = {
     "z01_zorder_values",  # 1-row min/max layout-stats aggregate broadcast onto rows
     "s08_mixture_weights",  # 1-row normalizer (Σn^α, Σn) broadcast onto the per-source counts
     "v09_ann_recall",  # exact side reuses v02's broadcast query-set scan
+    "d11_exact_contamination",  # eval-suite probe table broadcast over the corpus scan (multi-pattern contains)
+    "t14_quality_threshold",  # 1-row exact-percentile threshold broadcast onto scored rows
 }
 
 
