@@ -80,6 +80,13 @@ HEADLINE = (
     "t11_repetition_metrics",
     "v07_quantized_topk",
     "ll04_corpus_shuffle",
+    # round-4 additions (baseline rows = their first green min-of-2, see
+    # BASELINE.md note)
+    "t13_gopher_rules",
+    "t14_quality_threshold",
+    "d09_segment_dup_stats",
+    "d10_segment_cleaned_docs",
+    "v10_embedding_dup_clusters",
 )
 
 
