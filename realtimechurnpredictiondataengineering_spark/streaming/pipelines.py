@@ -287,3 +287,32 @@ def streaming_incremental_dedup(
         .dropDuplicatesWithinWatermark(["_fp"])
         .drop("_fp")
     )
+
+
+def streaming_corpus_ingest(
+    docs_stream: DataFrame,
+    corpus_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The full streaming crawl-ingest shape: Gopher quality gates, then
+    incremental dedup — the production pipeline a crawl feed runs before
+    anything reaches the training corpus.
+
+    Gate order is the cost order (same principle as the batch
+    ``plans.corpus_prep`` chain): the quality rules are stateless
+    scan-local expressions, so they prune junk BEFORE the dedup stage
+    pays fingerprint state and the per-batch corpus anti-join for it.
+    Both stages are streaming-safe: the gates add no state at all, and
+    dedup state stays bounded by the watermark horizon
+    (``streaming_incremental_dedup``).  Emits the surviving documents
+    with their original columns unchanged.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import gopher_rules
+
+    gated = docs_stream.filter(gopher_rules(text_col)["keep"])
+    return streaming_incremental_dedup(
+        gated, corpus_fingerprints, id_col, text_col, ts_col, watermark
+    )

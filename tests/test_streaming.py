@@ -344,3 +344,36 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     assert 4 in kept
     assert len([d for d in kept if d in (2, 3)]) == 1
     assert set(spark.sql("SELECT * FROM stream_dedup").columns) == {"doc_id", "text", "ts"}
+
+
+def test_streaming_corpus_ingest_gates_then_dedups(spark, tmp_path):
+    from realtimechurnpredictiondataengineering_spark.functions.text import fingerprint_md5
+
+    # good = passes every Gopher gate (50+ distinct alpha tokens, 2+
+    # stopwords); variants: corpus dup, stream dup, junk (too short)
+    good = "the quick brown fox jumps over and beside certain lazy dogs " + " ".join(
+        f"word{i:02d}x" for i in range(53)
+    )
+    good2 = good.replace("word00x", "fresh00x")
+    feed = str(tmp_path / "ingest_feed")
+    spark.createDataFrame(
+        [
+            (1, good, "2024-01-01 00:00:00"),        # duplicates the corpus
+            (2, good2, "2024-01-01 00:00:10"),       # fresh, kept
+            (3, good2, "2024-01-01 00:00:20"),       # stream dup of 2
+            (4, "junk doc", "2024-01-01 00:00:30"),  # fails the token gate
+        ],
+        "doc_id long, text string, ts string",
+    ).selectExpr("doc_id", "text", "CAST(ts AS TIMESTAMP) AS ts").coalesce(1).write.json(feed)
+
+    corpus = spark.createDataFrame([(good,)], "text string").select(
+        fingerprint_md5("text").alias("fingerprint")
+    )
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").json(feed)
+    q = memory_sink(
+        pipelines.streaming_corpus_ingest(stream, corpus), "corpus_ingest"
+    )
+    _drain(q)
+    kept = [r["doc_id"] for r in spark.sql("SELECT doc_id FROM corpus_ingest").collect()]
+    assert 1 not in kept and 4 not in kept
+    assert len([d for d in kept if d in (2, 3)]) == 1
