@@ -114,3 +114,33 @@ def test_connected_components_converges_early(spark):
     pairs = spark.createDataFrame([(5, 4)], "id_a int, id_b int")
     out = dedup.connected_components(pairs, max_iter=2).collect()
     assert {(r["id"], r["component"]) for r in out} == {(4, 4), (5, 4)}
+
+
+def test_portable_minhash_finds_planted_near_dup(spark, docs):
+    # The oracle-portable hash family must keep the operator's recall:
+    # same planted near-dups, same exact-Jaccard verify values.
+    pairs = dedup.minhash_near_duplicates(
+        docs, shingle_k=3, threshold=0.5, portable_hash=True
+    ).collect()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (0, 1) in found
+    assert found[(0, 3)] == 1.0
+
+
+def test_portable_simhash_finds_exact_dup(spark, docs):
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=8, portable_hash=True).collect()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found[(0, 3)] == 0  # identical docs -> identical fingerprints
+
+
+def test_portable_signatures_differ_from_default_but_verify_identically(spark, docs):
+    # Different hash family, different candidate sets are allowed — but
+    # any pair BOTH families emit must carry the same exact Jaccard
+    # (verification is hash-independent).
+    a = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in dedup.minhash_near_duplicates(docs, shingle_k=3, threshold=0.5).collect()}
+    b = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in dedup.minhash_near_duplicates(
+             docs, shingle_k=3, threshold=0.5, portable_hash=True).collect()}
+    for pair in set(a) & set(b):
+        assert a[pair] == b[pair]
