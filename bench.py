@@ -132,7 +132,7 @@ def main() -> int:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        best = None
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             try:
@@ -140,12 +140,15 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001 - recorded, not fatal
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"query {name} failed: {errors[name]}", file=sys.stderr)
-                break
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        if best is not None:
+            else:
+                runs.append(time.perf_counter() - t0)
+        # A timing is only comparable to the min-of-2 baseline rows when
+        # BOTH runs completed; a query that crashed on either run stays
+        # in `errors` (which also nulls the suite total below) — a
+        # succeed-then-crash must not silently report a min-of-1.
+        if len(runs) == 2:
             errors.pop(name, None)
-            timings[name] = round(best, 3)
+            timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
     result = {

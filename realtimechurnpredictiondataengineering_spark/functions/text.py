@@ -350,9 +350,10 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
     runs at scan speed and feeds the corpus-prep gate chain.
     """
     tc = token_count(col)
+    mwl = mean_word_length(col)
     rules = {
         "tokens_ok": (tc >= 50) & (tc <= 100_000),
-        "word_len_ok": (mean_word_length(col) >= 3.0) & (mean_word_length(col) <= 10.0),
+        "word_len_ok": (mwl >= 3.0) & (mwl <= 10.0),
         "alpha_ok": alpha_word_fraction(col) >= 0.8,
         "symbol_ok": symbol_word_ratio(col) <= 0.1,
         "stopwords_ok": marker_hits(col, EN_STOPWORDS) >= 2,

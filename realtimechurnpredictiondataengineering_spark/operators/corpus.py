@@ -145,6 +145,37 @@ def chunk_documents(
     )
 
 
+def _hashed_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    segment_tokens: int,
+    portable_hash: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of the segment-dedup family: non-overlapping
+    ``segment_tokens``-word windows, hashed (xxhash64, or the oracle-
+    replayable md5-60 key), plus the corpus-wide distinct-doc count per
+    hash.  Counts are aggregated BEFORE any join back — a boilerplate
+    segment in 10⁶ docs is one count row, not 10⁶ join partners.
+    Returns (hashed(id, chunk_id, chunk_text, seg_hash),
+    counts(seg_hash, n_docs_with_seg))."""
+    from realtimechurnpredictiondataengineering_spark.operators.dedup import portable_hash60
+
+    segs = chunk_documents(
+        df, id_col=id_col, text_col=text_col,
+        chunk_tokens=segment_tokens, overlap=0,
+    )
+    hash_fn = portable_hash60 if portable_hash else F.xxhash64
+    hashed = segs.select(
+        F.col(id_col), F.col("chunk_id"), F.col("chunk_text"),
+        hash_fn(F.col("chunk_text")).alias("seg_hash"),
+    )
+    counts = hashed.groupBy("seg_hash").agg(
+        F.count_distinct(id_col).alias("n_docs_with_seg")
+    )
+    return hashed, counts
+
+
 def segment_dup_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -173,17 +204,8 @@ def segment_dup_stats(
     replayable); default is xxhash64.  Returns
     (id, n_segments, n_dup_segments, dup_segment_frac).
     """
-    from realtimechurnpredictiondataengineering_spark.operators.dedup import portable_hash60
-
-    segs = chunk_documents(
-        df, id_col=id_col, text_col=text_col,
-        chunk_tokens=segment_tokens, overlap=0,
-    )
-    hash_fn = portable_hash60 if portable_hash else F.xxhash64
-    segs = segs.select(F.col(id_col), hash_fn(F.col("chunk_text")).alias("seg_hash"))
-    counts = segs.groupBy("seg_hash").agg(
-        F.count_distinct(id_col).alias("n_docs_with_seg")
-    )
+    hashed, counts = _hashed_segments(df, id_col, text_col, segment_tokens, portable_hash)
+    segs = hashed.select(F.col(id_col), "seg_hash")
     return (
         segs.join(counts, "seg_hash")
         .groupBy(id_col)
@@ -222,21 +244,8 @@ def remove_common_segments(
     The only shuffles carry (hash, id) pairs and the kept segments.
     Returns (id, n_kept_segments, clean_text).
     """
-    from realtimechurnpredictiondataengineering_spark.operators.dedup import portable_hash60
-
-    segs = chunk_documents(
-        df, id_col=id_col, text_col=text_col,
-        chunk_tokens=segment_tokens, overlap=0,
-    )
-    hash_fn = portable_hash60 if portable_hash else F.xxhash64
-    hashed = segs.select(
-        F.col(id_col), F.col("chunk_id"), F.col("chunk_text"),
-        hash_fn(F.col("chunk_text")).alias("seg_hash"),
-    )
-    counts = hashed.groupBy("seg_hash").agg(
-        F.count_distinct(id_col).alias("__n_docs")
-    )
-    kept = hashed.join(counts, "seg_hash").filter(F.col("__n_docs") <= max_docs)
+    hashed, counts = _hashed_segments(df, id_col, text_col, segment_tokens, portable_hash)
+    kept = hashed.join(counts, "seg_hash").filter(F.col("n_docs_with_seg") <= max_docs)
     rebuilt = kept.groupBy(id_col).agg(
         F.count("*").alias("n_kept_segments"),
         F.array_join(
@@ -275,8 +284,12 @@ def exact_contamination(
     corpus side is one normalized scan with a codegen'd ``contains``
     per probe — the Spark-expressible stand-in for the Aho-Corasick
     multi-pattern scan a specialized engine would run; no corpus bytes
-    shuffle.  Empty benchmark docs are dropped (an empty probe matches
-    everything).  Returns (doc_id, bench_id).
+    shuffle.  Both sides are wrapped in sentinel spaces so the match is
+    token-aligned: without them a probe starting ``rust is ...`` would
+    flag a document containing ``trust is ...`` (and a trailing token
+    would match any longer word's prefix).  Empty benchmark docs are
+    dropped (an empty probe matches everything).
+    Returns (doc_id, bench_id).
     """
     from realtimechurnpredictiondataengineering_spark.functions.text import normalized, tokens
 
@@ -284,10 +297,17 @@ def exact_contamination(
         benchmarks.filter(F.length(normalized(text_col)) > 0)
         .select(
             F.col(id_col).alias("bench_id"),
-            F.array_join(F.slice(tokens(text_col), 1, probe_tokens), " ").alias("__probe"),
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.slice(tokens(text_col), 1, probe_tokens), " "),
+                F.lit(" "),
+            ).alias("__probe"),
         )
     )
-    c = corpus.select(F.col(id_col), normalized(text_col).alias("__t"))
+    c = corpus.select(
+        F.col(id_col),
+        F.concat(F.lit(" "), normalized(text_col), F.lit(" ")).alias("__t"),
+    )
     return (
         c.crossJoin(F.broadcast(probes))
         .filter(F.col("__t").contains(F.col("__probe")))

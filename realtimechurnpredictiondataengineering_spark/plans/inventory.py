@@ -4563,10 +4563,10 @@ def v10(spark, sf_dir):
 _D11_SQL = f"""
 WITH probes AS (
   SELECT doc_id AS bench_id,
-         array_to_string(string_split({SQL_NORM}, ' ')[1:10], ' ') AS probe
+         ' ' || array_to_string(string_split({SQL_NORM}, ' ')[1:10], ' ') || ' ' AS probe
   FROM documents WHERE doc_id % 10 = 0 AND length({SQL_NORM}) > 0
 ),
-corpus AS (SELECT doc_id, {SQL_NORM} AS t FROM documents WHERE doc_id % 10 != 0)
+corpus AS (SELECT doc_id, ' ' || {SQL_NORM} || ' ' AS t FROM documents WHERE doc_id % 10 != 0)
 SELECT corpus.doc_id, probes.bench_id
 FROM corpus, probes WHERE contains(t, probe)
 """

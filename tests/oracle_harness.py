@@ -60,7 +60,13 @@ def compare_query(spark, con, name: str, sf_dir: str) -> tuple[bool, str]:
     res = con.execute(sql)
     duck_cols = [d[0].lower() for d in res.description]
     duck_rows = res.fetchall()
+    return compare_fetched(spark_cols, spark_rows, duck_cols, duck_rows)
 
+
+def compare_fetched(spark_cols, spark_rows, duck_cols, duck_rows) -> tuple[bool, str]:
+    """The comparison half of ``compare_query``, on already-fetched rows —
+    callers that fetched for their own purposes (tools/selfcheck_window.py's
+    canonicalization probe) avoid executing both sides twice."""
     if sorted(spark_cols) != sorted(duck_cols):
         return False, f"column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
     if len(spark_rows) != len(duck_rows):

@@ -148,6 +148,8 @@ def test_exact_contamination_finds_probe_substring(spark):
             (1, "prefix words alpha beta gamma delta epsilon suffix words"),
             (2, "no overlap here at all"),
             (3, "ALPHA  BETA gamma DELTA epsilon"),  # normalization catches case/space
+            (4, "xalpha beta gamma delta epsilon"),  # word boundary: must NOT match
+            (5, "alpha beta gamma delta epsilonx"),  # trailing boundary: must NOT match
         ],
     )
     out = sorted(

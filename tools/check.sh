@@ -1,8 +1,9 @@
 #!/bin/sh
 # Full verification recipe, one command (see .claude/skills/verify/SKILL.md):
-#   1. unit/streaming/plan tests        (~9 min)
-#   2. 149-query DuckDB oracle parity   (~11 min)
-#   3. headline bench at sf0.1          (~3 min)
+#   1. unit/streaming/plan tests               (~10 min)
+#   2. full-registry DuckDB oracle parity      (~12 min)
+#   3. driver-shaped window canonicalization   (~4 min)
+#   4. headline bench at sf0.1                 (~3 min)
 # Usage: tools/check.sh  (from the repo root)
 set -e
 cd "$(dirname "$0")/.."

@@ -6,30 +6,39 @@ than tests/oracle_harness.py's tuple canonicalization: pandas sorting /
 ``pd.util.hash_pandas_object`` raise ``TypeError`` on ``list`` and
 ``bytearray`` cells, which is exactly how v06/m01/m02 went driver-red in
 round 3 while passing the local harness.  This check replays BOTH
-contracts on every window entry:
+contracts on every window entry, executing each side exactly ONCE:
 
 1. canonicalizability — the Spark output AND the DuckDB oracle output
    must survive pandas column-sort + row-sort + hash (the driver's
    ``_canon`` shape);
 2. value match — tests/oracle_harness.py's row-count/columns/value
-   comparison.
+   comparison, fed the same fetched rows.
 
 Any failure (including a missing oracle: the window policy is that every
 slot is value-checkable) exits non-zero.  Runs at sf0.001 by default for
 speed; pass the sf0.01 dir to mirror the driver's scale exactly.
 
-Usage: PYTHONPATH=. python tools/selfcheck_window.py [sf_dir]
+Usage: python tools/selfcheck_window.py [sf_dir]  (any CWD)
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pandas as pd
 
-from realtimechurnpredictiondataengineering_spark.plans.inventory import PRIORITY, REGISTRY
-from realtimechurnpredictiondataengineering_spark.sources.batch import TABLES
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+sys.path.insert(0, os.path.join(_REPO, "tests"))
+# Executor Python workers import the package from PYTHONPATH (driver
+# sys.path does not propagate) — required by the mapInPandas kernels
+# (m01/m02) when this tool runs from a foreign CWD.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+from realtimechurnpredictiondataengineering_spark.plans.inventory import PRIORITY, REGISTRY  # noqa: E402
+from realtimechurnpredictiondataengineering_spark.sources.batch import TABLES  # noqa: E402
 
 
 def driver_canon_probe(pdf: pd.DataFrame) -> str | None:
@@ -46,10 +55,9 @@ def driver_canon_probe(pdf: pd.DataFrame) -> str | None:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    from realtimechurnpredictiondataengineering_spark.session import get_spark
+    from oracle_harness import compare_fetched  # noqa: E402
 
-    sys.path.insert(0, "tests")
-    from oracle_harness import compare_query  # noqa: E402
+    from realtimechurnpredictiondataengineering_spark.session import get_spark
 
     spark = get_spark(app_name="selfcheck-window", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -65,25 +73,33 @@ def main() -> int:
         if callable(sql):
             sql = sql()
         errs: list[str] = []
+        spark_cols: list[str] = []
+        spark_rows: list[tuple] = []
         if sql is None:
             errs.append("no_oracle (window slots must be value-checkable)")
         try:
-            spdf = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            spark_cols = [c.lower() for c in sdf.columns]
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            spdf = pd.DataFrame(spark_rows, columns=spark_cols)
             if (probe := driver_canon_probe(spdf)) is not None:
                 errs.append(f"spark output uncanonicalizable: {probe}")
         except Exception as exc:  # noqa: BLE001 - report, don't abort the sweep
             errs.append(f"spark EXCEPTION: {type(exc).__name__}: {exc}")
-        if sql is not None:
+        if sql is not None and not errs:
             try:
-                dpdf = con.execute(sql).df()
+                res = con.execute(sql)
+                duck_cols = [d[0].lower() for d in res.description]
+                duck_rows = res.fetchall()
+                dpdf = pd.DataFrame(duck_rows, columns=duck_cols)
                 if (probe := driver_canon_probe(dpdf)) is not None:
                     errs.append(f"oracle output uncanonicalizable: {probe}")
+                else:
+                    ok, msg = compare_fetched(spark_cols, spark_rows, duck_cols, duck_rows)
+                    if not ok:
+                        errs.append(msg)
             except Exception as exc:  # noqa: BLE001
                 errs.append(f"oracle EXCEPTION: {type(exc).__name__}: {exc}")
-            if not errs:
-                ok, msg = compare_query(spark, con, name, sf_dir)
-                if not ok:
-                    errs.append(msg)
         if errs:
             n_bad += 1
             print(f"FAIL {name}: {'; '.join(errs)}")
