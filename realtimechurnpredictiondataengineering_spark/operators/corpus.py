@@ -346,3 +346,51 @@ def quality_percentile_gate(
         .filter(F.col("quality") >= F.col("__thr"))
         .select(id_col, "quality")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram negative log2-probability under the
+    corpus' own empirical unigram model — the cheap stand-in for the
+    CCNet/RedPajama LM-perplexity quality signal (common boilerplate
+    scores low, rare-token gibberish scores high), with no external
+    model artifact.
+
+    Two passes: (1) vocab counts — one shuffle on the token; (2) the
+    scoring join of exploded tokens against the counts.  Both join keys
+    are tokens (not documents), so Catalyst plans the count side
+    broadcast whenever the vocabulary fits (it is Zipf-bounded, millions
+    of entries at web scale, far below the corpus itself); above that,
+    cap the broadcast vocabulary to the top-V tokens and smooth the tail
+    — documented knob, not implemented here because the exact join IS
+    the oracle semantics.  Empty documents score 0.0.
+    Returns (id, n_tokens, mean_neg_log2p) rounded to 4.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
+
+    toks = df.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
+    )
+    ex = toks.filter(F.col("n_tokens") > 0).select(
+        F.col(id_col), F.explode("__t").alias("__tok")
+    )
+    counts = ex.groupBy("__tok").agg(F.count("*").alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__total"))
+    scored = (
+        ex.join(counts, "__tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(-F.log2(F.col("__n") / F.col("__total"))), 4).alias("mean_neg_log2p"))
+    )
+    return (
+        toks.select(F.col(id_col), "n_tokens")
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("mean_neg_log2p", F.lit(0.0)).alias("mean_neg_log2p"),
+        )
+    )

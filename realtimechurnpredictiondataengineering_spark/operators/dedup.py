@@ -719,3 +719,72 @@ def incremental_dedup(
         .distinct()
     )
     return survivors.join(near, id_col, "left_anti")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_tokens: int = 10,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Maximal duplicated token spans per document — the practical Spark
+    shape of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every stride-1
+    ``gram_tokens``-gram is hashed; a gram occurring more than once
+    corpus-wide marks its token interval as duplicated; per document,
+    overlapping/adjacent duplicated intervals merge into maximal spans
+    (the classic gaps-and-islands window).
+
+    Plan: gram fan-out is scan-local (same cardinality as a stride-1
+    shingle index, 8-byte hashed keys); one shuffle counts gram
+    occurrences (reduced BEFORE the join back, so a boilerplate gram is
+    one count row); the island merge is one window over each document's
+    own interval list.  Documents shorter than ``gram_tokens`` produce
+    no grams and no spans.  Returns (id, span_start, span_end) in
+    1-based token positions, end inclusive.
+    """
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).withColumn(
+        "__n", F.size("__t")
+    )
+    hash_fn = portable_hash60 if portable_hash else F.xxhash64
+    grams = (
+        toks.filter(F.col("__n") >= gram_tokens)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - gram_tokens + 1),
+                    lambda i: F.concat_ws(" ", F.slice("__t", i, gram_tokens)),
+                )
+            ).alias("__pos0", "__gram"),
+        )
+        .select(
+            F.col(id_col),
+            (F.col("__pos0") + 1).alias("start"),
+            hash_fn(F.col("__gram")).alias("gram_hash"),
+        )
+    )
+    counts = grams.groupBy("gram_hash").agg(F.count("*").alias("__occ"))
+    dup = (
+        grams.join(counts, "gram_hash")
+        .filter(F.col("__occ") > 1)
+        .select(F.col(id_col), "start", (F.col("start") + gram_tokens - 1).alias("end"))
+    )
+    w = Window.partitionBy(id_col).orderBy("start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    islands = dup.withColumn(
+        "__new_island",
+        (F.col("start") > F.coalesce(F.max("end").over(w) + 1, F.col("start") - 1)).cast("int"),
+    ).withColumn(
+        "__island",
+        F.sum("__new_island").over(
+            Window.partitionBy(id_col).orderBy("start").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return islands.groupBy(id_col, "__island").agg(
+        F.min("start").alias("span_start"), F.max("end").alias("span_end")
+    ).select(id_col, "span_start", "span_end")

@@ -4602,6 +4602,65 @@ def t14(spark, sf_dir):
     return corpus.quality_percentile_gate(_td(spark, sf_dir), percentile=0.5)
 
 
+_D12_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
+sized AS (SELECT doc_id, t, len(t) AS n FROM toks),
+g AS (
+  SELECT doc_id, s.i AS start,
+         CAST(('0x' || substr(md5(array_to_string(t[s.i:s.i+9], ' ')), 1, 15)) AS BIGINT) AS gram_hash
+  FROM sized, LATERAL (SELECT unnest(range(1, greatest(n - 9, 0) + 1)) AS i) s
+  WHERE n >= 10
+),
+c AS (SELECT gram_hash, count(*) AS occ FROM g GROUP BY 1),
+dup AS (SELECT doc_id, start, start + 9 AS e
+        FROM g JOIN c USING (gram_hash) WHERE occ > 1),
+isl AS (
+  SELECT doc_id, start, e,
+         CASE WHEN start > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY start
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1, start - 1)
+              THEN 1 ELSE 0 END AS ni
+  FROM dup
+),
+isl2 AS (SELECT doc_id, start, e,
+                sum(ni) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM isl)
+SELECT doc_id, min(start) AS span_start, max(e) AS span_end
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+@register("d12_duplicate_spans", _D12_SQL)
+def d12(spark, sf_dir):
+    # Suffix-array-style duplicated-span extraction via stride-1 gram
+    # hashing + gaps-and-islands merge (operators/dedup.py:
+    # duplicate_spans); portable hash so the twin replays the counts.
+    return dedup.duplicate_spans(_td(spark, sf_dir), gram_tokens=10, portable_hash=True)
+
+
+_T16_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
+base AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM toks),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM base WHERE n_tokens > 0),
+c AS (SELECT tok, count(*) AS n FROM ex GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM c),
+s AS (SELECT doc_id, round(avg(-log2(CAST(n AS DOUBLE) / total)), 4) AS mean_neg_log2p
+      FROM ex JOIN c USING (tok), tot GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       coalesce(s.mean_neg_log2p, 0.0) AS mean_neg_log2p
+FROM base b LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("t16_unigram_logprob", _T16_SQL)
+def t16(spark, sf_dir):
+    # CCNet-style perplexity proxy: mean -log2 p(token) under the
+    # corpus' own unigram model (operators/corpus.py:unigram_logprob).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    return corpus.unigram_logprob(_td(spark, sf_dir))
+
+
 # The driver's correctness gate checks the first 50 ``queries()`` entries
 # in dict order.  Decorator order above is pedagogical (projection →
 # filter → agg → …), which would spend the whole window on scalar
@@ -4616,12 +4675,12 @@ def t14(spark, sf_dir):
 # in the latest round must sit inside the window so the external gate —
 # not just the local harness — validates the new code (v06/m01/m02
 # reshapes, d03-d05 twins, plus all eight round-3 additions: v07, v08,
-# t11, t12, ll04, s07, viz01, viz02, and the nine new round-4 operators
-# t13, t14, d09, d10, d11, s08, prof02, v09, v10).  The seventeen
-# entries rotated out to make room (t01-t04, t08, s02, s03, s06, x01,
-# j06, h03, h07, h08, h20, h21, a10, a17) were driver-green in round 3
-# (most also in round 2) and remain value-checked by
-# tests/oracle_harness.py.
+# t11, t12, ll04, s07, viz01, viz02, and the eleven new round-4
+# operators t13, t14, t16, d09, d10, d11, d12, s08, prof02, v09, v10).
+# The nineteen entries rotated out to make room (t01-t04, t08, s02,
+# s03, s06, x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08)
+# were driver-green in round 3 (most also in round 2) and remain
+# value-checked by tests/oracle_harness.py.
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
     "d01_exact_content_dedup",
@@ -4667,10 +4726,10 @@ PRIORITY: tuple[str, ...] = (
     "v10_embedding_dup_clusters",
     "v09_ann_recall",
     "t14_quality_threshold",
-    "z01_zorder_values",
+    "d12_duplicate_spans",
     "sql03_recursive_cte",
     "sql04_lateral_topn",
-    "st08_hierarchical_rollup",
+    "t16_unigram_logprob",
     "viz01_binned_scatter",
     "viz02_support_scatter",
 )

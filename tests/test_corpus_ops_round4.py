@@ -175,3 +175,58 @@ def test_quality_percentile_gate_keeps_upper_half(spark):
     out = corpus.quality_percentile_gate(df, percentile=0.5)
     kept = {r["doc_id"] for r in out.collect()}
     assert kept == {10, 11, 12, 13}
+
+
+def test_duplicate_spans_merges_overlapping_grams(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    shared = " ".join(f"s{i}" for i in range(12))  # 12 shared tokens -> 3 dup grams
+    df = _docs(
+        spark,
+        [
+            (1, shared + " " + " ".join(f"a{i}" for i in range(10))),
+            (2, shared + " " + " ".join(f"b{i}" for i in range(10))),
+            (3, " ".join(f"c{i}" for i in range(22))),  # no duplication
+        ],
+    )
+    out = {
+        (r["doc_id"],): (r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(df, gram_tokens=10).collect()
+    }
+    # the 3 overlapping dup grams (starts 1,2,3, each covering 10 tokens)
+    # merge into one maximal span [1, 12] in both docs; doc 3 has none
+    assert out == {(1,): (1, 12), (2,): (1, 12)}
+
+
+def test_duplicate_spans_separates_distant_spans(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    blockx = " ".join(f"x{i}" for i in range(10))
+    blocky = " ".join(f"y{i}" for i in range(10))
+    mid_a = " ".join(f"m{i}" for i in range(15))
+    mid_b = " ".join(f"n{i}" for i in range(15))
+    df = _docs(spark, [(1, f"{blockx} {mid_a} {blocky}"), (2, f"{blockx} {mid_b} {blocky}")])
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(df, gram_tokens=10).collect()
+    )
+    # two separate duplicated spans per doc: tokens 1-10 and 26-35
+    assert spans == [(1, 1, 10), (1, 26, 35), (2, 1, 10), (2, 26, 35)]
+
+
+def test_unigram_logprob_orders_common_below_rare(spark):
+    import math
+
+    df = _docs(
+        spark,
+        [
+            (1, "common common common common"),  # all high-probability tokens
+            (2, "common rare1 rare2 rare3"),     # mostly singletons
+            (3, ""),                              # empty -> 0.0
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.unigram_logprob(df).collect()}
+    assert out[1]["mean_neg_log2p"] < out[2]["mean_neg_log2p"]
+    assert out[3]["n_tokens"] == 0 and out[3]["mean_neg_log2p"] == 0.0
+    # exact value: doc 1 tokens all have p = 5/8
+    assert abs(out[1]["mean_neg_log2p"] - round(-math.log2(5 / 8), 4)) < 1e-9

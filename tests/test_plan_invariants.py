@@ -40,6 +40,7 @@ BNLJ_ALLOWED = {
     "v09_ann_recall",  # exact side reuses v02's broadcast query-set scan
     "d11_exact_contamination",  # eval-suite probe table broadcast over the corpus scan (multi-pattern contains)
     "t14_quality_threshold",  # 1-row exact-percentile threshold broadcast onto scored rows
+    "t16_unigram_logprob",  # 1-row corpus token total broadcast onto the scoring join
 }
 
 
