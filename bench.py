@@ -87,6 +87,8 @@ HEADLINE = (
     "d09_segment_dup_stats",
     "d10_segment_cleaned_docs",
     "v10_embedding_dup_clusters",
+    "d12_duplicate_spans",
+    "t16_unigram_logprob",
 )
 
 
