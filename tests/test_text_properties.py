@@ -230,3 +230,55 @@ def test_dup_ngram_char_fraction_matches_python_model(sparkm, texts):
             dup = sum(len(g) * c for g, c in counts.items() if c >= 2)
             expect = 0.0 if total == 0 else dup / total
         assert abs(r["f"] - expect) < 1e-9, repr(r["text"])
+
+
+def _brute_duplicate_spans(docs, k):
+    """Pure-Python reference for dedup.duplicate_spans: hash every
+    stride-1 k-gram, mark intervals of grams occurring >1 time corpus-
+    wide, merge overlapping/adjacent intervals per doc."""
+    from collections import Counter
+
+    grams = {}
+    for doc_id, text in docs:
+        toks = text.split()
+        grams[doc_id] = [
+            (i + 1, " ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)
+        ]
+    occ = Counter(g for gs in grams.values() for _, g in gs)
+    spans = {}
+    for doc_id, gs in grams.items():
+        ivals = [(s, s + k - 1) for s, g in gs if occ[g] > 1]
+        merged = []
+        for s, e in sorted(ivals):
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        for s, e in merged:
+            spans.setdefault(doc_id, []).append((s, e))
+    return {(d, s, e) for d, sp in spans.items() for s, e in sp}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs_texts=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=30).map(" ".join),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_duplicate_spans_matches_brute_force(sparkm, docs_texts):
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    docs = [(i, t) for i, t in enumerate(docs_texts)]
+    k = 3
+    df = sparkm.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_spans(df, gram_tokens=k).collect()
+    }
+    # the operator tokenizes via normalized(text); single-char tokens from a
+    # tiny alphabet force heavy gram collisions — the interesting regime
+    want = _brute_duplicate_spans([(i, " ".join(t.split())) for i, t in docs], k)
+    assert got == want
