@@ -190,19 +190,34 @@ def fingerprint_rolling(col: Column | str, base: int = 257, mod: int = 1_000_000
     )
 
 
+def word_kgrams(toks: Column, k: int, min_one: bool = True) -> Column:
+    """Positional stride-1 word k-grams of a token array (the shared
+    core of shingling, repetition folds, and duplicated-span grams).
+
+    ``min_one=True`` clamps the gram count to at least one, so a
+    document shorter than ``k`` tokens yields its whole text as the
+    single (partial) gram; ``min_one=False`` yields an empty array
+    instead — callers that map grams back to token POSITIONS need the
+    strict form.
+    """
+    n = F.size(toks)
+    last = F.greatest(n - k + 1, F.lit(1)) if min_one else (n - k + 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), last),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+    if min_one:
+        return grams
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
 def shingles(col: Column | str, k: int = 5) -> Column:
     """Word k-gram shingle set (distinct) → array<string>.
 
     Documents shorter than ``k`` tokens yield their whole text as the
     single shingle, so short docs still participate in MinHash.
     """
-    toks = tokens(col)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-    )
-    return F.array_distinct(grams)
+    return F.array_distinct(word_kgrams(tokens(col), k))
 
 
 def repetition_ratio(col: Column | str) -> Column:
@@ -229,12 +244,7 @@ def top_bigram_fraction(col: Column | str) -> Column:
     """
     toks = tokens(col)
     n = F.size(toks)
-    grams = F.sort_array(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        )
-    )
+    grams = F.sort_array(word_kgrams(toks, 2))
     best_run = F.aggregate(
         grams,
         F.struct(
@@ -268,12 +278,7 @@ def dup_ngram_char_fraction(col: Column | str, k: int = 3) -> Column:
     """
     toks = tokens(col)
     n = F.size(toks)
-    grams = F.sort_array(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
-    )
+    grams = F.sort_array(word_kgrams(toks, k))
     # fold state: (prev gram, run length, chars in duplicated runs so
     # far, chars total so far).  When a run ends with length r >= 2 its
     # r*len(gram) chars count as duplicated; the finish lambda flushes

@@ -744,20 +744,26 @@ def duplicate_spans(
     no grams and no spans.  Returns (id, span_start, span_end) in
     1-based token positions, end inclusive.
     """
-    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).withColumn(
-        "__n", F.size("__t")
+    from realtimechurnpredictiondataengineering_spark.functions.text import (
+        token_count,
+        word_kgrams,
+    )
+
+    # token_count (not size(tokens)) for the length guard: an empty
+    # document tokenizes to [''] (size 1), which at gram_tokens=1 would
+    # otherwise mint a phantom empty-string gram shared by every empty
+    # doc and report a span over a token that does not exist.
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("__t"), token_count(text_col).alias("__n")
     )
     hash_fn = portable_hash60 if portable_hash else F.xxhash64
     grams = (
         toks.filter(F.col("__n") >= gram_tokens)
         .select(
             F.col(id_col),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("__n") - gram_tokens + 1),
-                    lambda i: F.concat_ws(" ", F.slice("__t", i, gram_tokens)),
-                )
-            ).alias("__pos0", "__gram"),
+            F.posexplode(word_kgrams(F.col("__t"), gram_tokens, min_one=False)).alias(
+                "__pos0", "__gram"
+            ),
         )
         .select(
             F.col(id_col),
