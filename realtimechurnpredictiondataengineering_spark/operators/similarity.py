@@ -26,7 +26,7 @@ before the shuffle, so the full candidate set never lands on one reducer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from realtimechurnpredictiondataengineering_spark.functions.vectors import (
@@ -346,4 +346,64 @@ def ann_recall(
         F.count("*").cast("int").alias("k"),
         F.sum("__hit").alias("n_hit"),
         F.round(F.sum("__hit") / F.count("*"), 4).alias("recall"),
+    )
+
+
+def knn_label_accuracy(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-NN label accuracy — the standard intrinsic
+    embedding-quality eval: each vector's label is predicted by majority
+    vote of its k nearest neighbors (cosine, self excluded) and compared
+    to its own label, reported per label class.
+
+    This is the brute-force eval shape (exact neighbors over the eval
+    slice — eval sets are sample-sized by definition); for a full-corpus
+    sweep substitute ``lsh_topk``/``ivf_topk`` for the scored cross
+    join, same voting tail.  Vote ties break toward the smaller label,
+    neighbor ties toward the larger id (``topk_reduce``'s order), both
+    deterministic and oracle-replayable.
+    Returns (label, n, n_correct, accuracy).
+    """
+    e = df.select(F.col(id_col), F.col(vec_col), F.col(label_col))
+    qs = e.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+    )
+    scored = (
+        fan_out(e).crossJoin(F.broadcast(qs))
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid"),
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+        )
+    )
+    nn = topk_reduce(scored, "__qid", id_col, "cos_sim", k)
+    votes = (
+        nn.join(e.select(F.col(id_col), F.col(label_col).alias("__nlabel")), id_col)
+        .groupBy("__qid", "__nlabel")
+        .agg(F.count("*").alias("__votes"))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__votes"), F.asc("__nlabel"))
+    predicted = (
+        votes.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(F.col("__qid"), F.col("__nlabel").alias("__pred"))
+    )
+    return (
+        predicted.join(
+            qs.select("__qid", "__qlabel"), "__qid"
+        )
+        .groupBy(F.col("__qlabel").alias(label_col))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("__pred") == F.col("__qlabel")).cast("long")).alias("n_correct"),
+        )
+        .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n"), 4))
     )

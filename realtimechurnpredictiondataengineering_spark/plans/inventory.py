@@ -4661,6 +4661,44 @@ def t16(spark, sf_dir):
     return corpus.unigram_logprob(_td(spark, sf_dir))
 
 
+_V11_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id, c.label AS nlabel,
+         list_dot_product(q.v, c.v) /
+         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM e q JOIN e c ON c.vec_id != q.vec_id
+),
+nn AS (SELECT qid, vec_id, nlabel,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id DESC) AS rank
+       FROM scored),
+votes AS (SELECT qid, nlabel, count(*) AS n_votes
+          FROM nn WHERE rank <= 5 GROUP BY qid, nlabel),
+pred AS (SELECT qid, nlabel AS predicted
+         FROM (SELECT qid, nlabel, row_number() OVER (PARTITION BY qid ORDER BY n_votes DESC, nlabel ASC) AS r
+               FROM votes)
+         WHERE r = 1)
+SELECT e.label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(CAST(sum(CASE WHEN p.predicted = e.label THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         AS accuracy
+FROM e JOIN pred p ON p.qid = e.vec_id
+GROUP BY e.label
+"""
+
+
+@register("v11_knn_label_accuracy", _V11_SQL)
+def v11(spark, sf_dir):
+    # Leave-one-out 5-NN label accuracy per class — the intrinsic
+    # embedding-quality eval (operators/similarity.py:knn_label_accuracy);
+    # uses the embeddings table's label column.
+    e = _te(spark, sf_dir).select(
+        "vec_id", _as_double("embedding").alias("embedding"), "label"
+    )
+    return similarity.knn_label_accuracy(e, k=5)
+
+
 # The driver's correctness gate checks the first 50 ``queries()`` entries
 # in dict order.  Decorator order above is pedagogical (projection →
 # filter → agg → …), which would spend the whole window on scalar
@@ -4675,12 +4713,12 @@ def t16(spark, sf_dir):
 # in the latest round must sit inside the window so the external gate —
 # not just the local harness — validates the new code (v06/m01/m02
 # reshapes, d03-d05 twins, plus all eight round-3 additions: v07, v08,
-# t11, t12, ll04, s07, viz01, viz02, and the eleven new round-4
-# operators t13, t14, t16, d09, d10, d11, d12, s08, prof02, v09, v10).
-# The nineteen entries rotated out to make room (t01-t04, t08, s02,
-# s03, s06, x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08)
-# were driver-green in round 3 (most also in round 2) and remain
-# value-checked by tests/oracle_harness.py.
+# t11, t12, ll04, s07, viz01, viz02, and the twelve new round-4
+# operators t13, t14, t16, d09, d10, d11, d12, s08, prof02, v09, v10,
+# v11).  The twenty entries rotated out to make room (t01-t04, t08,
+# s02, s03, s06, x01, j06, h03, h07, h08, h20, h21, a10, a17, z01,
+# st08, sql04) were driver-green in round 3 (most also in round 2) and
+# remain value-checked by tests/oracle_harness.py.
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
     "d01_exact_content_dedup",
@@ -4728,7 +4766,7 @@ PRIORITY: tuple[str, ...] = (
     "t14_quality_threshold",
     "d12_duplicate_spans",
     "sql03_recursive_cte",
-    "sql04_lateral_topn",
+    "v11_knn_label_accuracy",
     "t16_unigram_logprob",
     "viz01_binned_scatter",
     "viz02_support_scatter",

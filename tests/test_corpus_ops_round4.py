@@ -230,3 +230,20 @@ def test_unigram_logprob_orders_common_below_rare(spark):
     assert out[3]["n_tokens"] == 0 and out[3]["mean_neg_log2p"] == 0.0
     # exact value: doc 1 tokens all have p = 5/8
     assert abs(out[1]["mean_neg_log2p"] - round(-math.log2(5 / 8), 4)) < 1e-9
+
+
+def test_knn_label_accuracy_separable_clusters(spark):
+    # two tight clusters with distinct labels -> leave-one-out 3-NN is
+    # perfect; one planted mislabeled point in cluster 0 is predicted as
+    # its neighbors' label and drags label 9's accuracy to 0
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0 + 0.01 * i, 0.0], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.0, 10.0 + 0.01 * i], 1))
+    rows.append((99, [10.0, 0.05], 9))  # sits inside cluster 0, label 9
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in similarity.knn_label_accuracy(df, k=3).collect()}
+    assert out[0]["accuracy"] == 1.0 and out[0]["n"] == 6
+    assert out[1]["accuracy"] == 1.0 and out[1]["n"] == 6
+    assert out[9]["n"] == 1 and out[9]["n_correct"] == 0 and out[9]["accuracy"] == 0.0

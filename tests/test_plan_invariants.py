@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "d11_exact_contamination",  # eval-suite probe table broadcast over the corpus scan (multi-pattern contains)
     "t14_quality_threshold",  # 1-row exact-percentile threshold broadcast onto scored rows
     "t16_unigram_logprob",  # 1-row corpus token total broadcast onto the scoring join
+    "v11_knn_label_accuracy",  # leave-one-out eval: broadcast eval-slice queries over one scan (v02 shape)
 }
 
 
