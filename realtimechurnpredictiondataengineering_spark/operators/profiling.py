@@ -127,3 +127,39 @@ def token_length_histogram(
         "n_docs",
         F.round(F.col("n_docs") / total, 6).alias("frac"),
     ).orderBy("bucket")
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group statistical drift between two snapshots of the same
+    table — the data-quality monitor that catches a broken upstream
+    producer (nulls spike, a value distribution shifts) before the
+    corrupted snapshot lands in training data.
+
+    Each side is one grouped aggregate (count, null rate, mean,
+    population stddev — pop, not sample, so single-row groups yield 0.0
+    identically on every engine); the two profile tables are
+    group-count-sized, so the final full-outer join is negligible at any
+    corpus scale.  Returns per group: counts, null rates, means and the
+    mean delta, rounded to 4.
+    """
+
+    def prof(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(group_col).agg(
+            F.count("*").alias(f"n_{side}"),
+            F.round(
+                F.avg(F.col(value_col).isNull().cast("double")), 4
+            ).alias(f"null_rate_{side}"),
+            F.round(F.avg(value_col), 4).alias(f"mean_{side}"),
+            F.round(F.stddev_pop(value_col), 4).alias(f"std_{side}"),
+        )
+
+    joined = prof(old, "old").join(prof(new, "new"), group_col, "full_outer")
+    return joined.withColumn(
+        "mean_delta",
+        F.round(F.coalesce("mean_new", F.lit(0.0)) - F.coalesce("mean_old", F.lit(0.0)), 4),
+    )

@@ -73,3 +73,48 @@ def hierarchical_rollup(
         current = rollup_merge(current, keys, grain)
         levels[grain] = current
     return levels
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch sessionization — the batch twin of the streaming
+    ``session_window`` aggregate: consecutive events of a user belong to
+    one session while the gap stays within ``gap_seconds``; a larger gap
+    starts a new session.
+
+    Classic two-window shape, ONE shuffle on the user key (both windows
+    share the (user, ts) sort): lag(ts) marks session breaks, a running
+    sum of breaks numbers the sessions, then a per-(user, session)
+    aggregate emits bounds and counts.  ``order_tiebreak`` makes the
+    within-timestamp order deterministic so session numbering is
+    engine-reproducible.  Returns
+    (user, session_id, session_start, session_end, n_events).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
+        F.lag(ts_col).over(w)
+    )
+    marked = events.withColumn(
+        "__new_session",
+        F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "__session",
+        F.sum("__new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        marked.groupBy(F.col(user_col), F.col("__session").cast("int").alias("session_id"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+    )

@@ -4699,6 +4699,78 @@ def v11(spark, sf_dir):
     return similarity.knn_label_accuracy(e, k=5)
 
 
+_W08_SQL = """
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT user_id, ts,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+               AS session_id
+      FROM m)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@register("w08_batch_sessionize", _W08_SQL)
+def w08(spark, sf_dir):
+    # Batch sessionization (gap > 30 min starts a new session) — the
+    # batch twin of st07's streaming session windows
+    # (operators/rollup.py:sessionize).  NOTE the oracle's running sum
+    # orders by ts alone: the break flags of same-(user, ts) rows are
+    # computed with the event_id tie-break, and summing flags over any
+    # same-ts permutation yields the same session id per row.
+    from realtimechurnpredictiondataengineering_spark.operators import rollup
+
+    return rollup.sessionize(_t(spark, sf_dir, "events"))
+
+
+_C05_SQL = """
+WITH o AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_old,
+         round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 4) AS null_rate_old,
+         round(avg(value), 4) AS mean_old,
+         round(stddev_pop(value), 4) AS std_old
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_new,
+         round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 4) AS null_rate_new,
+         round(avg(value), 4) AS mean_new,
+         round(stddev_pop(value), 4) AS std_new
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+)
+SELECT coalesce(o.event_type, n.event_type) AS event_type,
+       n_old, null_rate_old, mean_old, std_old,
+       n_new, null_rate_new, mean_new, std_new,
+       round(coalesce(mean_new, 0.0) - coalesce(mean_old, 0.0), 4) AS mean_delta
+FROM o FULL OUTER JOIN n ON o.event_type = n.event_type
+"""
+
+
+@register("c05_profile_drift", _C05_SQL)
+def c05(spark, sf_dir):
+    # Snapshot drift monitor: per-event-type count/null-rate/mean/stddev
+    # deltas between two halves of the events table standing in for two
+    # snapshot versions (operators/profiling.py:profile_drift).
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    e = _t(spark, sf_dir, "events")
+    return profiling.profile_drift(
+        e.filter(F.col("event_id") % 2 == 0),
+        e.filter(F.col("event_id") % 2 == 1),
+        group_col="event_type",
+        value_col="value",
+    )
+
+
 # The driver's correctness gate checks the first 50 ``queries()`` entries
 # in dict order.  Decorator order above is pedagogical (projection →
 # filter → agg → …), which would spend the whole window on scalar
@@ -4713,12 +4785,13 @@ def v11(spark, sf_dir):
 # in the latest round must sit inside the window so the external gate —
 # not just the local harness — validates the new code (v06/m01/m02
 # reshapes, d03-d05 twins, plus all eight round-3 additions: v07, v08,
-# t11, t12, ll04, s07, viz01, viz02, and the twelve new round-4
+# t11, t12, ll04, s07, viz01, viz02, and the fourteen new round-4
 # operators t13, t14, t16, d09, d10, d11, d12, s08, prof02, v09, v10,
-# v11).  The twenty entries rotated out to make room (t01-t04, t08,
-# s02, s03, s06, x01, j06, h03, h07, h08, h20, h21, a10, a17, z01,
-# st08, sql04) were driver-green in round 3 (most also in round 2) and
-# remain value-checked by tests/oracle_harness.py.
+# v11, w08, c05).  The twenty-two entries rotated out to make room
+# (t01-t04, t08, s02, s03, s06, x01, j06, h03, h07, h08, h20, h21,
+# a10, a17, z01, st08, sql04, c03, prof01) were driver-green in round 3
+# (most also in round 2) and remain value-checked by
+# tests/oracle_harness.py.
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
     "d01_exact_content_dedup",
@@ -4748,10 +4821,10 @@ PRIORITY: tuple[str, ...] = (
     "t12_dup_ngram_chars",
     "c01_cdc_latest_state",
     "c02_scd2_history",
-    "c03_scd2_lookup",
+    "w08_batch_sessionize",
     "c04_snapshot_diff",
     "s07_group_split",
-    "prof01_column_profile",
+    "c05_profile_drift",
     "m01_media_features",
     "m02_video_frame_sample",
     "t13_gopher_rules",

@@ -247,3 +247,35 @@ def test_knn_label_accuracy_separable_clusters(spark):
     assert out[0]["accuracy"] == 1.0 and out[0]["n"] == 6
     assert out[1]["accuracy"] == 1.0 and out[1]["n"] == 6
     assert out[9]["n"] == 1 and out[9]["n_correct"] == 0 and out[9]["accuracy"] == 0.0
+
+
+def test_sessionize_splits_on_gap(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import rollup
+
+    rows = [
+        (1, 10, "2024-01-01 10:00:00"),
+        (2, 10, "2024-01-01 10:10:00"),   # same session (10 min gap)
+        (3, 10, "2024-01-01 11:30:00"),   # > 30 min -> new session
+        (4, 20, "2024-01-01 10:00:00"),   # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string").selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = {(r["user_id"], r["session_id"]): r for r in rollup.sessionize(df).collect()}
+    assert out[(10, 1)]["n_events"] == 2
+    assert out[(10, 2)]["n_events"] == 1
+    assert out[(20, 1)]["n_events"] == 1
+    assert str(out[(10, 1)]["session_end"]).startswith("2024-01-01 10:10")
+
+
+def test_profile_drift_detects_mean_shift(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    old = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 5.0)], "g string, v double")
+    new = spark.createDataFrame(
+        [("a", 11.0), ("a", 13.0), ("c", None)], "g string, v double"
+    )
+    out = {r["g"]: r for r in profiling.profile_drift(old, new, "g", "v").collect()}
+    assert out["a"]["mean_delta"] == 10.0
+    assert out["b"]["n_new"] is None          # group vanished
+    assert out["c"]["null_rate_new"] == 1.0   # new group, all null
