@@ -84,26 +84,29 @@ def sessionize(
 ) -> DataFrame:
     """Batch sessionization — the batch twin of the streaming
     ``session_window`` aggregate: consecutive events of a user belong to
-    one session while the gap stays within ``gap_seconds``; a larger gap
-    starts a new session.
+    one session while the gap is SHORTER than ``gap_seconds``; a gap of
+    ``gap_seconds`` or more starts a new session (``>=``, matching
+    ``session_window``'s boundary, so the batch and streaming twins
+    agree on boundary-exact events).
 
     Classic two-window shape, ONE shuffle on the user key (both windows
     share the (user, ts) sort): lag(ts) marks session breaks, a running
     sum of breaks numbers the sessions, then a per-(user, session)
-    aggregate emits bounds and counts.  ``order_tiebreak`` makes the
-    within-timestamp order deterministic so session numbering is
-    engine-reproducible.  Returns
+    aggregate emits bounds and counts.  The gap is measured on the
+    timestamp cast to double — full sub-second precision, identical to
+    SQL ``epoch()`` arithmetic (``unix_timestamp`` would truncate to
+    whole seconds and disagree with an oracle near the boundary).
+    ``order_tiebreak`` makes the within-timestamp order deterministic so
+    session numbering is engine-reproducible.  Returns
     (user, session_id, session_start, session_end, n_events).
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_tiebreak))
-    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(
-        F.lag(ts_col).over(w)
-    )
+    gap = F.col(ts_col).cast("double") - F.lag(ts_col).over(w).cast("double")
     marked = events.withColumn(
         "__new_session",
-        F.when(gap.isNull() | (gap > gap_seconds), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap >= gap_seconds), F.lit(1)).otherwise(F.lit(0)),
     ).withColumn(
         "__session",
         F.sum("__new_session").over(

@@ -4701,15 +4701,15 @@ def v11(spark, sf_dir):
 
 _W08_SQL = """
 WITH m AS (
-  SELECT user_id, ts,
+  SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
               THEN 1 ELSE 0 END AS ns
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (SELECT user_id, ts,
-             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
                AS session_id
       FROM m)
@@ -4721,12 +4721,13 @@ FROM s GROUP BY user_id, session_id
 
 @register("w08_batch_sessionize", _W08_SQL)
 def w08(spark, sf_dir):
-    # Batch sessionization (gap > 30 min starts a new session) — the
-    # batch twin of st07's streaming session windows
-    # (operators/rollup.py:sessionize).  NOTE the oracle's running sum
-    # orders by ts alone: the break flags of same-(user, ts) rows are
-    # computed with the event_id tie-break, and summing flags over any
-    # same-ts permutation yields the same session id per row.
+    # Batch sessionization (gap >= 30 min starts a new session, the
+    # session_window boundary rule) — the batch twin of st07's streaming
+    # session windows (operators/rollup.py:sessionize).  Both the break
+    # flags AND the running sum order by (ts, event_id): ties ordered by
+    # ts alone would let the oracle split a same-timestamp session
+    # differently than the operator.  Gaps are fractional epoch seconds
+    # on both engines (Spark: timestamp cast double; DuckDB: epoch()).
     from realtimechurnpredictiondataengineering_spark.operators import rollup
 
     return rollup.sessionize(_t(spark, sf_dir, "events"))

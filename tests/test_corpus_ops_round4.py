@@ -279,3 +279,19 @@ def test_profile_drift_detects_mean_shift(spark):
     assert out["a"]["mean_delta"] == 10.0
     assert out["b"]["n_new"] is None          # group vanished
     assert out["c"]["null_rate_new"] == 1.0   # new group, all null
+
+
+def test_sessionize_boundary_and_subsecond_precision(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import rollup
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00.500"),
+        (2, 1, "2024-01-01 10:30:00.500"),  # gap exactly 1800.0 -> NEW session (>= rule)
+        (3, 2, "2024-01-01 10:00:00.600"),
+        (4, 2, "2024-01-01 10:30:00.100"),  # gap 1799.5 -> same session
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string").selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = {(r["user_id"], r["session_id"]): r["n_events"] for r in rollup.sessionize(df).collect()}
+    assert out == {(1, 1): 1, (1, 2): 1, (2, 1): 2}
