@@ -1,6 +1,16 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line the driver records as BENCH_r{N}.json.
+compact JSON line the driver records as BENCH_r{N}.json.
+
+The final stdout line carries suite-level fields only (value, sf,
+n_queries, failed_count, queries_file) and stays well under 1 KB at any
+query count: round 4 proved that embedding the full per-query map in the
+final line outgrows the driver's tail-capture buffer at ~60 queries,
+truncating the line mid-key and silently blinding the 2x performance
+gate ("parsed": null in BENCH_r04.json).  The per-query map is written
+to the BENCH_QUERIES.json sidecar next to this file AND printed as
+individual `benchq {...}` lines before the final line, so both the
+driver tail and the repo checkout carry the full data.
 
 Each query is forced to full execution with the noop sink (computes every
 row/column of the final plan, no driver collect bottleneck, no disk
@@ -153,6 +163,30 @@ def main() -> int:
             timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # Full per-query detail: sidecar file (for the judge / offline
+    # analysis) + one short stdout line per query (so the driver's tail
+    # capture still shows the slowest recent queries even without the
+    # sidecar).
+    sidecar = {
+        "metric": "headline_suite_wall",
+        "value": None if errors else total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        sidecar["errors"] = errors
+    sidecar_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+    )
+    with open(sidecar_path, "w") as fh:
+        json.dump(sidecar, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    for name, sec in timings.items():
+        print(f'benchq {{"name": "{name}", "sec": {sec}}}')
+
+    # Final line: suite-level only, guaranteed < 1 KB at any query count
+    # so it always survives the driver's tail capture intact.
     result = {
         "metric": "headline_suite_wall",
         # A partial run sums only the surviving queries, which would look
@@ -160,12 +194,12 @@ def main() -> int:
         # comparable (non-null) when every headline query ran.
         "value": None if errors else total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "failed_count": len(errors),
+        "queries_file": "BENCH_QUERIES.json",
     }
     if errors:
-        result["errors"] = errors
-        result["failed_count"] = len(errors)
         result["partial_sum"] = total
     print(json.dumps(result))
     return 0
