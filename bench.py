@@ -99,6 +99,9 @@ HEADLINE = (
     "v10_embedding_dup_clusters",
     "d12_duplicate_spans",
     "t16_unigram_logprob",
+    # round-5 additions
+    "w09_session_rollup",
+    "t17_unigram_logprob_capped",
 )
 
 

@@ -353,6 +353,12 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
     scan-local built-in expression (regex counts + array folds): the
     whole rule set is ONE projection, no shuffle, no UDF — at 100 TB it
     runs at scan speed and feeds the corpus-prep gate chain.
+
+    NULL text is an explicit REJECT, not a NULL flag: every gate (and
+    ``keep``) is wrapped in ``coalesce(flag, false)`` so callers that
+    select rejects via ``~keep`` or count ``keep = false`` see NULL-text
+    documents instead of silently missing them (three-valued-logic
+    filters would drop them from BOTH keep and reject sides).
     """
     tc = token_count(col)
     mwl = mean_word_length(col)
@@ -365,6 +371,7 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
         "repetition_ok": repetition_ratio(col) <= 0.3,
         "dup_gram_ok": dup_ngram_char_fraction(col, k=3) <= 0.2,
     }
+    rules = {name: F.coalesce(flag, F.lit(False)) for name, flag in rules.items()}
     keep = F.lit(True)
     for flag in rules.values():
         keep = keep & flag

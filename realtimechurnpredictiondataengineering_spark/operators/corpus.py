@@ -151,13 +151,21 @@ def _hashed_segments(
     text_col: str,
     segment_tokens: int,
     portable_hash: bool,
+    keep_text: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared front half of the segment-dedup family: non-overlapping
     ``segment_tokens``-word windows, hashed (xxhash64, or the oracle-
     replayable md5-60 key), plus the corpus-wide distinct-doc count per
     hash.  Counts are aggregated BEFORE any join back — a boilerplate
     segment in 10⁶ docs is one count row, not 10⁶ join partners.
-    Returns (hashed(id, chunk_id, chunk_text, seg_hash),
+    The hashed frame feeds BOTH the counts aggregate and the join probe
+    side, so it is persisted (same query-private-cache pattern as
+    ``minhash_near_duplicates``) — without it the chunk fan-out scan
+    would execute twice per query.  ``keep_text=False`` (for callers
+    that never read the segment text back, e.g. ``segment_dup_stats``)
+    caches only (id, chunk_id, seg_hash) — ~16 bytes/segment instead of
+    the full text, so the cache stays cheap at any corpus size.
+    Returns (hashed(id, chunk_id[, chunk_text], seg_hash),
     counts(seg_hash, n_docs_with_seg))."""
     from realtimechurnpredictiondataengineering_spark.operators.dedup import portable_hash60
 
@@ -166,10 +174,11 @@ def _hashed_segments(
         chunk_tokens=segment_tokens, overlap=0,
     )
     hash_fn = portable_hash60 if portable_hash else F.xxhash64
-    hashed = segs.select(
-        F.col(id_col), F.col("chunk_id"), F.col("chunk_text"),
-        hash_fn(F.col("chunk_text")).alias("seg_hash"),
-    )
+    cols = [F.col(id_col), F.col("chunk_id")]
+    if keep_text:
+        cols.append(F.col("chunk_text"))
+    cols.append(hash_fn(F.col("chunk_text")).alias("seg_hash"))
+    hashed = segs.select(*cols).persist()
     counts = hashed.groupBy("seg_hash").agg(
         F.count_distinct(id_col).alias("n_docs_with_seg")
     )
@@ -204,7 +213,9 @@ def segment_dup_stats(
     replayable); default is xxhash64.  Returns
     (id, n_segments, n_dup_segments, dup_segment_frac).
     """
-    hashed, counts = _hashed_segments(df, id_col, text_col, segment_tokens, portable_hash)
+    hashed, counts = _hashed_segments(
+        df, id_col, text_col, segment_tokens, portable_hash, keep_text=False
+    )
     segs = hashed.select(F.col(id_col), "seg_hash")
     return (
         segs.join(counts, "seg_hash")
@@ -352,6 +363,7 @@ def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab_top_v: int | None = None,
 ) -> DataFrame:
     """Per-document mean unigram negative log2-probability under the
     corpus' own empirical unigram model — the cheap stand-in for the
@@ -363,10 +375,19 @@ def unigram_logprob(
     scoring join of exploded tokens against the counts.  Both join keys
     are tokens (not documents), so Catalyst plans the count side
     broadcast whenever the vocabulary fits (it is Zipf-bounded, millions
-    of entries at web scale, far below the corpus itself); above that,
-    cap the broadcast vocabulary to the top-V tokens and smooth the tail
-    — documented knob, not implemented here because the exact join IS
-    the oracle semantics.  Empty documents score 0.0.
+    of entries at web scale, far below the corpus itself).
+
+    ``vocab_top_v`` is the web-scale valve: keep only the top-V tokens
+    by count (count desc, token asc tie-break — deterministic) and
+    smooth the entire tail mass into a single OOV probability
+    ``p_oov = tail_count / total``, so the broadcast side is bounded by
+    V rows no matter how the raw vocabulary grows.  The top-V cut uses
+    ``orderBy().limit()``, which Spark plans as TakeOrderedAndProject —
+    per-partition partial top-V, never a full vocab sort.  When the true
+    vocabulary has at most V tokens the tail is empty and the capped
+    model is IDENTICAL to the exact one (unit-tested).  The default
+    ``None`` keeps the exact join — that IS the oracle semantics for
+    ``t16``.  Empty documents score 0.0.
     Returns (id, n_tokens, mean_neg_log2p) rounded to 4.
     """
     from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
@@ -374,17 +395,43 @@ def unigram_logprob(
     toks = df.select(
         F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
     )
+    # ex feeds both the vocab-count aggregate and the scoring join —
+    # persist so the tokenize-explode scan runs once, not twice.
     ex = toks.filter(F.col("n_tokens") > 0).select(
         F.col(id_col), F.explode("__t").alias("__tok")
-    )
+    ).persist()
     counts = ex.groupBy("__tok").agg(F.count("*").alias("__n"))
     total = counts.agg(F.sum("__n").alias("__total"))
-    scored = (
-        ex.join(counts, "__tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy(id_col)
-        .agg(F.round(F.avg(-F.log2(F.col("__n") / F.col("__total"))), 4).alias("mean_neg_log2p"))
-    )
+    if vocab_top_v is None:
+        scored = (
+            ex.join(counts, "__tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(
+                F.round(F.avg(-F.log2(F.col("__n") / F.col("__total"))), 4).alias(
+                    "mean_neg_log2p"
+                )
+            )
+        )
+    else:
+        top = counts.orderBy(F.desc("__n"), F.asc("__tok")).limit(vocab_top_v)
+        # One broadcast row holding both totals; the OOV symbol absorbs
+        # the whole tail mass.  With an empty tail p_oov is 0/total = 0,
+        # but the left join then always matches so the branch is dead.
+        consts = F.broadcast(
+            total.crossJoin(top.agg(F.sum("__n").alias("__top_n")))
+        )
+        p = F.when(
+            F.col("__n").isNotNull(), F.col("__n") / F.col("__total")
+        ).otherwise(
+            (F.col("__total") - F.coalesce(F.col("__top_n"), F.lit(0))) / F.col("__total")
+        )
+        scored = (
+            ex.join(F.broadcast(top), "__tok", "left")
+            .crossJoin(consts)
+            .groupBy(id_col)
+            .agg(F.round(F.avg(-F.log2(p)), 4).alias("mean_neg_log2p"))
+        )
     return (
         toks.select(F.col(id_col), "n_tokens")
         .join(scored, id_col, "left")

@@ -771,6 +771,10 @@ def duplicate_spans(
             hash_fn(F.col("__gram")).alias("gram_hash"),
         )
     )
+    # grams feeds both the occurrence counts and the join probe side —
+    # persist so the stride-1 gram fan-out scan runs once, not twice
+    # (same query-private-cache pattern as minhash_near_duplicates).
+    grams = grams.persist()
     counts = grams.groupBy("gram_hash").agg(F.count("*").alias("__occ"))
     dup = (
         grams.join(counts, "gram_hash")

@@ -4661,6 +4661,39 @@ def t16(spark, sf_dir):
     return corpus.unigram_logprob(_td(spark, sf_dir))
 
 
+_T17_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
+base AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM toks),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM base WHERE n_tokens > 0),
+c AS (SELECT tok, count(*) AS n FROM ex GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM c),
+top AS (SELECT tok, n FROM c ORDER BY n DESC, tok ASC LIMIT 256),
+topn AS (SELECT sum(n) AS top_n FROM top),
+s AS (SELECT doc_id,
+             round(avg(-log2(CASE WHEN t.n IS NOT NULL
+                                  THEN CAST(t.n AS DOUBLE) / total
+                                  ELSE CAST(total - top_n AS DOUBLE) / total END)), 4)
+               AS mean_neg_log2p
+      FROM ex LEFT JOIN top t USING (tok), tot, topn GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       coalesce(s.mean_neg_log2p, 0.0) AS mean_neg_log2p
+FROM base b LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("t17_unigram_logprob_capped", _T17_SQL)
+def t17(spark, sf_dir):
+    # The vocab_top_v valve of t16 under external value-check: top-256
+    # tokens kept exactly (count desc, token asc tie-break), the entire
+    # tail smoothed into one OOV probability — V=256 is far below the
+    # sf0.01 documents vocabulary, so the OOV branch is genuinely
+    # exercised, not vacuously green
+    # (operators/corpus.py:unigram_logprob).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    return corpus.unigram_logprob(_td(spark, sf_dir), vocab_top_v=256)
+
+
 _V11_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
 scored AS (
@@ -4772,6 +4805,59 @@ def c05(spark, sf_dir):
     )
 
 
+_W09_SQL = """
+WITH m AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT user_id, ts,
+             CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+               AS session_id
+      FROM m),
+sess AS (SELECT user_id, session_id, min(ts) AS session_start,
+                count(*) AS n_events
+         FROM s GROUP BY 1, 2)
+SELECT CAST(date_trunc('day', session_start) AS DATE) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n_events) AS BIGINT) AS total_events,
+       CAST(min(n_events) AS BIGINT) AS min_session_events,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM sess GROUP BY 1
+"""
+
+
+@register("w09_session_rollup", _W09_SQL)
+def w09(spark, sf_dir):
+    # Composition: sessionize (w08) THEN hierarchical rollup (st08) —
+    # session-level daily aggregates, the reference's Gold-cadence shape
+    # at LLM-pipeline scale.  One shuffle on the user key builds the
+    # sessions; the rollup then re-aggregates SESSION rows (orders of
+    # magnitude fewer than raw events) hourly → daily, so the coarser
+    # grain reads partials, never the events table.  session_id is
+    # computed but unused here, so the composition is insensitive to
+    # numbering tie-breaks.
+    from realtimechurnpredictiondataengineering_spark.operators import rollup
+
+    sess = rollup.sessionize(_t(spark, sf_dir, "events"))
+    feats = sess.select(
+        F.col("session_start").alias("ts"),
+        F.col("n_events").cast("double").alias("value"),
+    )
+    daily = rollup.hierarchical_rollup(feats, keys=(), grains=("hour", "day"))["day"]
+    return daily.select(
+        F.col("bucket").cast("date").alias("bucket"),
+        F.col("n_events").alias("n_sessions"),
+        F.col("total_value").cast("long").alias("total_events"),
+        F.col("min_value").cast("long").alias("min_session_events"),
+        F.col("max_value").cast("long").alias("max_session_events"),
+    )
+
+
 # The driver's correctness gate checks the first 50 ``queries()`` entries
 # in dict order.  Decorator order above is pedagogical (projection →
 # filter → agg → …), which would spend the whole window on scalar
@@ -4780,19 +4866,21 @@ def c05(spark, sf_dir):
 # sampling, heavy TPC-H shapes.  Everything else follows in decorator
 # order, so the full query surface is unchanged.
 #
-# Round-4 policy (from round-3 advice): every window slot must be
-# value-checkable (d03/d04/d05 now carry full DuckDB twins via the
-# portable-hash mode, so they stay), and every query ADDED or RESHAPED
-# in the latest round must sit inside the window so the external gate —
-# not just the local harness — validates the new code (v06/m01/m02
-# reshapes, d03-d05 twins, plus all eight round-3 additions: v07, v08,
-# t11, t12, ll04, s07, viz01, viz02, and the fourteen new round-4
-# operators t13, t14, t16, d09, d10, d11, d12, s08, prof02, v09, v10,
-# v11, w08, c05).  The twenty-two entries rotated out to make room
-# (t01-t04, t08, s02, s03, s06, x01, j06, h03, h07, h08, h20, h21,
-# a10, a17, z01, st08, sql04, c03, prof01) were driver-green in round 3
-# (most also in round 2) and remain value-checked by
-# tests/oracle_harness.py.
+# Rotation policy (standing since round 3): every window slot must be
+# value-checkable, and every query ADDED or RESHAPED in the latest round
+# must sit inside the window so the external gate — not just the local
+# harness — validates the new code.  Round-5 deltas: w09_session_rollup
+# (new composition) and t17_unigram_logprob_capped (the vocab-cap valve
+# under external value-check) rotated IN; the round-5 reshapes (t16
+# vocab-cap knob + persist, d09/d10/d12 shared-scan persist, t13
+# NULL-coalesce, v11 candidates_fn refactor, ll01 via the gopher
+# coalesce) were all already inside the window.  v01_vector_norms and
+# c02_scd2_history rotated OUT to make room — both driver-green in
+# rounds 3 AND 4, untouched this round, and still value-checked by
+# tests/oracle_harness.py.  Earlier rotations: the
+# twenty-two entries moved out for round 4 (t01-t04, t08, s02, s03, s06,
+# x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08, sql04, c03,
+# prof01) were double-green in rounds 2-3.
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
     "d01_exact_content_dedup",
@@ -4803,7 +4891,7 @@ PRIORITY: tuple[str, ...] = (
     "d06_dup_clusters",
     "d07_benchmark_contamination",
     "d08_incremental_dedup",
-    "v01_vector_norms",
+    "w09_session_rollup",
     "v02_brute_force_topk",
     "v03_lsh_topk",
     "v04_embedding_near_dup",
@@ -4821,7 +4909,7 @@ PRIORITY: tuple[str, ...] = (
     "t11_repetition_metrics",
     "t12_dup_ngram_chars",
     "c01_cdc_latest_state",
-    "c02_scd2_history",
+    "t17_unigram_logprob_capped",
     "w08_batch_sessionize",
     "c04_snapshot_diff",
     "s07_group_split",

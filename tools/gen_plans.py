@@ -6,6 +6,11 @@ that does with the current ``.explain("formatted")`` tree for the query
 named by the section header.  This makes PLANS.md reproducible: prose is
 curated, trees are from the code.
 
+Idempotent by construction: the file is REWRITTEN section-by-section,
+and a section header that appears more than once keeps only its FIRST
+occurrence — appending a plan-audit pass for a query that already has a
+section can no longer duplicate it (the round-4 d11/t14/d10 dupes).
+
 Run: PYTHONPATH=/root/repo python tools/gen_plans.py [sf_dir]
 """
 
@@ -46,9 +51,15 @@ def main() -> int:
     parts = re.split(r"(?m)^(## .+)$", text)
     out = [parts[0]]
     refreshed = []
+    dropped = []
+    seen: set[str] = set()
     for i in range(1, len(parts), 2):
         header, body = parts[i], parts[i + 1]
         name = header.removeprefix("## ").strip()
+        if name in seen:
+            dropped.append(name)
+            continue
+        seen.add(name)
         block = re.search(r"```\n== Physical Plan ==\n.*?```", body, re.S)
         if name in REGISTRY and block:
             df = REGISTRY[name][0](spark, SF_DIR)
@@ -59,6 +70,8 @@ def main() -> int:
         out.append(body)
     open(PLANS, "w").write("".join(out))
     print(f"refreshed {len(refreshed)} plan blocks: {', '.join(refreshed)}")
+    if dropped:
+        print(f"dropped {len(dropped)} duplicate sections: {', '.join(dropped)}")
     return 0
 
 

@@ -80,8 +80,14 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = [c.lower() for c in sdf.columns]
-            spark_rows = [tuple(r) for r in sdf.collect()]
-            spdf = pd.DataFrame(spark_rows, columns=spark_cols)
+            rows = sdf.collect()
+            spark_rows = [tuple(r) for r in rows]
+            # The driver canonicalizes a TYPED frame (toPandas), not
+            # object-dtype tuples: re-materialize the collected rows
+            # through the query's own schema so the probe sees the same
+            # dtype-dependent sort/hash behavior (timestamps, decimals,
+            # arrays) WITHOUT re-executing the plan.
+            spdf = spark.createDataFrame(rows, sdf.schema).toPandas()
             if (probe := driver_canon_probe(spdf)) is not None:
                 errs.append(f"spark output uncanonicalizable: {probe}")
         except Exception as exc:  # noqa: BLE001 - report, don't abort the sweep
@@ -91,7 +97,10 @@ def main() -> int:
                 res = con.execute(sql)
                 duck_cols = [d[0].lower() for d in res.description]
                 duck_rows = res.fetchall()
-                dpdf = pd.DataFrame(duck_rows, columns=duck_cols)
+                # Same typed-frame probe on the oracle side: .df() gives
+                # the dtype-true frame (the fetchall rows feed the value
+                # compare; DuckDB re-execution is ms at these scales).
+                dpdf = con.execute(sql).df()
                 if (probe := driver_canon_probe(dpdf)) is not None:
                     errs.append(f"oracle output uncanonicalizable: {probe}")
                 else:
