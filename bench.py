@@ -102,6 +102,9 @@ HEADLINE = (
     # round-5 additions
     "w09_session_rollup",
     "t17_unigram_logprob_capped",
+    "t18_bigram_logprob",
+    "ll05_token_budget_select",
+    "d13_cluster_representatives",
 )
 
 

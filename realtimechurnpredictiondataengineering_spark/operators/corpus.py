@@ -441,3 +441,73 @@ def unigram_logprob(
             F.coalesce("mean_neg_log2p", F.lit(0.0)).alias("mean_neg_log2p"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.8,
+) -> DataFrame:
+    """Per-document mean negative log2-probability under an interpolated
+    bigram model trained on the corpus itself — one rung up the CCNet
+    quality-model ladder from ``unigram_logprob``:
+    ``P(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1} ·)
+    + (1-lam) * c(w_i)/total`` averaged over positions 2..n.  The
+    unigram interpolation term means no probability is ever zero, so no
+    discounting machinery is needed.
+
+    Plan: one tokenize scan persisted as arrays; two scan-local explodes
+    (tokens, adjacent pairs); ONE shuffle each for the unigram and
+    bigram count tables; context totals ``c(w_{i-1} ·)`` re-aggregate
+    the bigram PARTIALS (no third raw scan — they are NOT the unigram
+    counts, because a document's last token heads no bigram).  The
+    scoring joins key on tokens/pairs, Zipf-bounded exactly like t16 —
+    Catalyst broadcasts them when they fit; at web scale apply the same
+    top-V valve as ``unigram_logprob`` (the pair table caps the same
+    way).  Documents with fewer than 2 tokens have no bigrams and score
+    0.0.  Returns (id, n_tokens, mean_neg_log2p) rounded to 4.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
+
+    toks = df.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
+    ).persist()
+    ex = toks.filter(F.col("n_tokens") > 0).select(
+        F.col(id_col), F.explode("__t").alias("__tok")
+    )
+    uni = ex.groupBy("__tok").agg(F.count("*").alias("__nu"))
+    total = uni.agg(F.sum("__nu").alias("__total"))
+    # adjacent pairs: struct(prev, tok) per position 2..n — pure codegen
+    # fan-out, no shuffle (t[] subscripts are 0-based, positions 1-based)
+    pair_expr = F.expr(
+        "transform(sequence(2, size(__t)), i -> struct(__t[i-2] AS prev, __t[i-1] AS tok))"
+    )
+    pairs = (
+        toks.filter(F.col("n_tokens") >= 2)
+        .select(F.col(id_col), F.explode(pair_expr).alias("__p"))
+        .select(F.col(id_col), F.col("__p.prev").alias("__prev"), F.col("__p.tok").alias("__tok"))
+    )
+    big = pairs.groupBy("__prev", "__tok").agg(F.count("*").alias("__nb"))
+    ctx = big.groupBy("__prev").agg(F.sum("__nb").alias("__nc"))
+    p = (
+        F.lit(lam) * F.col("__nb") / F.col("__nc")
+        + F.lit(1.0 - lam) * F.col("__nu") / F.col("__total")
+    )
+    scored = (
+        pairs.join(big, ["__prev", "__tok"])
+        .join(ctx, "__prev")
+        .join(uni, "__tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(-F.log2(p)), 4).alias("mean_neg_log2p"))
+    )
+    return (
+        toks.select(F.col(id_col), "n_tokens")
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("mean_neg_log2p", F.lit(0.0)).alias("mean_neg_log2p"),
+        )
+    )

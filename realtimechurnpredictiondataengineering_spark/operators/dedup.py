@@ -595,6 +595,46 @@ def connected_components(
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 
+def cluster_representatives(
+    components: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "component",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Pick ONE representative per duplicate cluster — the "keep the
+    best copy" step that turns a connected-components labeling into a
+    dedup decision: instead of near_dedup's min-id survivor rule, each
+    cluster keeps its highest-``score_col`` member (quality-aware dedup,
+    the policy web-corpus pipelines actually want — mirrors usually
+    differ in boilerplate, and min-id keeps an arbitrary copy).
+
+    ``components`` is a (id, component) frame as produced by
+    ``connected_components``; ``scores`` maps ``id_col`` to
+    ``score_col``.  One equi-join on the id plus one window over the
+    cluster partition: clusters are bounded by the near-dup candidate
+    caps upstream, so the per-partition sort is small by construction,
+    and WindowGroupLimit prunes non-representatives before the full
+    sort at scale.  Ties break toward the smaller id, making the choice
+    deterministic and engine-replayable.
+    Returns (component, rep_id, score, cluster_size).
+    """
+    joined = components.join(scores, id_col)
+    w_rank = Window.partitionBy(comp_col).orderBy(F.desc(score_col), F.asc(id_col))
+    w_size = Window.partitionBy(comp_col)
+    return (
+        joined.withColumn("cluster_size", F.count("*").over(w_size))
+        .withColumn("__r", F.row_number().over(w_rank))
+        .filter(F.col("__r") == 1)
+        .select(
+            F.col(comp_col),
+            F.col(id_col).alias("rep_id"),
+            F.col(score_col),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

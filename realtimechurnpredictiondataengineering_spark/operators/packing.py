@@ -93,6 +93,45 @@ def sequence_stats(packed: DataFrame) -> DataFrame:
     )
 
 
+def token_budget_select(
+    docs: DataFrame,
+    budget: int,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-ordered corpus selection under a global token budget —
+    "take the best B tokens": rank documents by ``quality_col`` (desc,
+    id tie-break) and keep the prefix whose cumulative token count fits
+    ``budget``.  This is the final cut of classifier-filtered corpus
+    construction (the DCLM/FineWeb-style "select top documents until the
+    token target is hit"), where an absolute quality threshold would
+    over- or under-shoot the target as the crawl mix changes.
+
+    The cumulative count is ``global_prefix_sum`` over the
+    (-quality, id) range partition — the same two-narrow-pass
+    distributed scan as sequence packing, no single-task global window.
+    A document is kept when its INCLUSIVE running total is within
+    budget, so the output never exceeds ``budget`` tokens (the first
+    straddling document is dropped, not truncated — token-level
+    truncation belongs to packing).
+    Returns (id, quality, n_tokens, cum_tokens) for the kept prefix.
+    """
+    with_tc = docs.withColumn("n_tokens", tx.token_count(text_col)).withColumn(
+        "__negq", -F.col(quality_col)
+    )
+    cum = global_prefix_sum(with_tc, ["__negq", id_col], "n_tokens", out_col="cum_tokens")
+    return (
+        cum.filter(F.col("cum_tokens") <= budget)
+        .select(
+            F.col(id_col),
+            F.col(quality_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )
+
+
 def corpus_shuffle(
     df: DataFrame,
     key: str,

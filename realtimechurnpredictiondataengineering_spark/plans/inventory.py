@@ -4694,6 +4694,118 @@ def t17(spark, sf_dir):
     return corpus.unigram_logprob(_td(spark, sf_dir), vocab_top_v=256)
 
 
+_T18_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
+base AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM toks),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM base WHERE n_tokens > 0),
+uni AS (SELECT tok, count(*) AS nu FROM ex GROUP BY 1),
+tot AS (SELECT sum(nu) AS total FROM uni),
+pr AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+       FROM base WHERE n_tokens >= 2),
+pairs AS (SELECT doc_id, p[1] AS prev, p[2] AS tok FROM pr),
+big AS (SELECT prev, tok, count(*) AS nb FROM pairs GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(nb) AS nc FROM big GROUP BY 1),
+s AS (SELECT doc_id,
+             round(avg(-log2(0.8 * CAST(nb AS DOUBLE) / nc
+                             + (1.0 - 0.8) * CAST(nu AS DOUBLE) / total)), 4)
+               AS mean_neg_log2p
+      FROM pairs JOIN big USING (prev, tok) JOIN ctx USING (prev)
+                 JOIN uni USING (tok), tot
+      GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       coalesce(s.mean_neg_log2p, 0.0) AS mean_neg_log2p
+FROM base b LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("t18_bigram_logprob", _T18_SQL)
+def t18(spark, sf_dir):
+    # Interpolated bigram LM scoring — one rung up the CCNet quality
+    # ladder from t16; the (1.0 - 0.8) literal is spelled the same on
+    # both engines so the interpolation weights are bit-identical
+    # doubles (operators/corpus.py:bigram_logprob).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    return corpus.bigram_logprob(_td(spark, sf_dir), lam=0.8)
+
+
+_LL05_SQL = f"""
+WITH q AS (SELECT doc_id, {SQL_QUALITY} AS quality, {SQL_TOKEN_COUNT} AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, quality, n_tokens,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM q)
+SELECT doc_id, quality, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= 20000
+"""
+
+
+@register("ll05_token_budget_select", _LL05_SQL)
+def ll05(spark, sf_dir):
+    # "Take the best 20k tokens": quality-desc prefix under a global
+    # token budget via the range-partitioned two-phase prefix sum — the
+    # oracle's single-task window is exactly the scale cliff the
+    # operator avoids (operators/packing.py:token_budget_select).
+    from realtimechurnpredictiondataengineering_spark.functions.text import quality_score
+    from realtimechurnpredictiondataengineering_spark.operators import packing
+
+    d = _td(spark, sf_dir).withColumn("quality", quality_score("text"))
+    return packing.token_budget_select(d, budget=20_000)
+
+
+_D13_SQL = f"""
+WITH RECURSIVE sh AS (SELECT doc_id, {SQL_SHINGLES_K3} AS sh FROM documents),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+freq AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 200),
+invc AS (SELECT inv.* FROM inv JOIN freq USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM invc a JOIN invc b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+walk(s, d) AS (SELECT s, d FROM edges
+               UNION SELECT w.s, e.d FROM walk w JOIN edges e ON e.s = w.d),
+comp AS (SELECT s AS id, least(s, min(d)) AS component FROM walk GROUP BY s),
+q AS (SELECT doc_id, {SQL_QUALITY} AS quality FROM documents),
+ranked AS (
+  SELECT c.component, c.id, q.quality,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.id ASC) AS r,
+         count(*) OVER (PARTITION BY c.component) AS cluster_size
+  FROM comp c JOIN q ON q.doc_id = c.id
+)
+SELECT component, id AS rep_id, quality, CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE r = 1
+"""
+
+
+@register("d13_cluster_representatives", _D13_SQL)
+def d13(spark, sf_dir):
+    # Quality-aware dedup decision: near-dup graph (d02 pair semantics)
+    # → connected components (d06 machinery) → keep each cluster's
+    # highest-quality member, min-id tie-break
+    # (operators/dedup.py:cluster_representatives).
+    from realtimechurnpredictiondataengineering_spark.functions.text import quality_score
+
+    d = _td(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(d, shingle_k=3, threshold=0.5, max_doc_freq=200)
+    comps = dedup.connected_components(pairs)
+    scores = d.select(F.col("doc_id").alias("id"), quality_score("text").alias("quality"))
+    return dedup.cluster_representatives(comps, scores)
+
+
 _V11_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
 scored AS (
@@ -4869,15 +4981,18 @@ def w09(spark, sf_dir):
 # Rotation policy (standing since round 3): every window slot must be
 # value-checkable, and every query ADDED or RESHAPED in the latest round
 # must sit inside the window so the external gate — not just the local
-# harness — validates the new code.  Round-5 deltas: w09_session_rollup
-# (new composition) and t17_unigram_logprob_capped (the vocab-cap valve
-# under external value-check) rotated IN; the round-5 reshapes (t16
-# vocab-cap knob + persist, d09/d10/d12 shared-scan persist, t13
-# NULL-coalesce, v11 candidates_fn refactor, ll01 via the gopher
-# coalesce) were all already inside the window.  v01_vector_norms and
-# c02_scd2_history rotated OUT to make room — both driver-green in
-# rounds 3 AND 4, untouched this round, and still value-checked by
-# tests/oracle_harness.py.  Earlier rotations: the
+# harness — validates the new code.  Round-5 deltas: the five new
+# entries rotated IN — w09_session_rollup (sessionize→rollup
+# composition), t17_unigram_logprob_capped (the vocab-cap valve under
+# external value-check), t18_bigram_logprob, ll05_token_budget_select,
+# d13_cluster_representatives; the round-5 reshapes (t16 vocab-cap knob
+# + persist, d09/d10/d12 shared-scan persist, t13 NULL-coalesce, v11
+# candidates_fn refactor, ll01 via the gopher coalesce) were all
+# already inside the window.  Rotated OUT to make room (each
+# driver-green in rounds 3 AND 4, untouched this round, still
+# value-checked by tests/oracle_harness.py): v01_vector_norms,
+# c02_scd2_history, ll03_document_chunking, j07_range_join,
+# sql03_recursive_cte.  Earlier rotations: the
 # twenty-two entries moved out for round 4 (t01-t04, t08, s02, s03, s06,
 # x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08, sql04, c03,
 # prof01) were double-green in rounds 2-3.
@@ -4901,7 +5016,7 @@ PRIORITY: tuple[str, ...] = (
     "v08_mips_topk",
     "ll01_corpus_prep",
     "ll02_sequence_packing",
-    "ll03_document_chunking",
+    "ll05_token_budget_select",
     "ll04_corpus_shuffle",
     "t07_tfidf_top_terms",
     "t09_udtf_bigrams",
@@ -4918,7 +5033,7 @@ PRIORITY: tuple[str, ...] = (
     "m02_video_frame_sample",
     "t13_gopher_rules",
     "d09_segment_dup_stats",
-    "j07_range_join",
+    "t18_bigram_logprob",
     "s08_mixture_weights",
     "prof02_token_histogram",
     "d10_segment_cleaned_docs",
@@ -4927,7 +5042,7 @@ PRIORITY: tuple[str, ...] = (
     "v09_ann_recall",
     "t14_quality_threshold",
     "d12_duplicate_spans",
-    "sql03_recursive_cte",
+    "d13_cluster_representatives",
     "v11_knn_label_accuracy",
     "t16_unigram_logprob",
     "viz01_binned_scatter",

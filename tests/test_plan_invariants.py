@@ -42,6 +42,8 @@ BNLJ_ALLOWED = {
     "t14_quality_threshold",  # 1-row exact-percentile threshold broadcast onto scored rows
     "t16_unigram_logprob",  # 1-row corpus token total broadcast onto the scoring join
     "v11_knn_label_accuracy",  # leave-one-out eval: broadcast eval-slice queries over one scan (v02 shape)
+    "t17_unigram_logprob_capped",  # 1-row (total, top-V mass) constants broadcast onto the scoring join
+    "t18_bigram_logprob",  # 1-row corpus token total broadcast onto the bigram scoring join
 }
 
 

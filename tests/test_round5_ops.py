@@ -108,6 +108,90 @@ def test_knn_label_accuracy_lsh_matches_exact_on_clusters(spark):
 
 
 # ---------------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_logprob_exact_small_corpus(spark):
+    # corpus: "a b", "a b", "a c" -> bigrams: (a,b)x2, (a,c)x1; ctx a=3
+    # unigrams over ALL docs (incl. "solo"): a=3, b=2, c=1, solo=1 -> 7
+    df = _docs(spark, [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo"), (5, "")])
+    lam = 0.8
+    out = {r["doc_id"]: r for r in corpus.bigram_logprob(df, lam=lam).collect()}
+    p_ab = lam * 2 / 3 + (1 - lam) * 2 / 7
+    p_ac = lam * 1 / 3 + (1 - lam) * 1 / 7
+    assert out[1]["mean_neg_log2p"] == round(-math.log2(p_ab), 4)
+    assert out[2]["mean_neg_log2p"] == out[1]["mean_neg_log2p"]
+    assert out[3]["mean_neg_log2p"] == round(-math.log2(p_ac), 4)
+    # docs with < 2 tokens have no bigrams -> 0.0
+    assert out[4]["mean_neg_log2p"] == 0.0 and out[4]["n_tokens"] == 1
+    assert out[5]["mean_neg_log2p"] == 0.0 and out[5]["n_tokens"] == 0
+
+
+def test_bigram_logprob_common_sequence_scores_lower(spark):
+    df = _docs(
+        spark,
+        [(i, "the quick brown fox") for i in range(5)] + [(99, "zebra quick the brown")],
+    )
+    out = {r["doc_id"]: r["mean_neg_log2p"] for r in corpus.bigram_logprob(df).collect()}
+    # the repeated phrase's bigrams dominate the model; the scrambled
+    # doc's unseen-order bigrams cost more bits
+    assert out[0] < out[99]
+
+
+# ---------------------------------------------------------------------------
+# token_budget_select
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_select_takes_quality_prefix(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import packing
+
+    rows = [
+        (1, "w " * 10, 0.9),   # 10 tokens, best
+        (2, "w " * 10, 0.8),
+        (3, "w " * 10, 0.7),
+        (4, "w " * 10, 0.6),   # straddles the 35-token budget -> dropped
+        (5, "w " * 10, 0.5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    out = {r["doc_id"]: r for r in packing.token_budget_select(df, budget=35).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3]["cum_tokens"] == 30
+    assert out[1]["cum_tokens"] == 10
+
+
+def test_token_budget_select_ties_break_by_id(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import packing
+
+    rows = [(i, "w " * 10, 0.5) for i in (3, 1, 2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, quality double")
+    out = {r["doc_id"]: r["cum_tokens"] for r in packing.token_budget_select(df, budget=25).collect()}
+    # equal quality -> id order decides the prefix: docs 1 and 2 fit
+    assert out == {1: 10, 2: 20}
+
+
+# ---------------------------------------------------------------------------
+# cluster_representatives
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_representatives_picks_best_quality(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id long, component long"
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.1)], "id long, quality double"
+    )
+    out = {r["component"]: r for r in dedup.cluster_representatives(comps, scores).collect()}
+    # cluster 1: quality tie between 2 and 3 -> smaller id wins
+    assert out[1]["rep_id"] == 2 and out[1]["cluster_size"] == 3
+    assert out[10]["rep_id"] == 10 and out[10]["cluster_size"] == 2
+
+
+# ---------------------------------------------------------------------------
 # gopher_rules NULL text
 # ---------------------------------------------------------------------------
 
