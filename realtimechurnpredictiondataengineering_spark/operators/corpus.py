@@ -414,7 +414,10 @@ def unigram_logprob(
             )
         )
     else:
-        top = counts.orderBy(F.desc("__n"), F.asc("__tok")).limit(vocab_top_v)
+        # V-row frame feeding both the scoring join and the tail-mass
+        # constant — persisted so the counts aggregate + top-V cut run
+        # once, not twice (the cache is bounded by V at any scale)
+        top = counts.orderBy(F.desc("__n"), F.asc("__tok")).limit(vocab_top_v).persist()
         # One broadcast row holding both totals; the OOV symbol absorbs
         # the whole tail mass.  With an empty tail p_oov is 0/total = 0,
         # but the left join then always matches so the branch is dead.
