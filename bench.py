@@ -105,6 +105,7 @@ HEADLINE = (
     "t18_bigram_logprob",
     "ll05_token_budget_select",
     "d13_cluster_representatives",
+    "d14_tf_cosine_pairs",
 )
 
 

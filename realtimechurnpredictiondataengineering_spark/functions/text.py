@@ -46,9 +46,14 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count (empty text counts 0)."""
+    """Whitespace token count (NULL and empty text both count 0 — a
+    NULL here would poison every downstream arithmetic/filter with
+    three-valued logic, silently dropping the document instead of
+    scoring it as empty)."""
     n = normalized(col)
-    return F.when(F.length(n) == 0, F.lit(0)).otherwise(F.size(F.split(n, " ")))
+    return F.when(
+        n.isNull() | (F.length(n) == 0), F.lit(0)
+    ).otherwise(F.size(F.split(n, " ")))
 
 
 def bpe_token_count(col: Column | str) -> Column:

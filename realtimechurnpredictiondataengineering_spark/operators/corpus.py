@@ -28,10 +28,16 @@ def tfidf_top_terms(
     hierarchical rollup); the corpus size N is a one-row aggregate
     cross-joined as a broadcast.  Scores are rounded BEFORE ranking so
     the top-k cut is reproducible across engines, with the term as the
-    tie-break.  Returns (id, rank, term, tfidf).
+    tie-break.  Empty/NULL documents carry no terms (without the guard,
+    ``split('')`` would mint a phantom empty-string term shared by every
+    empty doc); N still counts them — IDF is over the corpus, not the
+    non-empty subset.  Returns (id, rank, term, tfidf).
     """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count
+
     tf = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        df.filter(token_count(text_col) > 0)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )

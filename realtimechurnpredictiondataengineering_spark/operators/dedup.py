@@ -26,6 +26,7 @@ from realtimechurnpredictiondataengineering_spark.functions.text import (
     fingerprint_md5,
     normalized,
     shingles,
+    token_count,
     tokens,
 )
 from realtimechurnpredictiondataengineering_spark.functions.vectors import (
@@ -632,6 +633,66 @@ def cluster_representatives(
             F.col(score_col),
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
+    )
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    max_doc_freq: int = 200,
+) -> DataFrame:
+    """Sparse term-frequency cosine near-dup pairs — the IR-style
+    complement to shingle Jaccard (``ngram_jaccard_pairs``): documents
+    are TF vectors over their vocabulary, similarity is vector cosine,
+    and a pair qualifies at ``cosine >= threshold``.  Bag-of-words
+    cosine catches re-orderings and partial rewrites that k-gram
+    shingles miss (and vice versa, which is why pipelines run both).
+
+    Plan: one tokenize-explode builds the (doc, term, tf) sparse matrix
+    (a single shuffle on the doc-term key); terms in more than
+    ``max_doc_freq`` documents are dropped BEFORE the self-join — the
+    same boilerplate-skew valve as d02, without which a stopword-ish
+    term joins every document to every other.  The pair dot products
+    come from the inverted-index self-join on the term (only shared
+    terms generate work, never all pairs); norms are per-doc aggregates
+    over the SAME capped vectors, so the cosine is exactly the cosine
+    of the vectors the join actually used.  Returns
+    (id_a, id_b, cosine) with id_a < id_b, rounded to 4.
+    """
+    tf = (
+        df.filter(token_count(text_col) > 0)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    hot = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("term")
+    )
+    capped = tf.join(F.broadcast(hot), "term", "left_anti").persist()
+    norms = capped.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("norm")
+    )
+    a = capped.select(F.col("term"), F.col(id_col).alias("id_a"), F.col("tf").alias("tf_a"))
+    b = capped.select(F.col("term"), F.col(id_col).alias("id_b"), F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("cosine", F.col("dot") / (F.col("norm_a") * F.col("norm_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
 
 

