@@ -641,7 +641,8 @@ def tf_cosine_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
-    max_doc_freq: int = 200,
+    max_doc_freq: int | None = None,
+    max_doc_frac: float | None = 0.4,
 ) -> DataFrame:
     """Sparse term-frequency cosine near-dup pairs — the IR-style
     complement to shingle Jaccard (``ngram_jaccard_pairs``): documents
@@ -651,28 +652,39 @@ def tf_cosine_pairs(
     shingles miss (and vice versa, which is why pipelines run both).
 
     Plan: one tokenize-explode builds the (doc, term, tf) sparse matrix
-    (a single shuffle on the doc-term key); terms in more than
-    ``max_doc_freq`` documents are dropped BEFORE the self-join — the
-    same boilerplate-skew valve as d02, without which a stopword-ish
-    term joins every document to every other.  The pair dot products
-    come from the inverted-index self-join on the term (only shared
-    terms generate work, never all pairs); norms are per-doc aggregates
-    over the SAME capped vectors, so the cosine is exactly the cosine
-    of the vectors the join actually used.  Returns
+    (a single shuffle on the doc-term key); boilerplate terms are
+    dropped BEFORE the self-join — the same skew valve as d02, without
+    which a stopword-ish term joins every document to every other.  The
+    cap is a FRACTION of the corpus by default (``max_doc_frac``):
+    "a term in >40% of documents carries no dedup signal" stays true at
+    500 docs and at 500 billion, where any absolute ``max_doc_freq``
+    silently becomes either a no-op or a drop-everything filter as the
+    corpus grows (an absolute cap is still available for callers
+    matching a fixed SLA).  The fractional threshold is a 1-row corpus
+    count broadcast into the df filter.  The pair dot products come
+    from the inverted-index self-join on the term (only shared terms
+    generate work, never all pairs); norms are per-doc aggregates over
+    the SAME capped vectors, so the cosine is exactly the cosine of the
+    vectors the join actually used.  Returns
     (id_a, id_b, cosine) with id_a < id_b, rounded to 4.
     """
+    # an explicit absolute cap overrides the fractional default
     tf = (
         df.filter(token_count(text_col) > 0)
         .select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    hot = (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") > max_doc_freq)
-        .select("term")
-    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    if max_doc_freq is not None:
+        hot = dfreq.filter(F.col("__df") > max_doc_freq).select("term")
+    else:
+        n_docs = df.agg(F.count("*").alias("__n"))
+        hot = (
+            dfreq.crossJoin(F.broadcast(n_docs))
+            .filter(F.col("__df") > F.col("__n") * max_doc_frac)
+            .select("term")
+        )
     capped = tf.join(F.broadcast(hot), "term", "left_anti").persist()
     norms = capped.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("norm")

@@ -4811,7 +4811,8 @@ WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
 ex AS (SELECT doc_id, unnest(t) AS term FROM toks
        WHERE NOT (len(t) = 1 AND t[1] = '')),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY 1, 2),
-hot AS (SELECT term FROM tf GROUP BY term HAVING count(*) > 200),
+hot AS (SELECT term FROM tf GROUP BY term
+        HAVING count(*) > (SELECT count(*) FROM documents) * 0.4),
 capped AS (SELECT * FROM tf WHERE term NOT IN (SELECT term FROM hot)),
 norms AS (SELECT doc_id, sqrt(sum(tf * tf)) AS norm FROM capped GROUP BY 1),
 dots AS (
@@ -4831,9 +4832,11 @@ WHERE dot / (na.norm * nb.norm) >= 0.8
 def d14(spark, sf_dir):
     # Sparse TF cosine near-dup pairs: bag-of-words cosine over the
     # df-capped inverted index — catches re-orderings shingle Jaccard
-    # misses (operators/dedup.py:tf_cosine_pairs).
+    # misses; the df cap is a corpus FRACTION (40%) so the valve means
+    # the same thing at every scale factor
+    # (operators/dedup.py:tf_cosine_pairs).
     return dedup.tf_cosine_pairs(
-        _td(spark, sf_dir), threshold=0.8, max_doc_freq=200
+        _td(spark, sf_dir), threshold=0.8, max_doc_frac=0.4
     )
 
 

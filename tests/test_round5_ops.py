@@ -232,8 +232,10 @@ def test_tf_cosine_pairs_catches_reordering(spark):
             (4, "totally different words here"),
         ],
     )
+    # absolute cap: on a 4-doc corpus the fractional default would drop
+    # the shared terms themselves
     out = {(r["id_a"], r["id_b"]): r["cosine"] for r in
-           dedup.tf_cosine_pairs(df, threshold=0.7).collect()}
+           dedup.tf_cosine_pairs(df, threshold=0.7, max_doc_freq=10).collect()}
     assert out[(1, 2)] == 1.0
     assert (1, 3) in out and out[(1, 3)] == 0.75
     assert not any(4 in p for p in out)
