@@ -106,6 +106,7 @@ HEADLINE = (
     "ll05_token_budget_select",
     "d13_cluster_representatives",
     "d14_tf_cosine_pairs",
+    "v12_pq_topk",
 )
 
 

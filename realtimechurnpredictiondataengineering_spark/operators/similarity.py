@@ -211,6 +211,146 @@ def ivf_topk(
     return topk_reduce(scored, query_id_col, id_col, "cos_sim", k)
 
 
+def train_pq_codebooks(
+    vectors: list[list[float]],
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (driver-side, deterministic): the
+    vector space splits into ``m`` contiguous subspaces; each gets its
+    own ``ksub``-centroid L2 k-means codebook.  Like the IVF quantizer,
+    training runs on a bounded SAMPLE and the model is a tiny
+    m × ksub × (dim/m) constant shipped to executors as a literal —
+    seeded init + fixed iterations make it reproducible, which is what
+    lets the oracle inline it.  Returns ``codebooks[j][c]`` =
+    subspace-j centroid c.
+    """
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        sub = x[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=min(ksub, len(sub)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def _pq_lit_books(codebooks):
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in cent]) for cent in book])
+            for book in codebooks
+        ]
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Assign each vector its PQ code array: per subspace, the 0-based
+    index of the L2-nearest codebook centroid (first index wins ties).
+    One scan-local projection — the indexing pass a vector store runs
+    once at ingest; downstream search touches only the m-byte codes.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    books = _pq_lit_books(codebooks)
+    vec = F.col(vec_col)
+
+    def code_for(j_col, book):
+        sub = F.slice(vec, j_col * dsub + 1, dsub)
+        d2 = F.transform(
+            book,
+            lambda c: F.aggregate(
+                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+
+    codes = F.transform(books, lambda book, j: code_for(j, book))
+    return df.withColumn(code_col, codes)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Product-quantization ADC top-k (the FAISS PQ shape): corpus
+    vectors are replaced by m-entry code arrays; each query precomputes
+    a per-subspace lookup table of dots against every codebook centroid
+    (m × ksub dots, once per QUERY, not per row); scoring a corpus row
+    is then just m table lookups summed — asymmetric distance
+    computation, approximating ``dot(q, x)`` by
+    ``Σ_j dot(q_j, centroid[j][code_j])``.
+
+    At scale this is the memory-bound win beyond int8 (v06/v07): codes
+    are m bytes against 4·dim for floats (32× smaller at dim=64, m=8),
+    so the scan stage reads codes only; the float vectors are touched
+    by nothing (add an exact rescore of the top pool, as in
+    ``quantized_topk``, when recall demands it).  The approximate score
+    is rounded to 6 BEFORE the top-k reduction so candidate ranking is
+    reproducible across engines (the m-term sum is order-deterministic
+    in the fold here, but an oracle's GROUP BY sum is not).
+    Returns (query_id, rank, vec_id, adc_dot).
+    """
+    encoded = pq_encode(fan_out(corpus), codebooks, vec_col=vec_col).select(
+        F.col(id_col), F.col("pq_codes")
+    )
+    books = _pq_lit_books(codebooks)
+    dsub = len(codebooks[0][0])
+    qvec = F.col(query_vec_col)
+    lut = F.transform(
+        books,
+        lambda book, j: F.transform(
+            book, lambda c: dot(F.slice(qvec, j * dsub + 1, dsub), c)
+        ),
+    )
+    q = queries.select(F.col(query_id_col), lut.alias("__lut"))
+    scored = encoded.crossJoin(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("pq_codes"),
+                    F.col("__lut"),
+                    lambda code, row: F.element_at(row, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("adc_dot"),
+    )
+    return topk_reduce(scored, query_id_col, id_col, "adc_dot", k)
+
+
 def _int8_cosine(a, b, norm_a, norm_b):
     """Cosine over two int8 arrays with precomputed norms: one zip_with
     fold in long arithmetic (dim·127² ≪ 2⁶³), zero-norm guarded."""

@@ -1354,6 +1354,85 @@ def v05(spark, sf_dir):
     return out.select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cos_sim")
 
 
+_PQ_CACHE: list[list[list[float]]] | None = None
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8
+
+
+def _pq_codebooks() -> list[list[list[float]]]:
+    """PQ model: per-subspace codebooks trained ONCE on the sf0.01
+    embedding sample (seeded, fixed iterations) and then frozen — both
+    the Spark query and the SQL twin inline the same constants, the way
+    a production vector store ships a trained index artifact."""
+    global _PQ_CACHE
+    if _PQ_CACHE is None:
+        import duckdb
+
+        vecs = duckdb.connect().execute(
+            "SELECT embedding::DOUBLE[] FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+            "ORDER BY vec_id"
+        ).fetchall()
+        _PQ_CACHE = similarity.train_pq_codebooks(
+            [v[0] for v in vecs], m=_PQ_M, ksub=_PQ_KSUB
+        )
+    return _PQ_CACHE
+
+
+def _v12_sql() -> str:
+    rows = ",\n".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in cent)}])"
+        for j, book in enumerate(_pq_codebooks())
+        for c, cent in enumerate(book)
+    )
+    d = _PQ_DSUB
+    return f"""
+WITH cb(j, c, cv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+dists AS (
+  SELECT e.vec_id, cb.j, cb.c,
+         list_distance(e.v[cb.j*{d}+1 : cb.j*{d}+{d}], cb.cv) AS dist
+  FROM e, cb
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.j, cb.c,
+         list_dot_product(q.v[cb.j*{d}+1 : cb.j*{d}+{d}], cb.cv) AS val
+  FROM e q, cb WHERE q.vec_id IN (0, 1, 2)
+),
+scored AS (
+  SELECT l.query_id, codes.vec_id, round(sum(l.val), 6) AS adc_dot
+  FROM codes JOIN lut l ON l.j = codes.j AND l.c = codes.c
+  GROUP BY 1, 2
+),
+ranked AS (SELECT query_id, vec_id, adc_dot,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dot DESC, vec_id DESC) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dot
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("v12_pq_topk", _v12_sql)  # lazy: building the twin trains the codebooks
+def v12(spark, sf_dir):
+    # Product-quantization ADC top-k: corpus becomes m-byte code arrays,
+    # queries precompute per-subspace dot LUTs, scoring is m lookups per
+    # row — the memory-bound rung past int8 (v06/v07)
+    # (operators/similarity.py:pq_topk, pq_encode, train_pq_codebooks).
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.pq_topk(e, qs, _pq_codebooks(), k=5)
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "adc_dot"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (north star; mapInPandas kernels with full SQL twins — the
 # stub decode is sha256-deterministic, so DuckDB can replay it exactly,
@@ -5019,7 +5098,7 @@ def w09(spark, sf_dir):
 # entries rotated IN — w09_session_rollup (sessionize→rollup
 # composition), t17_unigram_logprob_capped (the vocab-cap valve under
 # external value-check), t18_bigram_logprob, ll05_token_budget_select,
-# d13_cluster_representatives, d14_tf_cosine_pairs; the round-5
+# d13_cluster_representatives, d14_tf_cosine_pairs, v12_pq_topk; the round-5
 # reshapes (t16 vocab-cap knob + persist, d09/d10/d12 shared-scan
 # persist, t13 NULL-coalesce, v11 candidates_fn refactor, ll01 via the
 # gopher coalesce, t07 empty-doc term guard) were all already inside
@@ -5029,8 +5108,8 @@ def w09(spark, sf_dir):
 # Rotated OUT to make room (each driver-green in rounds 3 AND 4,
 # untouched this round, still value-checked by tests/oracle_harness.py):
 # v01_vector_norms, c02_scd2_history, ll03_document_chunking,
-# j07_range_join, sql03_recursive_cte, c04_snapshot_diff.  Earlier
-# rotations: the
+# j07_range_join, sql03_recursive_cte, c04_snapshot_diff,
+# t09_udtf_bigrams.  Earlier rotations: the
 # twenty-two entries moved out for round 4 (t01-t04, t08, s02, s03, s06,
 # x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08, sql04, c03,
 # prof01) were double-green in rounds 2-3.
@@ -5057,7 +5136,7 @@ PRIORITY: tuple[str, ...] = (
     "ll05_token_budget_select",
     "ll04_corpus_shuffle",
     "t07_tfidf_top_terms",
-    "t09_udtf_bigrams",
+    "v12_pq_topk",
     "t10_fuzzy_pairs",
     "t11_repetition_metrics",
     "t12_dup_ngram_chars",

@@ -44,6 +44,8 @@ BNLJ_ALLOWED = {
     "v11_knn_label_accuracy",  # leave-one-out eval: broadcast eval-slice queries over one scan (v02 shape)
     "t17_unigram_logprob_capped",  # 1-row (total, top-V mass) constants broadcast onto the scoring join
     "t18_bigram_logprob",  # 1-row corpus token total broadcast onto the bigram scoring join
+    "v12_pq_topk",  # broadcast query-LUT set over the coded corpus scan (v02 shape)
+    "d14_tf_cosine_pairs",  # 1-row corpus count broadcast into the fractional df-cap filter
 }
 
 

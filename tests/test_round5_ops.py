@@ -216,6 +216,52 @@ def test_cluster_representatives_picks_best_quality(spark):
 
 
 # ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def test_pq_topk_recovers_exact_on_clustered_vectors(spark):
+    import numpy as np
+
+    # 3 tight clusters in 16-d: PQ codes collapse each cluster onto its
+    # centroids, so ADC ranking must put same-cluster vectors on top
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((3, 16)) * 5
+    rows = []
+    for i in range(60):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.standard_normal(16) * 0.05).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = similarity.train_pq_codebooks([v for _, v in rows], m=4, ksub=8)
+    qs = df.filter("vec_id < 3").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    approx = similarity.pq_topk(df, qs, books, k=10).collect()
+    assert len(approx) == 30
+    # within a tight cluster all members share codes, so ranking among
+    # them is tie-break order — the property PQ guarantees is that every
+    # retrieved vector comes from the QUERY'S OWN cluster
+    for r in approx:
+        assert r["vec_id"] % 3 == r["query_id"] % 3, r
+
+
+def test_pq_encode_is_deterministic_and_bounded(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8)).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    books = similarity.train_pq_codebooks(vecs, m=2, ksub=4)
+    a = {r["vec_id"]: r["pq_codes"] for r in similarity.pq_encode(df, books).collect()}
+    b = {r["vec_id"]: r["pq_codes"] for r in similarity.pq_encode(df, books).collect()}
+    assert a == b
+    for codes in a.values():
+        assert len(codes) == 2 and all(0 <= c < 4 for c in codes)
+
+
+# ---------------------------------------------------------------------------
 # tf_cosine_pairs
 # ---------------------------------------------------------------------------
 
