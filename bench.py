@@ -107,6 +107,7 @@ HEADLINE = (
     "d13_cluster_representatives",
     "d14_tf_cosine_pairs",
     "v12_pq_topk",
+    "v13_ivf_pq_topk",
 )
 
 

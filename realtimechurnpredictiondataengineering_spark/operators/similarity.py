@@ -259,21 +259,12 @@ def _pq_lit_books(codebooks):
     )
 
 
-def pq_encode(
-    df: DataFrame,
-    codebooks: list[list[list[float]]],
-    vec_col: str = "embedding",
-    code_col: str = "pq_codes",
-) -> DataFrame:
-    """Assign each vector its PQ code array: per subspace, the 0-based
-    index of the L2-nearest codebook centroid (first index wins ties).
-    One scan-local projection — the indexing pass a vector store runs
-    once at ingest; downstream search touches only the m-byte codes.
-    """
-    m = len(codebooks)
+def _pq_codes_expr(vec, codebooks):
+    """Codes Column for an arbitrary vector expression: per subspace,
+    the 0-based index of the L2-nearest codebook centroid (first index
+    wins ties — mirrored by the oracle's ``ORDER BY dist, c``)."""
     dsub = len(codebooks[0][0])
     books = _pq_lit_books(codebooks)
-    vec = F.col(vec_col)
 
     def code_for(j_col, book):
         sub = F.slice(vec, j_col * dsub + 1, dsub)
@@ -287,8 +278,21 @@ def pq_encode(
         )
         return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
 
-    codes = F.transform(books, lambda book, j: code_for(j, book))
-    return df.withColumn(code_col, codes)
+    return F.transform(books, lambda book, j: code_for(j, book))
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Assign each vector its PQ code array: per subspace, the 0-based
+    index of the L2-nearest codebook centroid (first index wins ties).
+    One scan-local projection — the indexing pass a vector store runs
+    once at ingest; downstream search touches only the m-byte codes.
+    """
+    return df.withColumn(code_col, _pq_codes_expr(F.col(vec_col), codebooks))
 
 
 def pq_topk(
@@ -337,6 +341,120 @@ def pq_topk(
         F.col(id_col),
         F.round(
             F.aggregate(
+                F.zip_with(
+                    F.col("pq_codes"),
+                    F.col("__lut"),
+                    lambda code, row: F.element_at(row, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("adc_dot"),
+    )
+    return topk_reduce(scored, query_id_col, id_col, "adc_dot", k)
+
+
+def train_ivf_pq(
+    vectors: list[list[float]],
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the full IVF-PQ index model (driver-side, deterministic):
+    the IVF coarse quantizer first, then PQ codebooks on the RESIDUALS
+    of the sample w.r.t. each vector's nearest coarse centroid —
+    residual encoding is what makes IVF-PQ beat flat PQ (residuals are
+    smaller and more isotropic than raw vectors, so the same code
+    budget spends its precision where the coarse quantizer left error).
+    Assignment uses max-dot with first-index tie-break, exactly what
+    ``_nearest_centroid`` computes executor-side.
+    Returns (centroids, codebooks)."""
+    import numpy as np
+
+    cents = train_ivf_centroids(vectors, nlist=nlist, iters=iters, seed=seed)
+    x = np.asarray(vectors, dtype=np.float64)
+    c = np.asarray(cents, dtype=np.float64)
+    assign = np.argmax(x @ c.T, axis=1)
+    resid = x - c[assign]
+    books = train_pq_codebooks(resid.tolist(), m=m, ksub=ksub, iters=iters, seed=seed)
+    return cents, books
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the complete FAISS index shape on
+    DataFrame ops, composing the coarse inverted file (v05) with
+    residual product quantization (v12):
+
+    - one corpus scan assigns each vector its nearest coarse centroid
+      AND its PQ codes over the RESIDUAL ``x − centroid[cid]``;
+    - each query probes its ``nprobe`` nearest lists (ties toward the
+      higher cid, as in ``ivf_topk``), carrying the centroid dot and
+      its global residual LUT;
+    - candidates come from an EQUI-JOIN on cid — the scan is pruned to
+      nprobe/nlist of the corpus before any scoring happens — and score
+      as ``dot(q, c_cid) + Σ_j lut[j][code_j]``, the ADC decomposition
+      of ``dot(q, x)`` under residual coding.
+
+    Cost per query ~ |corpus|·nprobe/nlist lookups of m entries, over
+    m-byte codes instead of 4·dim-byte floats — the two multiplicative
+    wins (pruning × compression) that make billion-scale ANN serve from
+    RAM.  The approximate score rounds to 6 before the top-k cut for
+    cross-engine rank reproducibility.
+    Returns (query_id, rank, vec_id, adc_dot).
+    """
+    cents = lit_matrix(centroids)
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    resid = F.zip_with(vec, F.element_at(cents, F.col("cid") + 1), lambda a, b: a - b)
+    assigned = (
+        fan_out(corpus)
+        .select(F.col(id_col), vec, _nearest_centroid(vec, cents).alias("cid"))
+        .select(F.col(id_col), F.col("cid"), _pq_codes_expr(resid, codebooks).alias("pq_codes"))
+    )
+    qvec = F.col(query_vec_col)
+    books = _pq_lit_books(codebooks)
+    lut = F.transform(
+        books,
+        lambda book, j: F.transform(
+            book, lambda c: dot(F.slice(qvec, j * dsub + 1, dsub), c)
+        ),
+    )
+    scored_cents = F.transform(
+        cents, lambda c, i: F.struct(dot(qvec, c).alias("s"), i.alias("i"))
+    )
+    probes = (
+        queries.select(
+            F.col(query_id_col),
+            lut.alias("__lut"),
+            F.explode(F.slice(F.sort_array(scored_cents, asc=False), 1, nprobe)).alias("__p"),
+        )
+        .select(
+            F.col(query_id_col),
+            F.col("__lut"),
+            F.col("__p.i").alias("cid"),
+            F.col("__p.s").alias("__centdot"),
+        )
+    )
+    scored = assigned.join(F.broadcast(probes), "cid").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            F.col("__centdot")
+            + F.aggregate(
                 F.zip_with(
                     F.col("pq_codes"),
                     F.col("__lut"),

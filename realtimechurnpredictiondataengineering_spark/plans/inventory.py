@@ -1417,6 +1417,110 @@ FROM ranked WHERE rank <= 5
 """
 
 
+_IVFPQ_CACHE: tuple | None = None
+
+
+def _ivfpq_model() -> tuple[list[list[float]], list[list[list[float]]]]:
+    """IVF-PQ model (coarse centroids + residual codebooks), trained
+    once on the sf0.01 embedding sample and frozen for both engines."""
+    global _IVFPQ_CACHE
+    if _IVFPQ_CACHE is None:
+        import duckdb
+
+        vecs = duckdb.connect().execute(
+            "SELECT embedding::DOUBLE[] FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') "
+            "ORDER BY vec_id"
+        ).fetchall()
+        _IVFPQ_CACHE = similarity.train_ivf_pq(
+            [v[0] for v in vecs], nlist=16, m=_PQ_M, ksub=_PQ_KSUB
+        )
+    return _IVFPQ_CACHE
+
+
+def _v13_sql() -> str:
+    cents, books = _ivfpq_model()
+    crows = ",\n".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])" for i, c in enumerate(cents)
+    )
+    brows = ",\n".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in cent)}])"
+        for j, book in enumerate(books)
+        for c, cent in enumerate(book)
+    )
+    d = _PQ_DSUB
+    return f"""
+WITH cents(cid, cv) AS (VALUES {crows}),
+cb(j, c, cbv) AS (VALUES {brows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, ct.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, ct.cv) DESC, ct.cid ASC) AS rn
+    FROM e, cents ct) WHERE rn = 1
+),
+resid AS (
+  SELECT e.vec_id, a.cid,
+         list_transform(list_zip(e.v, ct.cv), p -> p[1] - p[2]) AS r
+  FROM e JOIN assigned a USING (vec_id) JOIN cents ct USING (cid)
+),
+dists AS (
+  SELECT resid.vec_id, cb.j, cb.c,
+         list_distance(r[cb.j*{d}+1 : cb.j*{d}+{d}], cb.cbv) AS dist
+  FROM resid, cb
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid, centdot FROM (
+    SELECT q.vec_id AS query_id, ct.cid, list_dot_product(q.v, ct.cv) AS centdot,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.v, ct.cv) DESC, ct.cid DESC) AS rn
+    FROM e q, cents ct WHERE q.vec_id IN (0, 1, 2)) WHERE rn <= 4
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.j, cb.c,
+         list_dot_product(q.v[cb.j*{d}+1 : cb.j*{d}+{d}], cb.cbv) AS val
+  FROM e q, cb WHERE q.vec_id IN (0, 1, 2)
+),
+cand AS (SELECT p.query_id, a.vec_id, p.centdot
+         FROM assigned a JOIN probes p USING (cid)),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, round(cand.centdot + sum(l.val), 6) AS adc_dot
+  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+            JOIN lut l ON l.query_id = cand.query_id
+                      AND l.j = codes.j AND l.c = codes.c
+  GROUP BY cand.query_id, cand.vec_id, cand.centdot
+),
+ranked AS (SELECT query_id, vec_id, adc_dot,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dot DESC, vec_id DESC) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dot
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("v13_ivf_pq_topk", _v13_sql)  # lazy: building the twin trains the model
+def v13(spark, sf_dir):
+    # The complete FAISS IVF-PQ shape: coarse-list pruning (equi-join on
+    # cid, nprobe/nlist of the corpus scored) x residual ADC compression
+    # (operators/similarity.py:train_ivf_pq, ivf_pq_topk).
+    cents, books = _ivfpq_model()
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_pq_topk(e, qs, cents, books, k=5, nprobe=4)
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "adc_dot"
+    )
+
+
 @register("v12_pq_topk", _v12_sql)  # lazy: building the twin trains the codebooks
 def v12(spark, sf_dir):
     # Product-quantization ADC top-k: corpus becomes m-byte code arrays,
@@ -5098,7 +5202,8 @@ def w09(spark, sf_dir):
 # entries rotated IN — w09_session_rollup (sessionize→rollup
 # composition), t17_unigram_logprob_capped (the vocab-cap valve under
 # external value-check), t18_bigram_logprob, ll05_token_budget_select,
-# d13_cluster_representatives, d14_tf_cosine_pairs, v12_pq_topk; the round-5
+# d13_cluster_representatives, d14_tf_cosine_pairs, v12_pq_topk,
+# v13_ivf_pq_topk; the round-5
 # reshapes (t16 vocab-cap knob + persist, d09/d10/d12 shared-scan
 # persist, t13 NULL-coalesce, v11 candidates_fn refactor, ll01 via the
 # gopher coalesce, t07 empty-doc term guard) were all already inside
@@ -5109,7 +5214,7 @@ def w09(spark, sf_dir):
 # untouched this round, still value-checked by tests/oracle_harness.py):
 # v01_vector_norms, c02_scd2_history, ll03_document_chunking,
 # j07_range_join, sql03_recursive_cte, c04_snapshot_diff,
-# t09_udtf_bigrams.  Earlier rotations: the
+# t09_udtf_bigrams, t10_fuzzy_pairs.  Earlier rotations: the
 # twenty-two entries moved out for round 4 (t01-t04, t08, s02, s03, s06,
 # x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08, sql04, c03,
 # prof01) were double-green in rounds 2-3.
@@ -5137,7 +5242,7 @@ PRIORITY: tuple[str, ...] = (
     "ll04_corpus_shuffle",
     "t07_tfidf_top_terms",
     "v12_pq_topk",
-    "t10_fuzzy_pairs",
+    "v13_ivf_pq_topk",
     "t11_repetition_metrics",
     "t12_dup_ngram_chars",
     "c01_cdc_latest_state",

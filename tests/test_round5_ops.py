@@ -245,6 +245,30 @@ def test_pq_topk_recovers_exact_on_clustered_vectors(spark):
         assert r["vec_id"] % 3 == r["query_id"] % 3, r
 
 
+def test_ivf_pq_topk_retrieves_from_own_cluster(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((4, 16)) * 5
+    rows = [
+        (i, (centers[i % 4] + rng.standard_normal(16) * 0.05).tolist())
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, books = similarity.train_ivf_pq(
+        [v for _, v in rows], nlist=4, m=4, ksub=8
+    )
+    qs = df.filter("vec_id < 4").selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    out = similarity.ivf_pq_topk(df, qs, cents, books, k=8, nprobe=2).collect()
+    assert len(out) == 32
+    # coarse pruning + residual codes must keep retrieval inside the
+    # query's own cluster
+    for r in out:
+        assert r["vec_id"] % 4 == r["query_id"] % 4, r
+
+
 def test_pq_encode_is_deterministic_and_bounded(spark):
     import numpy as np
 
