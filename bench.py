@@ -108,6 +108,7 @@ HEADLINE = (
     "d14_tf_cosine_pairs",
     "v12_pq_topk",
     "v13_ivf_pq_topk",
+    "v14_pq_recall",
 )
 
 

@@ -1437,7 +1437,9 @@ def _ivfpq_model() -> tuple[list[list[float]], list[list[list[float]]]]:
     return _IVFPQ_CACHE
 
 
-def _v13_sql() -> str:
+def _v13_ctes() -> str:
+    """The IVF-PQ CTE chain through ``ranked`` — shared by the v13 twin
+    and the v14 recall twin."""
     cents, books = _ivfpq_model()
     crows = ",\n".join(
         f"({i}, [{', '.join(repr(x) for x in c)}])" for i, c in enumerate(cents)
@@ -1448,8 +1450,7 @@ def _v13_sql() -> str:
         for c, cent in enumerate(book)
     )
     d = _PQ_DSUB
-    return f"""
-WITH cents(cid, cv) AS (VALUES {crows}),
+    return f"""cents(cid, cv) AS (VALUES {crows}),
 cb(j, c, cbv) AS (VALUES {brows}),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 assigned AS (
@@ -1499,10 +1500,56 @@ scored AS (
 ranked AS (SELECT query_id, vec_id, adc_dot,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY adc_dot DESC, vec_id DESC) AS rank
-           FROM scored)
+           FROM scored)"""
+
+
+def _v13_sql() -> str:
+    return f"""
+WITH {_v13_ctes()}
 SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dot
 FROM ranked WHERE rank <= 5
 """
+
+
+def _v14_sql() -> str:
+    """Recall@5 of the IVF-PQ index against exact MIPS — the ADC chain
+    is the v13 twin verbatim; the exact chain is the v08 shape."""
+    return f"""
+WITH {_v13_ctes()},
+approx AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 5),
+escored AS (
+  SELECT q.vec_id AS query_id, cv.vec_id, list_dot_product(q.v, cv.v) AS s
+  FROM e q, e cv WHERE q.vec_id IN (0, 1, 2)
+),
+eranked AS (SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id DESC) AS rnk
+            FROM escored),
+exact AS (SELECT query_id, vec_id FROM eranked WHERE rnk <= 5)
+SELECT x.query_id,
+       CAST(count(*) AS INT) AS k,
+       CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       round(CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS recall
+FROM exact x LEFT JOIN approx a ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+GROUP BY x.query_id
+"""
+
+
+@register("v14_pq_recall", _v14_sql)  # lazy: building the twin trains the model
+def v14(spark, sf_dir):
+    # The tuning loop closed for the quantized index family: recall@5 of
+    # residual IVF-PQ against exact MIPS, via the same ann_recall
+    # operator that tunes the LSH tables (v09)
+    # (operators/similarity.py:ann_recall).
+    cents, books = _ivfpq_model()
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    approx = similarity.ivf_pq_topk(e, qs, cents, books, k=5, nprobe=4)
+    exact = similarity.mips_topk(e, qs, k=5)
+    return similarity.ann_recall(approx, exact)
 
 
 @register("v13_ivf_pq_topk", _v13_sql)  # lazy: building the twin trains the model
@@ -5203,7 +5250,7 @@ def w09(spark, sf_dir):
 # composition), t17_unigram_logprob_capped (the vocab-cap valve under
 # external value-check), t18_bigram_logprob, ll05_token_budget_select,
 # d13_cluster_representatives, d14_tf_cosine_pairs, v12_pq_topk,
-# v13_ivf_pq_topk; the round-5
+# v13_ivf_pq_topk, v14_pq_recall; the round-5
 # reshapes (t16 vocab-cap knob + persist, d09/d10/d12 shared-scan
 # persist, t13 NULL-coalesce, v11 candidates_fn refactor, ll01 via the
 # gopher coalesce, t07 empty-doc term guard) were all already inside
@@ -5214,7 +5261,8 @@ def w09(spark, sf_dir):
 # untouched this round, still value-checked by tests/oracle_harness.py):
 # v01_vector_norms, c02_scd2_history, ll03_document_chunking,
 # j07_range_join, sql03_recursive_cte, c04_snapshot_diff,
-# t09_udtf_bigrams, t10_fuzzy_pairs.  Earlier rotations: the
+# t09_udtf_bigrams, t10_fuzzy_pairs, d07_benchmark_contamination.
+# Earlier rotations: the
 # twenty-two entries moved out for round 4 (t01-t04, t08, s02, s03, s06,
 # x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08, sql04, c03,
 # prof01) were double-green in rounds 2-3.
@@ -5226,7 +5274,7 @@ PRIORITY: tuple[str, ...] = (
     "d04_simhash_near_dup",
     "d05_near_dedup_survivors",
     "d06_dup_clusters",
-    "d07_benchmark_contamination",
+    "v14_pq_recall",
     "d08_incremental_dedup",
     "w09_session_rollup",
     "v02_brute_force_topk",

@@ -269,6 +269,33 @@ def test_ivf_pq_topk_retrieves_from_own_cluster(spark):
         assert r["vec_id"] % 4 == r["query_id"] % 4, r
 
 
+def test_pq_encode_streams_identically_to_batch(spark, tmp_path):
+    # pq_encode is a scan-local projection, so it must run unchanged on
+    # a stream — the ingest-time indexing pass of a streaming vector
+    # store.  AvailableNow over a parquet dir vs the batch path.
+    import numpy as np
+
+    from realtimechurnpredictiondataengineering_spark.sources.sinks import memory_sink
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((30, 8)).tolist()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    src = str(tmp_path / "vecs")
+    df.coalesce(1).write.parquet(src)
+    books = similarity.train_pq_codebooks(vecs, m=2, ksub=4)
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").parquet(src)
+    q = memory_sink(similarity.pq_encode(stream, books), "pq_stream")
+    q.awaitTermination(60)
+    got = {
+        r["vec_id"]: r["pq_codes"]
+        for r in spark.table("pq_stream").select("vec_id", "pq_codes").collect()
+    }
+    want = {r["vec_id"]: r["pq_codes"] for r in similarity.pq_encode(df, books).collect()}
+    assert got == want
+
+
 def test_pq_encode_is_deterministic_and_bounded(spark):
     import numpy as np
 
