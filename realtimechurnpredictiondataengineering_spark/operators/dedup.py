@@ -810,7 +810,11 @@ def incremental_dedup(
         ).withColumn("shingle", F.xxhash64("shingle"))
 
     inc_inv = _index(survivors, "a")
-    ex_inv = _index(existing, "b")
+    # The existing-corpus index feeds both the document-frequency cap
+    # and the join probe side — persist so the tokenize+shingle scan of
+    # the (much larger) existing side runs once, not twice.  The cached
+    # rows are (id, n, 8-byte hash) — ~24 bytes/shingle, no text.
+    ex_inv = _index(existing, "b").persist()
     hot = (
         ex_inv.groupBy("shingle")
         .agg(F.count("*").alias("df_"))
