@@ -109,6 +109,8 @@ HEADLINE = (
     "v12_pq_topk",
     "v13_ivf_pq_topk",
     "v14_pq_recall",
+    "v15_ivf_pq_rescore",
+    "t19_trigram_logprob",
 )
 
 

@@ -520,3 +520,91 @@ def bigram_logprob(
             F.coalesce("mean_neg_log2p", F.lit(0.0)).alias("mean_neg_log2p"),
         )
     )
+
+
+def trigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam3: float = 0.6,
+    lam2: float = 0.3,
+) -> DataFrame:
+    """Per-document mean negative log2-probability under a
+    trigram-interpolated model — the top of the n-gram quality ladder
+    (t16 unigram → t18 bigram → this):
+    ``P(w3 | w1 w2) = lam3·c(w1w2w3)/c(w1w2·) + lam2·c(w2w3)/c(w2·)
+    + (1−lam3−lam2)·c(w3)/total``, averaged over positions 3..n.  The
+    unigram floor keeps every probability positive; interpolation (not
+    backoff) keeps the expression a pure join — no discounting state.
+
+    Plan: one tokenize scan persisted; three scan-local explodes
+    (tokens, pairs, triples); one count shuffle per order, with both
+    context tables re-aggregated from the next-higher order's PARTIALS
+    (``c(w1w2·)`` from trigram counts, ``c(w2·)`` from bigram counts —
+    no extra raw scans).  All scoring joins key on token tuples,
+    Zipf-bounded; at web scale the same top-V valve as
+    ``unigram_logprob`` applies per order.  Documents with fewer than 3
+    tokens have no trigrams and score 0.0.
+    Returns (id, n_tokens, mean_neg_log2p) rounded to 4.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
+
+    toks = df.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
+    ).persist()
+    ex = toks.filter(F.col("n_tokens") > 0).select(
+        F.col(id_col), F.explode("__t").alias("__w3")
+    )
+    uni = ex.groupBy("__w3").agg(F.count("*").alias("__nu"))
+    total = uni.agg(F.sum("__nu").alias("__total"))
+    pair_expr = F.expr(
+        "transform(sequence(2, size(__t)), i -> struct(__t[i-2] AS w2, __t[i-1] AS w3))"
+    )
+    pairs = (
+        toks.filter(F.col("n_tokens") >= 2)
+        .select(F.explode(pair_expr).alias("__p"))
+        .select(F.col("__p.w2").alias("__w2"), F.col("__p.w3").alias("__w3"))
+    )
+    big = pairs.groupBy("__w2", "__w3").agg(F.count("*").alias("__nb"))
+    ctx2 = big.groupBy("__w2").agg(F.sum("__nb").alias("__nc2"))
+    tri_expr = F.expr(
+        "transform(sequence(3, size(__t)), i -> "
+        "struct(__t[i-3] AS w1, __t[i-2] AS w2, __t[i-1] AS w3))"
+    )
+    triples = (
+        toks.filter(F.col("n_tokens") >= 3)
+        .select(F.col(id_col), F.explode(tri_expr).alias("__p"))
+        .select(
+            F.col(id_col),
+            F.col("__p.w1").alias("__w1"),
+            F.col("__p.w2").alias("__w2"),
+            F.col("__p.w3").alias("__w3"),
+        )
+    )
+    tri = triples.groupBy("__w1", "__w2", "__w3").agg(F.count("*").alias("__nt"))
+    ctx3 = tri.groupBy("__w1", "__w2").agg(F.sum("__nt").alias("__nc3"))
+    lam1 = F.lit(1.0) - F.lit(lam3) - F.lit(lam2)
+    p = (
+        F.lit(lam3) * F.col("__nt") / F.col("__nc3")
+        + F.lit(lam2) * F.col("__nb") / F.col("__nc2")
+        + lam1 * F.col("__nu") / F.col("__total")
+    )
+    scored = (
+        triples.join(tri, ["__w1", "__w2", "__w3"])
+        .join(ctx3, ["__w1", "__w2"])
+        .join(big, ["__w2", "__w3"])
+        .join(ctx2, "__w2")
+        .join(uni, "__w3")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(F.round(F.avg(-F.log2(p)), 4).alias("mean_neg_log2p"))
+    )
+    return (
+        toks.select(F.col(id_col), "n_tokens")
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("mean_neg_log2p", F.lit(0.0)).alias("mean_neg_log2p"),
+        )
+    )

@@ -469,6 +469,47 @@ def ivf_pq_topk(
     return topk_reduce(scored, query_id_col, id_col, "adc_dot", k)
 
 
+def ivf_pq_rescore_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ with exact refinement — the complete production retrieval
+    stack (FAISS index + refine): the compressed index selects
+    ``k·rescore_factor`` candidates per query (coarse pruning ×
+    residual ADC), then the float vectors exact-rescore only that pool
+    — the same repair stage as ``quantized_topk``, now on top of the
+    full IVF-PQ candidate generator.  The candidate set is tiny
+    (queries × k·factor), so the rescore joins broadcast it onto one
+    corpus scan; floats are read for candidates only.
+    Returns (query_id, rank, vec_id, dot) — exact inner products.
+    """
+    cand = ivf_pq_topk(
+        corpus, queries, centroids, codebooks,
+        k=k * rescore_factor, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    rescored = (
+        corpus.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            dot(F.col(vec_col), F.col(query_vec_col)).alias("dot"),
+        )
+    )
+    return topk_reduce(rescored, query_id_col, id_col, "dot", k)
+
+
 def _int8_cosine(a, b, norm_a, norm_b):
     """Cosine over two int8 arrays with precomputed norms: one zip_with
     fold in long arithmetic (dim·127² ≪ 2⁶³), zero-norm guarded."""

@@ -1552,6 +1552,44 @@ def v14(spark, sf_dir):
     return similarity.ann_recall(approx, exact)
 
 
+def _v15_sql() -> str:
+    """IVF-PQ candidates (k·4 pool from the v13 chain) exact-rescored
+    with float inner products — the FAISS index+refine stack."""
+    return f"""
+WITH {_v13_ctes()},
+pool AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 20),
+rescored AS (
+  SELECT p.query_id, p.vec_id, list_dot_product(q.v, cv.v) AS s
+  FROM pool p JOIN e q ON q.vec_id = p.query_id
+              JOIN e cv ON cv.vec_id = p.vec_id
+),
+rranked AS (SELECT query_id, vec_id, s,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id DESC) AS rnk
+            FROM rescored)
+SELECT query_id, CAST(rnk AS INT) AS rank, vec_id, round(s, 6) AS dot
+FROM rranked WHERE rnk <= 5
+"""
+
+
+@register("v15_ivf_pq_rescore", _v15_sql)  # lazy: building the twin trains the model
+def v15(spark, sf_dir):
+    # The production retrieval stack end-to-end: IVF-PQ candidate
+    # generation + exact float refinement of the k*4 pool
+    # (operators/similarity.py:ivf_pq_rescore_topk).
+    cents, books = _ivfpq_model()
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_pq_rescore_topk(
+        e, qs, cents, books, k=5, nprobe=4, rescore_factor=4
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "dot"
+    )
+
+
 @register("v13_ivf_pq_topk", _v13_sql)  # lazy: building the twin trains the model
 def v13(spark, sf_dir):
     # The complete FAISS IVF-PQ shape: coarse-list pruning (equi-join on
@@ -4948,6 +4986,47 @@ FROM base b LEFT JOIN s USING (doc_id)
 """
 
 
+_T19_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
+base AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM toks),
+ex AS (SELECT doc_id, unnest(t) AS w3 FROM base WHERE n_tokens > 0),
+uni AS (SELECT w3, count(*) AS nu FROM ex GROUP BY 1),
+tot AS (SELECT sum(nu) AS total FROM uni),
+pr AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+       FROM base WHERE n_tokens >= 2),
+big AS (SELECT p[1] AS w2, p[2] AS w3, count(*) AS nb FROM pr GROUP BY 1, 2),
+ctx2 AS (SELECT w2, sum(nb) AS nc2 FROM big GROUP BY 1),
+tr AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS p
+       FROM base WHERE n_tokens >= 3),
+triples AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM tr),
+tri AS (SELECT w1, w2, w3, count(*) AS nt FROM triples GROUP BY 1, 2, 3),
+ctx3 AS (SELECT w1, w2, sum(nt) AS nc3 FROM tri GROUP BY 1, 2),
+s AS (SELECT doc_id,
+             round(avg(-log2(0.6 * CAST(nt AS DOUBLE) / nc3
+                             + 0.3 * CAST(nb AS DOUBLE) / nc2
+                             + (1.0 - 0.6 - 0.3) * CAST(nu AS DOUBLE) / total)), 4)
+               AS mean_neg_log2p
+      FROM triples JOIN tri USING (w1, w2, w3) JOIN ctx3 USING (w1, w2)
+                   JOIN big USING (w2, w3) JOIN ctx2 USING (w2)
+                   JOIN uni USING (w3), tot
+      GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       coalesce(s.mean_neg_log2p, 0.0) AS mean_neg_log2p
+FROM base b LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("t19_trigram_logprob", _T19_SQL)
+def t19(spark, sf_dir):
+    # Top of the n-gram quality ladder: trigram-interpolated LM scoring,
+    # context tables re-aggregated from the next order's partials; the
+    # interpolation literals (0.6, 0.3, 1.0-0.6-0.3) are spelled the
+    # same on both engines (operators/corpus.py:trigram_logprob).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    return corpus.trigram_logprob(_td(spark, sf_dir), lam3=0.6, lam2=0.3)
+
+
 @register("t18_bigram_logprob", _T18_SQL)
 def t18(spark, sf_dir):
     # Interpolated bigram LM scoring — one rung up the CCNet quality
@@ -5250,7 +5329,8 @@ def w09(spark, sf_dir):
 # composition), t17_unigram_logprob_capped (the vocab-cap valve under
 # external value-check), t18_bigram_logprob, ll05_token_budget_select,
 # d13_cluster_representatives, d14_tf_cosine_pairs, v12_pq_topk,
-# v13_ivf_pq_topk, v14_pq_recall; the round-5
+# v13_ivf_pq_topk, v14_pq_recall, v15_ivf_pq_rescore,
+# t19_trigram_logprob; the round-5
 # reshapes (t16 vocab-cap knob + persist, d09/d10/d12 shared-scan
 # persist, t13 NULL-coalesce, v11 candidates_fn refactor, ll01 via the
 # gopher coalesce, t07 empty-doc term guard) were all already inside
@@ -5261,15 +5341,17 @@ def w09(spark, sf_dir):
 # untouched this round, still value-checked by tests/oracle_harness.py):
 # v01_vector_norms, c02_scd2_history, ll03_document_chunking,
 # j07_range_join, sql03_recursive_cte, c04_snapshot_diff,
-# t09_udtf_bigrams, t10_fuzzy_pairs, d07_benchmark_contamination.
+# t09_udtf_bigrams, t10_fuzzy_pairs, d07_benchmark_contamination,
+# d01_exact_content_dedup, d02_ngram_jaccard_pairs (d02's exact pair
+# semantics stay in-window verbatim inside the d13 composition).
 # Earlier rotations: the
 # twenty-two entries moved out for round 4 (t01-t04, t08, s02, s03, s06,
 # x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08, sql04, c03,
 # prof01) were double-green in rounds 2-3.
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
-    "d01_exact_content_dedup",
-    "d02_ngram_jaccard_pairs",
+    "v15_ivf_pq_rescore",
+    "t19_trigram_logprob",
     "d03_minhash_near_dup",
     "d04_simhash_near_dup",
     "d05_near_dedup_survivors",

@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "v12_pq_topk",  # broadcast query-LUT set over the coded corpus scan (v02 shape)
     "d14_tf_cosine_pairs",  # 1-row corpus count broadcast into the fractional df-cap filter
     "v14_pq_recall",  # exact side is v08's broadcast query-set scan (recall needs the exact ranking)
+    "t19_trigram_logprob",  # 1-row corpus token total broadcast onto the trigram scoring join
 }
 
 

@@ -296,6 +296,54 @@ def test_pq_encode_streams_identically_to_batch(spark, tmp_path):
     assert got == want
 
 
+def test_ivf_pq_rescore_equals_exact_on_clustered(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(31)
+    # orthogonal axis-aligned clusters, unit-normalized, so exact MIPS
+    # equals cosine and cross-cluster dots are ~0: the exact top-5 is
+    # guaranteed within-cluster and the query's single IVF list covers it
+    centers = np.zeros((3, 16))
+    for c in range(3):
+        centers[c, c * 5] = 5.0
+    raw = [centers[i % 3] + rng.standard_normal(16) * 0.05 for i in range(60)]
+    rows = [(i, (v / np.linalg.norm(v)).tolist()) for i, v in enumerate(raw)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents, books = similarity.train_ivf_pq([v for _, v in rows], nlist=3, m=4, ksub=8)
+    qs = df.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding as query_vec")
+    # the rescore stage repairs within-cluster ties the raw ADC ranking
+    # cannot break: with the pool covering the whole cluster, the final
+    # top-5 must EQUAL the exact MIPS top-5
+    got = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.ivf_pq_rescore_topk(
+            df, qs, cents, books, k=5, nprobe=1, rescore_factor=4
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in similarity.mips_topk(df, qs, k=5).collect()
+    }
+    assert got == want
+
+
+def test_trigram_logprob_exact_small_corpus(spark):
+    # corpus: "a b c" x2, "a b d" -> trigram (a,b,c) n=2 of ctx(a,b)=3;
+    # bigrams from pairs; unigrams over all tokens
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "a b d"), (4, "x y")])
+    out = {r["doc_id"]: r for r in corpus.trigram_logprob(df).collect()}
+    # counts: tri (a,b,c)=2, (a,b,d)=1, ctx3 (a,b)=3
+    # big: (a,b)=3, (b,c)=2, (b,d)=1, (x,y)=1; ctx2: a=3, b=3, x=1
+    # uni: a=3, b=3, c=2, d=1, x=1, y=1 -> total=11
+    p_abc = 0.6 * 2 / 3 + 0.3 * 2 / 3 + (1.0 - 0.6 - 0.3) * 2 / 11
+    p_abd = 0.6 * 1 / 3 + 0.3 * 1 / 3 + (1.0 - 0.6 - 0.3) * 1 / 11
+    assert out[1]["mean_neg_log2p"] == round(-math.log2(p_abc), 4)
+    assert out[2]["mean_neg_log2p"] == out[1]["mean_neg_log2p"]
+    assert out[3]["mean_neg_log2p"] == round(-math.log2(p_abd), 4)
+    # doc 4 has only 2 tokens -> no trigrams -> 0.0
+    assert out[4]["mean_neg_log2p"] == 0.0 and out[4]["n_tokens"] == 2
+
+
 def test_pq_encode_is_deterministic_and_bounded(spark):
     import numpy as np
 
