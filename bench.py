@@ -111,6 +111,7 @@ HEADLINE = (
     "v14_pq_recall",
     "v15_ivf_pq_rescore",
     "t19_trigram_logprob",
+    "prof03_expectations",
 )
 
 

@@ -163,3 +163,40 @@ def profile_drift(
         "mean_delta",
         F.round(F.coalesce("mean_new", F.lit(0.0)) - F.coalesce("mean_old", F.lit(0.0)), 4),
     )
+
+
+def expectations_report(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
+    """Expectation-suite validation (the Great-Expectations primitive
+    engine-side): each rule is a boolean Column over a row; the report
+    gives per-rule violation counts over the whole frame.
+
+    ONE keyless aggregation pass regardless of rule count — every rule
+    compiles to a ``sum((NOT rule)::long)`` in the same HashAggregate
+    (map-side partials, fixed-width buffers), then the 1-row result
+    pivots to long form with ``stack`` exactly like ``column_profile``.
+    A rule that evaluates to NULL on a row (three-valued logic) counts
+    as a VIOLATION — an expectation that cannot be affirmed is not met.
+    At 100 TB this is one scan, no shuffle beyond the single-row final
+    merge.  Returns (rule, n_rows, n_violations, violation_rate,
+    passed), one row per rule in ``rules`` insertion order.
+    """
+    if not rules:
+        raise ValueError("rules must name at least one expectation")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (_, rule) in enumerate(rules.items()):
+        aggs.append(
+            F.sum((~F.coalesce(rule, F.lit(False))).cast("long")).alias(f"__v_{i}")
+        )
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __v_{i}" for i, name in enumerate(rules)
+    )
+    return row.selectExpr(
+        "__n", f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+    ).select(
+        F.col("rule"),
+        F.col("__n").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.round(F.col("n_violations") / F.col("__n"), 6).alias("violation_rate"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -4986,6 +4986,47 @@ FROM base b LEFT JOIN s USING (doc_id)
 """
 
 
+_PROF03_SQL = """
+WITH agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN NOT coalesce(event_id IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS v0,
+         sum(CASE WHEN NOT coalesce(value > 0, FALSE) THEN 1 ELSE 0 END) AS v1,
+         sum(CASE WHEN NOT coalesce(value <= 100, FALSE) THEN 1 ELSE 0 END) AS v2,
+         sum(CASE WHEN NOT coalesce(event_type IN ('click','signup','error','view','purchase'), FALSE) THEN 1 ELSE 0 END) AS v3,
+         sum(CASE WHEN NOT coalesce(ts IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS v4
+  FROM events
+)
+SELECT rule, CAST(n AS BIGINT) AS n_rows, CAST(v AS BIGINT) AS n_violations,
+       round(CAST(v AS DOUBLE) / n, 6) AS violation_rate, v = 0 AS passed
+FROM agg, LATERAL (VALUES
+  ('event_id_not_null', v0), ('value_positive', v1), ('value_below_100', v2),
+  ('event_type_known', v3), ('ts_not_null', v4)) AS t(rule, v)
+"""
+
+
+@register("prof03_expectations", _PROF03_SQL)
+def prof03(spark, sf_dir):
+    # Expectation-suite validation: five rules over events in ONE
+    # keyless aggregation pass; value_below_100 is expected to FAIL
+    # (values reach ~490) so the violation path is value-checked too
+    # (operators/profiling.py:expectations_report).
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    e = _t(spark, sf_dir, "events")
+    return profiling.expectations_report(
+        e,
+        {
+            "event_id_not_null": F.col("event_id").isNotNull(),
+            "value_positive": F.col("value") > 0,
+            "value_below_100": F.col("value") <= 100,
+            "event_type_known": F.col("event_type").isin(
+                "click", "signup", "error", "view", "purchase"
+            ),
+            "ts_not_null": F.col("ts").isNotNull(),
+        },
+    )
+
+
 _T19_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
 base AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM toks),
@@ -5330,7 +5371,7 @@ def w09(spark, sf_dir):
 # external value-check), t18_bigram_logprob, ll05_token_budget_select,
 # d13_cluster_representatives, d14_tf_cosine_pairs, v12_pq_topk,
 # v13_ivf_pq_topk, v14_pq_recall, v15_ivf_pq_rescore,
-# t19_trigram_logprob; the round-5
+# t19_trigram_logprob, prof03_expectations; the round-5
 # reshapes (t16 vocab-cap knob + persist, d09/d10/d12 shared-scan
 # persist, t13 NULL-coalesce, v11 candidates_fn refactor, ll01 via the
 # gopher coalesce, t07 empty-doc term guard) were all already inside
@@ -5343,7 +5384,8 @@ def w09(spark, sf_dir):
 # j07_range_join, sql03_recursive_cte, c04_snapshot_diff,
 # t09_udtf_bigrams, t10_fuzzy_pairs, d07_benchmark_contamination,
 # d01_exact_content_dedup, d02_ngram_jaccard_pairs (d02's exact pair
-# semantics stay in-window verbatim inside the d13 composition).
+# semantics stay in-window verbatim inside the d13 composition),
+# v03_lsh_topk (its chain stays in-window inside v09's approx side).
 # Earlier rotations: the
 # twenty-two entries moved out for round 4 (t01-t04, t08, s02, s03, s06,
 # x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08, sql04, c03,
@@ -5360,7 +5402,7 @@ PRIORITY: tuple[str, ...] = (
     "d08_incremental_dedup",
     "w09_session_rollup",
     "v02_brute_force_topk",
-    "v03_lsh_topk",
+    "prof03_expectations",
     "v04_embedding_near_dup",
     "v05_ivf_topk",
     "v06_int8_quantization",

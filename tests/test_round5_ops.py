@@ -399,6 +399,50 @@ def test_tf_cosine_pairs_df_cap_drops_boilerplate(spark):
 
 
 # ---------------------------------------------------------------------------
+# expectations_report
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_report_counts_violations(spark):
+    from pyspark.sql import functions as F
+
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 50.0)], "id long, v double"
+    )
+    out = {
+        r["rule"]: r
+        for r in profiling.expectations_report(
+            df,
+            {
+                "id_not_null": F.col("id").isNotNull(),
+                "v_positive": F.col("v") > 0,
+                "v_below_100": F.col("v") < 100,
+            },
+        ).collect()
+    }
+    assert out["id_not_null"]["passed"] is True
+    # NULL v counts as a violation on BOTH v rules (an expectation that
+    # cannot be affirmed is not met), plus the -5 row on v_positive
+    assert out["v_positive"]["n_violations"] == 2
+    assert out["v_below_100"]["n_violations"] == 1
+    assert out["v_positive"]["passed"] is False
+    assert out["v_positive"]["n_rows"] == 4
+    assert out["v_positive"]["violation_rate"] == 0.5
+
+
+def test_expectations_report_rejects_empty_rules(spark):
+    import pytest as _pytest
+
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        profiling.expectations_report(df, {})
+
+
+# ---------------------------------------------------------------------------
 # gopher_rules NULL text
 # ---------------------------------------------------------------------------
 
