@@ -225,6 +225,69 @@ def read_rollup(
     return rollup.rollup_merge(spark.read.parquet(partials_dir), keys, grain)
 
 
+def streaming_session_rollup(
+    events_stream: DataFrame,
+    partials_dir: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """The streaming twin of the w09 batch composition (sessionize →
+    daily rollup): watermarked ``session_window`` sessions close in
+    append mode, and every micro-batch of CLOSED sessions appends its
+    own daily partials — the same no-read-modify-write partials design
+    as ``rollup_stream``, so there is no second stateful operator and
+    no state growth beyond the session store the watermark already
+    bounds.  ``read_session_rollup`` re-merges at query time; because a
+    closed session is emitted exactly once and every aggregate is
+    decomposable, the merged view EQUALS the batch w09 result on the
+    same events (parity-tested).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.groupBy(F.date_trunc("day", "session_start").alias("bucket"))
+            .agg(
+                F.count("*").alias("n_sessions"),
+                F.sum("n_events").alias("total_events"),
+                F.min("n_events").alias("min_session_events"),
+                F.max("n_events").alias("max_session_events"),
+            )
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    sessions = session_windows(
+        events_stream, ts_col=ts_col, gap=gap, key=key, watermark=watermark
+    )
+    return (
+        sessions.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_session_rollup(spark: SparkSession, partials_dir: str) -> DataFrame:
+    """Merged daily session rollup over streamed partials — the same
+    decomposable re-aggregation as ``read_rollup``."""
+    return (
+        spark.read.parquet(partials_dir)
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_sessions").alias("n_sessions"),
+            F.sum("total_events").alias("total_events"),
+            F.min("min_session_events").alias("min_session_events"),
+            F.max("max_session_events").alias("max_session_events"),
+        )
+    )
+
+
 def compact_rollup(
     spark: SparkSession,
     partials_dir: str,
