@@ -112,6 +112,7 @@ HEADLINE = (
     "v15_ivf_pq_rescore",
     "t19_trigram_logprob",
     "prof03_expectations",
+    "s09_weighted_sample",
 )
 
 

@@ -45,6 +45,28 @@ def stratified_sample(df: DataFrame, stratum: str, key: str, n_per_stratum: int)
     )
 
 
+def weighted_hash_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Per-row weighted Bernoulli thinning: row kept with probability
+    ``weight`` (a column in [0, 1]), decided by the key's content hash —
+    the quality-weighted soft downsample (keep good documents with high
+    probability, bad ones with low) that replaces a hard threshold when
+    the pipeline wants a smooth quality→retention curve.
+
+    Same deterministic machinery as ``hash_sample`` at 10⁶-bucket
+    resolution: the same row makes the same cut on any cluster, any
+    partitioning, any engine, and re-running the pipeline reproduces
+    the corpus exactly.  One codegen'd filter over one scan — no
+    shuffle, no RNG state.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    return df.filter(hash_bucket(key, buckets) < w * buckets)
+
+
 def train_test_split(
     df: DataFrame, key: str, test_percent: int = 10, buckets: int = 100
 ) -> tuple[DataFrame, DataFrame]:

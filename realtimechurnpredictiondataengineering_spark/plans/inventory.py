@@ -4986,6 +4986,31 @@ FROM base b LEFT JOIN s USING (doc_id)
 """
 
 
+_S09_SQL = f"""
+WITH q AS (SELECT doc_id, {SQL_QUALITY} AS quality FROM documents)
+SELECT doc_id, quality FROM q
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000
+      < quality * 0.8 * 1000000
+"""
+
+
+@register("s09_weighted_sample", _S09_SQL)
+def s09(spark, sf_dir):
+    # Quality-weighted Bernoulli thinning: each document kept with
+    # probability quality*0.8, decided by its content hash — the smooth
+    # quality→retention curve that replaces a hard threshold; the
+    # weight*buckets arithmetic is left-associated identically on both
+    # engines so the double comparison is bit-identical
+    # (operators/sampling.py:weighted_hash_sample).
+    from realtimechurnpredictiondataengineering_spark.functions.text import quality_score
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    d = _td(spark, sf_dir).withColumn("quality", quality_score("text"))
+    return sampling.weighted_hash_sample(
+        d, "doc_id", F.col("quality") * 0.8
+    ).select("doc_id", "quality")
+
+
 _PROF03_SQL = """
 WITH agg AS (
   SELECT count(*) AS n,
@@ -5371,7 +5396,7 @@ def w09(spark, sf_dir):
 # external value-check), t18_bigram_logprob, ll05_token_budget_select,
 # d13_cluster_representatives, d14_tf_cosine_pairs, v12_pq_topk,
 # v13_ivf_pq_topk, v14_pq_recall, v15_ivf_pq_rescore,
-# t19_trigram_logprob, prof03_expectations; the round-5
+# t19_trigram_logprob, prof03_expectations, s09_weighted_sample; the round-5
 # reshapes (t16 vocab-cap knob + persist, d09/d10/d12 shared-scan
 # persist, t13 NULL-coalesce, v11 candidates_fn refactor, ll01 via the
 # gopher coalesce, t07 empty-doc term guard) were all already inside
@@ -5385,7 +5410,8 @@ def w09(spark, sf_dir):
 # t09_udtf_bigrams, t10_fuzzy_pairs, d07_benchmark_contamination,
 # d01_exact_content_dedup, d02_ngram_jaccard_pairs (d02's exact pair
 # semantics stay in-window verbatim inside the d13 composition),
-# v03_lsh_topk (its chain stays in-window inside v09's approx side).
+# v03_lsh_topk (its chain stays in-window inside v09's approx side),
+# v04_embedding_near_dup (its chain stays in-window inside v10).
 # Earlier rotations: the
 # twenty-two entries moved out for round 4 (t01-t04, t08, s02, s03, s06,
 # x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08, sql04, c03,
@@ -5403,7 +5429,7 @@ PRIORITY: tuple[str, ...] = (
     "w09_session_rollup",
     "v02_brute_force_topk",
     "prof03_expectations",
-    "v04_embedding_near_dup",
+    "s09_weighted_sample",
     "v05_ivf_topk",
     "v06_int8_quantization",
     "v07_quantized_topk",

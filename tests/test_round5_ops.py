@@ -488,6 +488,40 @@ def test_expectations_report_counts_violations(spark):
     assert out["v_positive"]["violation_rate"] == 0.5
 
 
+def test_weighted_hash_sample_rates_track_weights(spark):
+    from pyspark.sql import functions as F
+
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    df = spark.range(0, 4000).withColumn(
+        "w", F.when(F.col("id") % 2 == 0, F.lit(0.9)).otherwise(F.lit(0.1))
+    )
+    kept = sampling.weighted_hash_sample(df, "id", "w")
+    rates = {
+        r["grp"]: r["rate"]
+        for r in kept.groupBy((F.col("id") % 2).alias("grp"))
+        .agg((F.count("*") / 2000).alias("rate"))
+        .collect()
+    }
+    # hash is uniform: realized keep rates land near the weights
+    assert 0.85 <= rates[0] <= 0.95
+    assert 0.05 <= rates[1] <= 0.15
+    # deterministic: the same call keeps exactly the same rows
+    a = {r["id"] for r in kept.collect()}
+    b = {r["id"] for r in sampling.weighted_hash_sample(df, "id", "w").collect()}
+    assert a == b
+
+
+def test_weighted_hash_sample_extreme_weights(spark):
+    from pyspark.sql import functions as F
+
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    df = spark.range(0, 500)
+    assert sampling.weighted_hash_sample(df.withColumn("w", F.lit(0.0)), "id", "w").count() == 0
+    assert sampling.weighted_hash_sample(df.withColumn("w", F.lit(1.0)), "id", "w").count() == 500
+
+
 def test_expectations_report_rejects_empty_rules(spark):
     import pytest as _pytest
 
