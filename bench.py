@@ -113,6 +113,7 @@ HEADLINE = (
     "t19_trigram_logprob",
     "prof03_expectations",
     "s09_weighted_sample",
+    "t20_ccnet_buckets",
 )
 
 

@@ -608,3 +608,42 @@ def trigram_logprob(
             F.coalesce("mean_neg_log2p", F.lit(0.0)).alias("mean_neg_log2p"),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's head/middle/tail sharding: score every document with the
+    corpus' own unigram LM (``unigram_logprob``), then split at the
+    exact score terciles — 'head' is the lowest-perplexity (most
+    fluent) third, the slice CCNet feeds to training first.  Documents
+    with no tokens cannot be scored and get the explicit 'empty' label
+    rather than polluting 'head' (their 0.0 sentinel score would sort
+    below every real document).
+
+    Plan: the t16 scoring pass, then ONE single-row aggregate computes
+    both tercile thresholds over the non-empty scores and broadcasts
+    back onto the scored rows (the t14 percentile-gate shape — at
+    100 TB swap ``approx_percentile`` in with a documented error
+    bound).  Returns (id, n_tokens, mean_neg_log2p, bucket).
+    """
+    scored = unigram_logprob(df, id_col=id_col, text_col=text_col)
+    third = repr(1.0 / 3.0)
+    two_thirds = repr(2.0 / 3.0)
+    thr = scored.filter(F.col("n_tokens") > 0).agg(
+        F.expr(f"percentile(mean_neg_log2p, {third})").alias("__t1"),
+        F.expr(f"percentile(mean_neg_log2p, {two_thirds})").alias("__t2"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .withColumn(
+            "bucket",
+            F.when(F.col("n_tokens") == 0, F.lit("empty"))
+            .when(F.col("mean_neg_log2p") <= F.col("__t1"), F.lit("head"))
+            .when(F.col("mean_neg_log2p") <= F.col("__t2"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .select(id_col, "n_tokens", "mean_neg_log2p", "bucket")
+    )

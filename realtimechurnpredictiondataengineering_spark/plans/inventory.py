@@ -4986,6 +4986,40 @@ FROM base b LEFT JOIN s USING (doc_id)
 """
 
 
+_T20_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
+base AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM toks),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM base WHERE n_tokens > 0),
+c AS (SELECT tok, count(*) AS n FROM ex GROUP BY 1),
+tot AS (SELECT sum(n) AS total FROM c),
+s AS (SELECT doc_id, round(avg(-log2(CAST(n AS DOUBLE) / total)), 4) AS mean_neg_log2p
+      FROM ex JOIN c USING (tok), tot GROUP BY doc_id),
+scored AS (SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+                  coalesce(s.mean_neg_log2p, 0.0) AS mean_neg_log2p
+           FROM base b LEFT JOIN s USING (doc_id)),
+thr AS (SELECT quantile_cont(mean_neg_log2p, 0.3333333333333333) AS t1,
+               quantile_cont(mean_neg_log2p, 0.6666666666666666) AS t2
+        FROM scored WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, mean_neg_log2p,
+       CASE WHEN n_tokens = 0 THEN 'empty'
+            WHEN mean_neg_log2p <= t1 THEN 'head'
+            WHEN mean_neg_log2p <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored, thr
+"""
+
+
+@register("t20_ccnet_buckets", _T20_SQL)
+def t20(spark, sf_dir):
+    # CCNet head/middle/tail sharding: unigram-LM scores split at the
+    # exact terciles (1-row threshold broadcast, the t14 shape); empty
+    # docs get an explicit label instead of polluting 'head'
+    # (operators/corpus.py:ccnet_buckets).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    return corpus.ccnet_buckets(_td(spark, sf_dir))
+
+
 _S09_SQL = f"""
 WITH q AS (SELECT doc_id, {SQL_QUALITY} AS quality FROM documents)
 SELECT doc_id, quality FROM q
@@ -5396,7 +5430,8 @@ def w09(spark, sf_dir):
 # external value-check), t18_bigram_logprob, ll05_token_budget_select,
 # d13_cluster_representatives, d14_tf_cosine_pairs, v12_pq_topk,
 # v13_ivf_pq_topk, v14_pq_recall, v15_ivf_pq_rescore,
-# t19_trigram_logprob, prof03_expectations, s09_weighted_sample; the round-5
+# t19_trigram_logprob, prof03_expectations, s09_weighted_sample,
+# t20_ccnet_buckets; the round-5
 # reshapes (t16 vocab-cap knob + persist, d09/d10/d12 shared-scan
 # persist, t13 NULL-coalesce, v11 candidates_fn refactor, ll01 via the
 # gopher coalesce, t07 empty-doc term guard) were all already inside
@@ -5411,8 +5446,9 @@ def w09(spark, sf_dir):
 # d01_exact_content_dedup, d02_ngram_jaccard_pairs (d02's exact pair
 # semantics stay in-window verbatim inside the d13 composition),
 # v03_lsh_topk (its chain stays in-window inside v09's approx side),
-# v04_embedding_near_dup (its chain stays in-window inside v10).
-# Earlier rotations: the
+# v04_embedding_near_dup (its chain stays in-window inside v10),
+# v05_ivf_topk (its successors v13/v15 carry the IVF machinery
+# in-window).  Earlier rotations: the
 # twenty-two entries moved out for round 4 (t01-t04, t08, s02, s03, s06,
 # x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08, sql04, c03,
 # prof01) were double-green in rounds 2-3.
@@ -5430,7 +5466,7 @@ PRIORITY: tuple[str, ...] = (
     "v02_brute_force_topk",
     "prof03_expectations",
     "s09_weighted_sample",
-    "v05_ivf_topk",
+    "t20_ccnet_buckets",
     "v06_int8_quantization",
     "v07_quantized_topk",
     "v08_mips_topk",

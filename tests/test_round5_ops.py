@@ -512,6 +512,21 @@ def test_weighted_hash_sample_rates_track_weights(spark):
     assert a == b
 
 
+def test_ccnet_buckets_splits_into_terciles(spark):
+    # 6 scorable docs with clearly ordered fluency + 1 empty: common
+    # phrases land in 'head', rare-token docs in 'tail', empty labeled
+    rows = [(i, "the quick brown fox jumps") for i in range(4)]
+    rows += [(10, "the quick brown fox leaps"), (11, "zxqj wvut kplm ohgf nbdc")]
+    rows.append((99, ""))
+    df = _docs(spark, rows)
+    out = {r["doc_id"]: r["bucket"] for r in corpus.ccnet_buckets(df).collect()}
+    assert out[99] == "empty"
+    assert out[11] == "tail"          # all-singleton tokens: worst score
+    assert all(out[i] == "head" for i in range(4))  # the repeated phrase
+    buckets = set(out.values())
+    assert buckets <= {"head", "middle", "tail", "empty"}
+
+
 def test_weighted_hash_sample_extreme_weights(spark):
     from pyspark.sql import functions as F
 
