@@ -114,6 +114,7 @@ HEADLINE = (
     "prof03_expectations",
     "s09_weighted_sample",
     "t20_ccnet_buckets",
+    "t21_dsir_importance",
 )
 
 

@@ -647,3 +647,71 @@ def ccnet_buckets(
         )
         .select(id_col, "n_tokens", "mean_neg_log2p", "bucket")
     )
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each corpus
+    document by the mean per-token log-likelihood ratio between a
+    TARGET-domain unigram LM and the raw-corpus unigram LM —
+    ``avg(log2 p_target(tok) − log2 p_raw(tok))``.  High scores mark
+    documents that look like the target domain; resampling by these
+    weights is the principled replacement for hand-tuned quality
+    filters when a target corpus exists.
+
+    Both models are Laplace-smoothed over the SAME vocabulary size (the
+    raw corpus vocabulary — the larger of the two by construction), so
+    an unseen token is defined on both sides and the ratio never
+    divides by zero: ``p(tok) = (c + 1) / (N + V)``.
+
+    Plan: one count shuffle per model (the target side is
+    eval-corpus-sized and broadcasts; the raw side is Zipf-bounded like
+    t16); the scoring pass left-joins the exploded corpus tokens
+    against both count tables with the two (N, V) normalizers riding a
+    single 1-row broadcast.  Documents with no tokens score 0.0.
+    Returns (id, n_tokens, importance) rounded to 4 — positive means
+    target-like.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
+
+    toks = corpus.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
+    ).persist()
+    ex = toks.filter(F.col("n_tokens") > 0).select(
+        F.col(id_col), F.explode("__t").alias("__tok")
+    )
+    raw = ex.groupBy("__tok").agg(F.count("*").alias("__nr"))
+    tgt = (
+        target.filter(token_count(text_col) > 0)
+        .select(F.explode(tokens(text_col)).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count("*").alias("__ntg"))
+    )
+    consts = F.broadcast(
+        raw.agg(
+            F.sum("__nr").alias("__rn"), F.count("*").alias("__v")
+        ).crossJoin(tgt.agg(F.sum("__ntg").alias("__tn")))
+    )
+    p_t = (F.coalesce(F.col("__ntg"), F.lit(0)) + 1.0) / (F.col("__tn") + F.col("__v"))
+    p_r = (F.coalesce(F.col("__nr"), F.lit(0)) + 1.0) / (F.col("__rn") + F.col("__v"))
+    scored = (
+        ex.join(raw, "__tok", "left")
+        .join(F.broadcast(tgt), "__tok", "left")
+        .crossJoin(consts)
+        .groupBy(id_col)
+        .agg(F.round(F.avg(F.log2(p_t) - F.log2(p_r)), 4).alias("importance"))
+    )
+    return (
+        toks.select(F.col(id_col), "n_tokens")
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("importance", F.lit(0.0)).alias("importance"),
+        )
+    )

@@ -5020,6 +5020,45 @@ def t20(spark, sf_dir):
     return corpus.ccnet_buckets(_td(spark, sf_dir))
 
 
+_T21_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+              WHERE doc_id % 10 != 0),
+base AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM toks),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM base WHERE n_tokens > 0),
+raw AS (SELECT tok, count(*) AS nr FROM ex GROUP BY 1),
+ttoks AS (SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
+          WHERE doc_id % 10 = 0 AND length({SQL_NORM}) > 0),
+tgt AS (SELECT tok, count(*) AS ntg FROM (SELECT unnest(t) AS tok FROM ttoks) GROUP BY 1),
+consts AS (SELECT (SELECT sum(nr) FROM raw) AS rn,
+                  (SELECT count(*) FROM raw) AS v,
+                  (SELECT sum(ntg) FROM tgt) AS tn),
+s AS (SELECT doc_id,
+             round(avg(log2((coalesce(ntg, 0) + 1.0) / (tn + v))
+                       - log2((coalesce(nr, 0) + 1.0) / (rn + v))), 4) AS importance
+      FROM ex LEFT JOIN raw USING (tok) LEFT JOIN tgt USING (tok), consts
+      GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       coalesce(s.importance, 0.0) AS importance
+FROM base b LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("t21_dsir_importance", _T21_SQL)
+def t21(spark, sf_dir):
+    # DSIR importance weights: target-vs-raw unigram log-likelihood
+    # ratio per document (Laplace-smoothed over the raw vocabulary on
+    # both sides); the bench split doubles as the target domain, the
+    # rest of documents as the raw corpus — the same d07/d11 split
+    # (operators/corpus.py:dsir_importance).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    d = _td(spark, sf_dir)
+    return corpus.dsir_importance(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
 _S09_SQL = f"""
 WITH q AS (SELECT doc_id, {SQL_QUALITY} AS quality FROM documents)
 SELECT doc_id, quality FROM q
@@ -5431,7 +5470,7 @@ def w09(spark, sf_dir):
 # d13_cluster_representatives, d14_tf_cosine_pairs, v12_pq_topk,
 # v13_ivf_pq_topk, v14_pq_recall, v15_ivf_pq_rescore,
 # t19_trigram_logprob, prof03_expectations, s09_weighted_sample,
-# t20_ccnet_buckets; the round-5
+# t20_ccnet_buckets, t21_dsir_importance; the round-5
 # reshapes (t16 vocab-cap knob + persist, d09/d10/d12 shared-scan
 # persist, t13 NULL-coalesce, v11 candidates_fn refactor, ll01 via the
 # gopher coalesce, t07 empty-doc term guard) were all already inside
@@ -5448,7 +5487,8 @@ def w09(spark, sf_dir):
 # v03_lsh_topk (its chain stays in-window inside v09's approx side),
 # v04_embedding_near_dup (its chain stays in-window inside v10),
 # v05_ivf_topk (its successors v13/v15 carry the IVF machinery
-# in-window).  Earlier rotations: the
+# in-window), c01_cdc_latest_state (CDC stays in-window via c05).
+# Earlier rotations: the
 # twenty-two entries moved out for round 4 (t01-t04, t08, s02, s03, s06,
 # x01, j06, h03, h07, h08, h20, h21, a10, a17, z01, st08, sql04, c03,
 # prof01) were double-green in rounds 2-3.
@@ -5479,7 +5519,7 @@ PRIORITY: tuple[str, ...] = (
     "v13_ivf_pq_topk",
     "t11_repetition_metrics",
     "t12_dup_ngram_chars",
-    "c01_cdc_latest_state",
+    "t21_dsir_importance",
     "t17_unigram_logprob_capped",
     "w08_batch_sessionize",
     "d14_tf_cosine_pairs",

@@ -527,6 +527,26 @@ def test_ccnet_buckets_splits_into_terciles(spark):
     assert buckets <= {"head", "middle", "tail", "empty"}
 
 
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    # target domain: medical-ish vocabulary; raw corpus: mixed — the
+    # doc sharing the target vocabulary must outscore the off-domain one
+    target = _docs(spark, [(100, "dose patient trial dose patient"),
+                           (101, "trial dose clinical patient")])
+    raw = _docs(
+        spark,
+        [
+            (1, "dose patient trial clinical notes"),   # target-like
+            (2, "football match score goal referee"),   # off-domain
+            (3, ""),                                     # empty -> 0.0
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.dsir_importance(raw, target).collect()}
+    assert out[1]["importance"] > out[2]["importance"]
+    assert out[3]["importance"] == 0.0 and out[3]["n_tokens"] == 0
+    # ratio signs: target-like positive, off-domain negative
+    assert out[1]["importance"] > 0 > out[2]["importance"]
+
+
 def test_weighted_hash_sample_extreme_weights(spark):
     from pyspark.sql import functions as F
 
