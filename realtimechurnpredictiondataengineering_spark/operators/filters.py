@@ -18,7 +18,7 @@ observable (SURVEY §7 hard-parts list):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -97,39 +97,65 @@ def not_rlike(col: str, pattern: str) -> Column:
     return ~F.col(col).rlike(pattern)
 
 
-def validate_profiles(df: DataFrame) -> DataFrame:
+def dedup_first_by(df: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """Deterministic ``dropDuplicates``: per key group, keep the row that
+    sorts FIRST by ``order_cols`` (asc, nulls first — matching DuckDB's
+    explicit ``NULLS FIRST``).  ``dropDuplicates`` keeps an arbitrary
+    row, which is fine in a streaming state store but value-uncheckable
+    against an oracle; when the full row set is distinct within each key
+    group (true for the generator fixtures) this pick is total.  Batch
+    only — ``row_number`` windows are not streaming-safe."""
+    w = Window.partitionBy(*keys).orderBy(*[F.asc_nulls_first(c) for c in order_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def validate_profiles(df: DataFrame, deterministic: bool = False) -> DataFrame:
     """Silver profile cleaning (Silver1.py:37-43): typed signup_date,
     key-null drop, positive age, closed gender domain, test-account
-    scrubbing by substring+regex, key dedup."""
-    return (
+    scrubbing by substring+regex, key dedup.  ``deterministic`` swaps the
+    arbitrary-survivor dedup for the oracle-replayable first-by-order
+    pick (batch only)."""
+    base = (
         df.withColumn("signup_date", to_date_col("signup_date"))
         .dropna(subset=["customer_id", "email"])
         .filter(F.col("age") > 0)
         .filter(F.col("gender").isin("Male", "Female", "Other"))
         .filter(not_contains("email", "test"))
         .filter(not_rlike("name", "test|dummy|xyz"))
-        .dropDuplicates(["customer_id"])
     )
+    if deterministic:
+        return dedup_first_by(
+            base,
+            ["customer_id"],
+            ["name", "email", "age", "gender", "location", "signup_date"],
+        )
+    return base.dropDuplicates(["customer_id"])
 
 
-def validate_usage(df: DataFrame) -> DataFrame:
+def validate_usage(df: DataFrame, deterministic: bool = False) -> DataFrame:
     """Silver app-usage cleaning (Silver1.py:65-67).  Dedup key includes
     the always-null event_time — preserved verbatim (collapses to one row
     per customer because nulls compare equal in dropDuplicates)."""
-    return (
-        df.dropna(subset=["customer_id"])
-        .filter(F.col("sessions_last_30d") >= 0)
-        .dropDuplicates(["customer_id", "event_time"])
-    )
+    base = df.dropna(subset=["customer_id"]).filter(F.col("sessions_last_30d") >= 0)
+    if deterministic:
+        return dedup_first_by(
+            base, ["customer_id", "event_time"], ["sessions_last_30d", "last_login"]
+        )
+    return base.dropDuplicates(["customer_id", "event_time"])
 
 
-def validate_transactions(df: DataFrame) -> DataFrame:
+def validate_transactions(df: DataFrame, deterministic: bool = False) -> DataFrame:
     """Silver transaction cleaning (Silver1.py:89-91)."""
-    return (
-        df.dropna(subset=["customer_id", "value"])
-        .filter(F.col("value") > 0)
-        .dropDuplicates(["customer_id", "event_time"])
-    )
+    base = df.dropna(subset=["customer_id", "value"]).filter(F.col("value") > 0)
+    if deterministic:
+        return dedup_first_by(
+            base, ["customer_id", "event_time"], ["event_type", "value"]
+        )
+    return base.dropDuplicates(["customer_id", "event_time"])
 
 
 def validate_tickets(df: DataFrame) -> DataFrame:
@@ -140,13 +166,18 @@ def validate_tickets(df: DataFrame) -> DataFrame:
     return validate_tickets_with_domain(df, ("Open", "In Progress", "Resolved", "Closed"))
 
 
-def validate_tickets_with_domain(df: DataFrame, statuses: tuple[str, ...]) -> DataFrame:
+def validate_tickets_with_domain(
+    df: DataFrame, statuses: tuple[str, ...], deterministic: bool = False
+) -> DataFrame:
     """Ticket cleaning with an explicit (case-sensitive, F5) status domain."""
-    return (
-        df.dropna(subset=["ticket_id", "customer_id"])
-        .filter(F.col("status").isin(*statuses))
-        .dropDuplicates(["ticket_id"])
+    base = df.dropna(subset=["ticket_id", "customer_id"]).filter(
+        F.col("status").isin(*statuses)
     )
+    if deterministic:
+        return dedup_first_by(
+            base, ["ticket_id"], ["customer_id", "status", "issue", "resolution_time"]
+        )
+    return base.dropDuplicates(["ticket_id"])
 
 
 def quarantine(
