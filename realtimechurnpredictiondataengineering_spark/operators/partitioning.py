@@ -28,6 +28,8 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from realtimechurnpredictiondataengineering_spark.cache import persist_tracked as _persist
+
 
 def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     """Repartition ``df`` up to ``defaultParallelism * multiple``
@@ -61,7 +63,7 @@ def stage_hot_table(df: DataFrame, multiple: int = 1) -> DataFrame:
     staged = fan_out(df, multiple)
     if staged is df:
         return df
-    return staged.persist()
+    return staged.transform(_persist)
 
 
 def interleave_bits(quantized: list[Column], bits: int) -> Column:

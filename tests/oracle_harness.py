@@ -88,11 +88,15 @@ def run_all(spark, sf_dir: str, names=None) -> dict[str, tuple[bool, str]]:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     results = {}
+    from realtimechurnpredictiondataengineering_spark.cache import release_caches
+
     for name in names or REGISTRY:
         try:
             results[name] = compare_query(spark, con, name, sf_dir)
         except Exception as exc:  # noqa: BLE001 - harness reports, not raises
             results[name] = (False, f"EXCEPTION: {type(exc).__name__}: {exc}")
+        finally:
+            release_caches()  # query-private caches die with their query
     return results
 
 
