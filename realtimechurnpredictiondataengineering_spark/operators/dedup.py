@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from realtimechurnpredictiondataengineering_spark.cache import persist_tracked as _persist
+
 from realtimechurnpredictiondataengineering_spark.functions.text import (
     fingerprint_md5,
     normalized,
@@ -230,7 +232,7 @@ def minhash_near_duplicates(
     sigs = minhash_signature(
         fan_out(df), id_col, text_col, num_hashes, shingle_k, portable_hash
     )
-    sigs = sigs.persist()
+    sigs = sigs.transform(_persist)
     buckets = _band_buckets(sigs, id_col, num_hashes, bands, portable_hash)
     pairs = _capped_bucket_pairs(buckets, id_col, ["band_id", "band_hash"], max_bucket)
 
@@ -332,7 +334,7 @@ def simhash_near_duplicates(
     finds all of them without an all-pairs pass.  Returns
     (id_a, id_b, hamming).
     """
-    fp = simhash64(fan_out(df), id_col, text_col, portable_hash).persist()
+    fp = simhash64(fan_out(df), id_col, text_col, portable_hash).transform(_persist)
     chunk_rows = fp.select(
         F.col(id_col),
         F.col("simhash"),
@@ -417,7 +419,7 @@ def ngram_jaccard_pairs(
     """
     sh = fan_out(df).select(
         F.col(id_col), shingles(text_col, shingle_k).alias("sh")
-    ).persist()
+    ).transform(_persist)
     inv = sh.select(
         F.col(id_col), F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
     )
@@ -534,7 +536,7 @@ def connected_components(
         )
         .select("e.src", "e.dst")
         .distinct()
-        .persist()
+        .transform(_persist)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
@@ -612,21 +614,25 @@ def cluster_representatives(
 
     ``components`` is a (id, component) frame as produced by
     ``connected_components``; ``scores`` maps ``id_col`` to
-    ``score_col``.  One equi-join on the id plus one window over the
-    cluster partition: clusters are bounded by the near-dup candidate
-    caps upstream, so the per-partition sort is small by construction,
-    and WindowGroupLimit prunes non-representatives before the full
-    sort at scale.  Ties break toward the smaller id, making the choice
-    deterministic and engine-replayable.
+    ``score_col``.  ``cluster_size`` counts the component's FULL
+    membership (aggregated from ``components`` alone, before the scores
+    join) — an unscored member still belongs to its cluster; only the
+    representative pick is restricted to scored members.  One equi-join
+    on the id plus one window over the cluster partition: clusters are
+    bounded by the near-dup candidate caps upstream, so the
+    per-partition sort is small by construction, and WindowGroupLimit
+    prunes non-representatives before the full sort at scale.  Ties
+    break toward the smaller id, making the choice deterministic and
+    engine-replayable.
     Returns (component, rep_id, score, cluster_size).
     """
+    sizes = components.groupBy(comp_col).agg(F.count("*").alias("cluster_size"))
     joined = components.join(scores, id_col)
     w_rank = Window.partitionBy(comp_col).orderBy(F.desc(score_col), F.asc(id_col))
-    w_size = Window.partitionBy(comp_col)
     return (
-        joined.withColumn("cluster_size", F.count("*").over(w_size))
-        .withColumn("__r", F.row_number().over(w_rank))
+        joined.withColumn("__r", F.row_number().over(w_rank))
         .filter(F.col("__r") == 1)
+        .join(sizes, comp_col)
         .select(
             F.col(comp_col),
             F.col(id_col).alias("rep_id"),
@@ -685,7 +691,7 @@ def tf_cosine_pairs(
             .filter(F.col("__df") > F.col("__n") * max_doc_frac)
             .select("term")
         )
-    capped = tf.join(F.broadcast(hot), "term", "left_anti").persist()
+    capped = tf.join(F.broadcast(hot), "term", "left_anti").transform(_persist)
     norms = capped.groupBy(id_col).agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("norm")
     )
@@ -814,7 +820,7 @@ def incremental_dedup(
     # and the join probe side — persist so the tokenize+shingle scan of
     # the (much larger) existing side runs once, not twice.  The cached
     # rows are (id, n, 8-byte hash) — ~24 bytes/shingle, no text.
-    ex_inv = _index(existing, "b").persist()
+    ex_inv = _index(existing, "b").transform(_persist)
     hot = (
         ex_inv.groupBy("shingle")
         .agg(F.count("*").alias("df_"))
@@ -891,7 +897,7 @@ def duplicate_spans(
     # grams feeds both the occurrence counts and the join probe side —
     # persist so the stride-1 gram fan-out scan runs once, not twice
     # (same query-private-cache pattern as minhash_near_duplicates).
-    grams = grams.persist()
+    grams = grams.transform(_persist)
     counts = grams.groupBy("gram_hash").agg(F.count("*").alias("__occ"))
     dup = (
         grams.join(counts, "gram_hash")

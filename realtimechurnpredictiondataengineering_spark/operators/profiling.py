@@ -188,8 +188,12 @@ def expectations_report(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
             F.sum((~F.coalesce(rule, F.lit(False))).cast("long")).alias(f"__v_{i}")
         )
     row = df.agg(*aggs)
+    # rule names are spliced into stack()'s SQL as string literals —
+    # escape embedded quotes so a name like "o'brien rule" can't break
+    # (or inject into) the expression
     stack_args = ", ".join(
-        f"'{name}', __v_{i}" for i, name in enumerate(rules)
+        "'{}', __v_{}".format(name.replace("'", "''"), i)
+        for i, name in enumerate(rules)
     )
     return row.selectExpr(
         "__n", f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"

@@ -332,7 +332,11 @@ def pq_topk(
     lut = F.transform(
         books,
         lambda book, j: F.transform(
-            book, lambda c: dot(F.slice(qvec, j * dsub + 1, dsub), c)
+            # each LUT entry snaps to the 1e-6 grid BEFORE the m-term sum:
+            # the ideal sum is then itself a grid point, so the final
+            # round(.., 6) cannot land on a rounding boundary that a
+            # different engine's summation order resolves the other way
+            book, lambda c: F.round(dot(F.slice(qvec, j * dsub + 1, dsub), c), 6)
         ),
     )
     q = queries.select(F.col(query_id_col), lut.alias("__lut"))
@@ -430,7 +434,11 @@ def ivf_pq_topk(
     lut = F.transform(
         books,
         lambda book, j: F.transform(
-            book, lambda c: dot(F.slice(qvec, j * dsub + 1, dsub), c)
+            # each LUT entry snaps to the 1e-6 grid BEFORE the m-term sum:
+            # the ideal sum is then itself a grid point, so the final
+            # round(.., 6) cannot land on a rounding boundary that a
+            # different engine's summation order resolves the other way
+            book, lambda c: F.round(dot(F.slice(qvec, j * dsub + 1, dsub), c), 6)
         ),
     )
     scored_cents = F.transform(
@@ -453,7 +461,7 @@ def ivf_pq_topk(
         F.col(query_id_col),
         F.col(id_col),
         F.round(
-            F.col("__centdot")
+            F.round(F.col("__centdot"), 6)
             + F.aggregate(
                 F.zip_with(
                     F.col("pq_codes"),
