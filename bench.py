@@ -115,6 +115,16 @@ HEADLINE = (
     "s09_weighted_sample",
     "t20_ccnet_buckets",
     "t21_dsir_importance",
+    # round-7 additions (baseline rows = their first green min-of-2, see
+    # BASELINE.md round-7 subsection)
+    "t22_bigram_logprob_capped",
+    "t23_trigram_logprob_capped",
+    "t24_stupid_backoff",
+    "ll06_refinedweb_pipeline",
+    "sv01_silver_profiles",
+    "sv02_silver_transactions",
+    "sv03_silver_usage",
+    "sv04_silver_tickets",
 )
 
 
@@ -157,6 +167,8 @@ def main() -> int:
     # (GC, page cache miss, a concurrent process) inflates one run, and
     # min-of-N is the standard way to measure the query's actual cost
     # rather than the machine's worst moment.
+    from realtimechurnpredictiondataengineering_spark.cache import release_caches
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -170,6 +182,12 @@ def main() -> int:
                 print(f"query {name} failed: {errors[name]}", file=sys.stderr)
             else:
                 runs.append(time.perf_counter() - t0)
+        # query-private caches die with their QUERY, not with each run:
+        # run 2 reusing run 1's cache is part of the min-of-2 protocol the
+        # baseline rows were captured under, so the release sits between
+        # queries — fixing the session-long accumulation without changing
+        # what the gate compares
+        release_caches()
         # A timing is only comparable to the min-of-2 baseline rows when
         # BOTH runs completed; a query that crashed on either run stays
         # in `errors` (which also nulls the suite total below) — a

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from realtimechurnpredictiondataengineering_spark.cache import persist_tracked as _persist
+
 from realtimechurnpredictiondataengineering_spark.functions.text import shingles, tokens
 
 
@@ -184,7 +186,7 @@ def _hashed_segments(
     if keep_text:
         cols.append(F.col("chunk_text"))
     cols.append(hash_fn(F.col("chunk_text")).alias("seg_hash"))
-    hashed = segs.select(*cols).persist()
+    hashed = segs.select(*cols).transform(_persist)
     counts = hashed.groupBy("seg_hash").agg(
         F.count_distinct(id_col).alias("n_docs_with_seg")
     )
@@ -405,7 +407,7 @@ def unigram_logprob(
     # persist so the tokenize-explode scan runs once, not twice.
     ex = toks.filter(F.col("n_tokens") > 0).select(
         F.col(id_col), F.explode("__t").alias("__tok")
-    ).persist()
+    ).transform(_persist)
     counts = ex.groupBy("__tok").agg(F.count("*").alias("__n"))
     total = counts.agg(F.sum("__n").alias("__total"))
     if vocab_top_v is None:
@@ -423,7 +425,7 @@ def unigram_logprob(
         # V-row frame feeding both the scoring join and the tail-mass
         # constant — persisted so the counts aggregate + top-V cut run
         # once, not twice (the cache is bounded by V at any scale)
-        top = counts.orderBy(F.desc("__n"), F.asc("__tok")).limit(vocab_top_v).persist()
+        top = counts.orderBy(F.desc("__n"), F.asc("__tok")).limit(vocab_top_v).transform(_persist)
         # One broadcast row holding both totals; the OOV symbol absorbs
         # the whole tail mass.  With an empty tail p_oov is 0/total = 0,
         # but the left join then always matches so the branch is dead.
@@ -457,6 +459,7 @@ def bigram_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     lam: float = 0.8,
+    top_v: int | None = None,
 ) -> DataFrame:
     """Per-document mean negative log2-probability under an interpolated
     bigram model trained on the corpus itself — one rung up the CCNet
@@ -472,16 +475,31 @@ def bigram_logprob(
     the bigram PARTIALS (no third raw scan — they are NOT the unigram
     counts, because a document's last token heads no bigram).  The
     scoring joins key on tokens/pairs, Zipf-bounded exactly like t16 —
-    Catalyst broadcasts them when they fit; at web scale apply the same
-    top-V valve as ``unigram_logprob`` (the pair table caps the same
-    way).  Documents with fewer than 2 tokens have no bigrams and score
+    Catalyst broadcasts them when they fit.
+
+    ``top_v`` is the web-scale valve, applied PER ORDER exactly as
+    ``unigram_logprob``'s ``vocab_top_v``: keep the top-V pairs (count
+    desc, then pair asc — total order, deterministic) and the top-V
+    tokens; each order's tail collapses into a single OOV event whose
+    probability is the order's aggregate tail mass
+    (``(total_pairs - top_pair_mass) / total_pairs`` for the bigram
+    term, ``(total - top_token_mass) / total`` for the unigram floor).
+    The context table ``c(w_{{i-1}} ·)`` keeps its EXACT values but is
+    semi-join-restricted to the ≤V prev-tokens the top pairs reference,
+    so every broadcast side is bounded by V rows no matter how the raw
+    pair vocabulary grows; the top-V cuts plan as
+    TakeOrderedAndProject (per-partition partial top-V, no full sort).
+    When V covers both true vocabularies the capped model is IDENTICAL
+    to the exact one (unit-tested); the default ``None`` keeps the
+    exact joins — that IS the oracle semantics for ``t18``.
+    Documents with fewer than 2 tokens have no bigrams and score
     0.0.  Returns (id, n_tokens, mean_neg_log2p) rounded to 4.
     """
     from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
 
     toks = df.select(
         F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
-    ).persist()
+    ).transform(_persist)
     ex = toks.filter(F.col("n_tokens") > 0).select(
         F.col(id_col), F.explode("__t").alias("__tok")
     )
@@ -499,18 +517,58 @@ def bigram_logprob(
     )
     big = pairs.groupBy("__prev", "__tok").agg(F.count("*").alias("__nb"))
     ctx = big.groupBy("__prev").agg(F.sum("__nb").alias("__nc"))
-    p = (
-        F.lit(lam) * F.col("__nb") / F.col("__nc")
-        + F.lit(1.0 - lam) * F.col("__nu") / F.col("__total")
-    )
-    scored = (
-        pairs.join(big, ["__prev", "__tok"])
-        .join(ctx, "__prev")
-        .join(uni, "__tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy(id_col)
-        .agg(F.round(F.avg(-F.log2(p)), 4).alias("mean_neg_log2p"))
-    )
+    if top_v is None:
+        p = (
+            F.lit(lam) * F.col("__nb") / F.col("__nc")
+            + F.lit(1.0 - lam) * F.col("__nu") / F.col("__total")
+        )
+        scored = (
+            pairs.join(big, ["__prev", "__tok"])
+            .join(ctx, "__prev")
+            .join(uni, "__tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.round(F.avg(-F.log2(p)), 4).alias("mean_neg_log2p"))
+        )
+    else:
+        # V-row frames per order, persisted (each feeds its scoring join
+        # AND its tail-mass constant; bounded by V at any scale)
+        top_uni = uni.orderBy(F.desc("__nu"), F.asc("__tok")).limit(top_v).transform(_persist)
+        top_big = (
+            big.orderBy(F.desc("__nb"), F.asc("__prev"), F.asc("__tok"))
+            .limit(top_v)
+            .transform(_persist)
+        )
+        # exact context totals, restricted to the ≤V prev-tokens the top
+        # pairs can reference — values stay exact, the broadcast stays bounded
+        ctx_top = ctx.join(
+            F.broadcast(top_big.select("__prev").distinct()), "__prev", "leftsemi"
+        )
+        consts = F.broadcast(
+            total.crossJoin(top_uni.agg(F.sum("__nu").alias("__top_nu")))
+            .crossJoin(big.agg(F.sum("__nb").alias("__tp")))
+            .crossJoin(top_big.agg(F.sum("__nb").alias("__top_nb")))
+        )
+        p_uni = F.when(
+            F.col("__nu").isNotNull(), F.col("__nu") / F.col("__total")
+        ).otherwise(
+            (F.col("__total") - F.coalesce(F.col("__top_nu"), F.lit(0)))
+            / F.col("__total")
+        )
+        p_big = F.when(
+            F.col("__nb").isNotNull(), F.col("__nb") / F.col("__nc")
+        ).otherwise(
+            (F.col("__tp") - F.coalesce(F.col("__top_nb"), F.lit(0))) / F.col("__tp")
+        )
+        p = F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni
+        scored = (
+            pairs.join(F.broadcast(top_big), ["__prev", "__tok"], "left")
+            .join(F.broadcast(ctx_top), "__prev", "left")
+            .join(F.broadcast(top_uni), "__tok", "left")
+            .crossJoin(consts)
+            .groupBy(id_col)
+            .agg(F.round(F.avg(-F.log2(p)), 4).alias("mean_neg_log2p"))
+        )
     return (
         toks.select(F.col(id_col), "n_tokens")
         .join(scored, id_col, "left")
@@ -528,6 +586,7 @@ def trigram_logprob(
     text_col: str = "text",
     lam3: float = 0.6,
     lam2: float = 0.3,
+    top_v: int | None = None,
 ) -> DataFrame:
     """Per-document mean negative log2-probability under a
     trigram-interpolated model — the top of the n-gram quality ladder
@@ -542,16 +601,25 @@ def trigram_logprob(
     context tables re-aggregated from the next-higher order's PARTIALS
     (``c(w1w2·)`` from trigram counts, ``c(w2·)`` from bigram counts —
     no extra raw scans).  All scoring joins key on token tuples,
-    Zipf-bounded; at web scale the same top-V valve as
-    ``unigram_logprob`` applies per order.  Documents with fewer than 3
-    tokens have no trigrams and score 0.0.
-    Returns (id, n_tokens, mean_neg_log2p) rounded to 4.
+    Zipf-bounded.
+
+    ``top_v`` is the web-scale valve, applied PER ORDER exactly as in
+    ``bigram_logprob``: top-V triples / pairs / tokens kept (count
+    desc, then key asc — total order, deterministic), each order's tail
+    collapsed into a single OOV event carrying the order's aggregate
+    tail mass; the two context tables keep EXACT values semi-restricted
+    to the contexts the top tables reference (≤V rows each).  All
+    broadcast sides are then bounded by V at any corpus size; capped is
+    IDENTICAL to exact when V covers the true vocabularies
+    (unit-tested).  Default ``None`` = exact — the ``t19`` oracle
+    semantics.  Documents with fewer than 3 tokens have no trigrams and
+    score 0.0.  Returns (id, n_tokens, mean_neg_log2p) rounded to 4.
     """
     from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
 
     toks = df.select(
         F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
-    ).persist()
+    ).transform(_persist)
     ex = toks.filter(F.col("n_tokens") > 0).select(
         F.col(id_col), F.explode("__t").alias("__w3")
     )
@@ -584,23 +652,197 @@ def trigram_logprob(
     tri = triples.groupBy("__w1", "__w2", "__w3").agg(F.count("*").alias("__nt"))
     ctx3 = tri.groupBy("__w1", "__w2").agg(F.sum("__nt").alias("__nc3"))
     lam1 = F.lit(1.0) - F.lit(lam3) - F.lit(lam2)
-    p = (
-        F.lit(lam3) * F.col("__nt") / F.col("__nc3")
-        + F.lit(lam2) * F.col("__nb") / F.col("__nc2")
-        + lam1 * F.col("__nu") / F.col("__total")
-    )
-    scored = (
-        triples.join(tri, ["__w1", "__w2", "__w3"])
-        .join(ctx3, ["__w1", "__w2"])
-        .join(big, ["__w2", "__w3"])
-        .join(ctx2, "__w2")
-        .join(uni, "__w3")
-        .crossJoin(F.broadcast(total))
-        .groupBy(id_col)
-        .agg(F.round(F.avg(-F.log2(p)), 4).alias("mean_neg_log2p"))
-    )
+    if top_v is None:
+        p = (
+            F.lit(lam3) * F.col("__nt") / F.col("__nc3")
+            + F.lit(lam2) * F.col("__nb") / F.col("__nc2")
+            + lam1 * F.col("__nu") / F.col("__total")
+        )
+        scored = (
+            triples.join(tri, ["__w1", "__w2", "__w3"])
+            .join(ctx3, ["__w1", "__w2"])
+            .join(big, ["__w2", "__w3"])
+            .join(ctx2, "__w2")
+            .join(uni, "__w3")
+            .crossJoin(F.broadcast(total))
+            .groupBy(id_col)
+            .agg(F.round(F.avg(-F.log2(p)), 4).alias("mean_neg_log2p"))
+        )
+    else:
+        top_uni = uni.orderBy(F.desc("__nu"), F.asc("__w3")).limit(top_v).transform(_persist)
+        top_big = (
+            big.orderBy(F.desc("__nb"), F.asc("__w2"), F.asc("__w3"))
+            .limit(top_v)
+            .transform(_persist)
+        )
+        top_tri = (
+            tri.orderBy(F.desc("__nt"), F.asc("__w1"), F.asc("__w2"), F.asc("__w3"))
+            .limit(top_v)
+            .transform(_persist)
+        )
+        # exact context totals, semi-restricted to the ≤V contexts the
+        # top tables can reference — exact values, bounded broadcasts
+        ctx3_top = ctx3.join(
+            F.broadcast(top_tri.select("__w1", "__w2").distinct()),
+            ["__w1", "__w2"],
+            "leftsemi",
+        )
+        ctx2_top = ctx2.join(
+            F.broadcast(top_big.select("__w2").distinct()), "__w2", "leftsemi"
+        )
+        consts = F.broadcast(
+            total.crossJoin(top_uni.agg(F.sum("__nu").alias("__top_nu")))
+            .crossJoin(big.agg(F.sum("__nb").alias("__tp")))
+            .crossJoin(top_big.agg(F.sum("__nb").alias("__top_nb")))
+            .crossJoin(tri.agg(F.sum("__nt").alias("__tt")))
+            .crossJoin(top_tri.agg(F.sum("__nt").alias("__top_nt")))
+        )
+        p_uni = F.when(
+            F.col("__nu").isNotNull(), F.col("__nu") / F.col("__total")
+        ).otherwise(
+            (F.col("__total") - F.coalesce(F.col("__top_nu"), F.lit(0)))
+            / F.col("__total")
+        )
+        p_big = F.when(
+            F.col("__nb").isNotNull(), F.col("__nb") / F.col("__nc2")
+        ).otherwise(
+            (F.col("__tp") - F.coalesce(F.col("__top_nb"), F.lit(0))) / F.col("__tp")
+        )
+        p_tri = F.when(
+            F.col("__nt").isNotNull(), F.col("__nt") / F.col("__nc3")
+        ).otherwise(
+            (F.col("__tt") - F.coalesce(F.col("__top_nt"), F.lit(0))) / F.col("__tt")
+        )
+        p = F.lit(lam3) * p_tri + F.lit(lam2) * p_big + lam1 * p_uni
+        scored = (
+            triples.join(F.broadcast(top_tri), ["__w1", "__w2", "__w3"], "left")
+            .join(F.broadcast(ctx3_top), ["__w1", "__w2"], "left")
+            .join(F.broadcast(top_big), ["__w2", "__w3"], "left")
+            .join(F.broadcast(ctx2_top), "__w2", "left")
+            .join(F.broadcast(top_uni), "__w3", "left")
+            .crossJoin(consts)
+            .groupBy(id_col)
+            .agg(F.round(F.avg(-F.log2(p)), 4).alias("mean_neg_log2p"))
+        )
     return (
         toks.select(F.col(id_col), "n_tokens")
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("mean_neg_log2p", F.lit(0.0)).alias("mean_neg_log2p"),
+        )
+    )
+
+
+def stupid_backoff_logprob(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Score TARGET documents under a stupid-backoff trigram model
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") trained on CORPUS — the backoff rung of the n-gram
+    quality ladder (t16/t18/t19 interpolate; this backs off):
+    ``S(w3|w1 w2) = c(w1w2w3)/c(w1w2·)`` when the trigram is attested,
+    else ``alpha · c(w2w3)/c(w2·)`` when the bigram is, else
+    ``alpha² · (c(w3)+1)/(N+V)`` — a Laplace floor on the unigram rung
+    so a token the corpus has never seen still scores finite (the
+    original recipe leaves the OOV case undefined; Laplace over the
+    training vocabulary is the standard closure and matches t21's
+    smoothing).  Scoring a HELD-OUT split is what makes backoff
+    meaningful — on the training corpus itself every observed trigram
+    is attested and the fallback rungs would be dead code.
+
+    Plan: count tables come from the corpus side exactly as in
+    t18/t19 — one tokenize scan, one count shuffle per order, context
+    tables re-aggregated from the next order's PARTIALS; the (N, V)
+    normalizers ride a single 1-row broadcast (the scalar-subquery
+    shape the plan gate admits structurally).  The target side explodes
+    once into triples and LEFT-joins the Zipf-bounded count tables —
+    ``S`` is pure ``when``/``coalesce`` over the joined counts, no
+    state, no UDF.  Averaged over positions 3..n as −log2 S; target
+    documents with fewer than 3 tokens score 0.0.
+    Returns (id, n_tokens, mean_neg_log2p) rounded to 4.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
+
+    # token_count, not size(tokens(...)): split('') yields [''] (size 1),
+    # so an empty document would otherwise mint a phantom '' token
+    ctoks = corpus.filter(token_count(text_col) > 0).select(tokens(text_col).alias("__t"))
+    cuni = (
+        ctoks.select(F.explode("__t").alias("__w3"))
+        .groupBy("__w3")
+        .agg(F.count("*").alias("__nu"))
+    )
+    consts = F.broadcast(
+        cuni.agg(F.sum("__nu").alias("__n"), F.count("*").alias("__v"))
+    )
+    pair_expr = F.expr(
+        "transform(sequence(2, size(__t)), i -> struct(__t[i-2] AS w2, __t[i-1] AS w3))"
+    )
+    cbig = (
+        ctoks.filter(F.size("__t") >= 2)
+        .select(F.explode(pair_expr).alias("__p"))
+        .select(F.col("__p.w2").alias("__w2"), F.col("__p.w3").alias("__w3"))
+        .groupBy("__w2", "__w3")
+        .agg(F.count("*").alias("__nb"))
+    )
+    ctx2 = cbig.groupBy("__w2").agg(F.sum("__nb").alias("__nc2"))
+    tri_expr = F.expr(
+        "transform(sequence(3, size(__t)), i -> "
+        "struct(__t[i-3] AS w1, __t[i-2] AS w2, __t[i-1] AS w3))"
+    )
+    ctri = (
+        ctoks.filter(F.size("__t") >= 3)
+        .select(F.explode(tri_expr).alias("__p"))
+        .select(
+            F.col("__p.w1").alias("__w1"),
+            F.col("__p.w2").alias("__w2"),
+            F.col("__p.w3").alias("__w3"),
+        )
+        .groupBy("__w1", "__w2", "__w3")
+        .agg(F.count("*").alias("__nt"))
+    )
+    ctx3 = ctri.groupBy("__w1", "__w2").agg(F.sum("__nt").alias("__nc3"))
+    ttoks = target.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
+    )
+    triples = (
+        ttoks.filter(F.col("n_tokens") >= 3)
+        .select(F.col(id_col), F.explode(tri_expr).alias("__p"))
+        .select(
+            F.col(id_col),
+            F.col("__p.w1").alias("__w1"),
+            F.col("__p.w2").alias("__w2"),
+            F.col("__p.w3").alias("__w3"),
+        )
+    )
+    s = (
+        F.when(F.col("__nt").isNotNull(), F.col("__nt") / F.col("__nc3"))
+        .otherwise(
+            F.lit(alpha)
+            * F.when(F.col("__nb").isNotNull(), F.col("__nb") / F.col("__nc2")).otherwise(
+                F.lit(alpha)
+                * (F.coalesce(F.col("__nu"), F.lit(0)) + F.lit(1.0))
+                / (F.col("__n") + F.col("__v"))
+            )
+        )
+    )
+    scored = (
+        triples.join(ctri, ["__w1", "__w2", "__w3"], "left")
+        .join(ctx3, ["__w1", "__w2"], "left")
+        .join(cbig, ["__w2", "__w3"], "left")
+        .join(ctx2, "__w2", "left")
+        .join(cuni, "__w3", "left")
+        .crossJoin(consts)
+        .groupBy(id_col)
+        .agg(F.round(F.avg(-F.log2(s)), 4).alias("mean_neg_log2p"))
+    )
+    return (
+        ttoks.select(F.col(id_col), "n_tokens")
         .join(scored, id_col, "left")
         .select(
             F.col(id_col),
@@ -681,7 +923,7 @@ def dsir_importance(
 
     toks = corpus.select(
         F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
-    ).persist()
+    ).transform(_persist)
     ex = toks.filter(F.col("n_tokens") > 0).select(
         F.col(id_col), F.explode("__t").alias("__tok")
     )

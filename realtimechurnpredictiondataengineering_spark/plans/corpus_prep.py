@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from realtimechurnpredictiondataengineering_spark.cache import persist_tracked as _persist
+
 from realtimechurnpredictiondataengineering_spark.functions import text as tx
 from realtimechurnpredictiondataengineering_spark.operators import dedup
 
@@ -62,7 +64,7 @@ def prepare_corpus(
         (F.col("quality") >= quality_min) & F.col("lang_pred").isin(*langs)
     )
     if persist_intermediate:
-        kept = kept.persist()
+        kept = kept.transform(_persist)
     canon = dedup.content_hash_dedup(kept)
     exact = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
     pairs = dedup.ngram_jaccard_pairs(
@@ -70,6 +72,84 @@ def prepare_corpus(
     )
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     return exact.join(losers, "doc_id", "left_anti")
+
+
+def refinedweb_pipeline(
+    docs: DataFrame,
+    budget: int = 20_000,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    repetition_max: float = 0.3,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """RefinedWeb-style corpus construction (Penedo et al. 2023), the
+    full cost-ordered composition:
+
+        gopher gates -> exact content dedup -> MinHash-LSH near-dup
+        -> connected components -> quality-best representative per
+        cluster -> token-budget prefix select
+
+    versus ``prepare_corpus``'s min-id survivor rule, duplicate CLUSTERS
+    here keep their highest-quality member (``cluster_representatives``)
+    — the policy web pipelines actually want — and the final cut is a
+    global token budget, not a threshold.
+
+    Cost order is the point: the gopher gates are ONE scan-local
+    projection (no shuffle) pruning before anything pays a shuffle;
+    exact dedup is one hash aggregate over md5 fingerprints; only the
+    survivors build the shingle/signature index.  The gated frame is
+    persisted — it feeds the dedup build+probe sides, the pair
+    generator, the scores join, and the budget pass (the same
+    query-private cache pattern as ``prepare_corpus``, released by
+    ``cache.release_caches``).  ``connected_components`` executes jobs
+    on construction (iterative label propagation), so this composition
+    is a driver, not a single lazy plan.
+    Returns (doc_id, quality, n_tokens, cum_tokens) — ``token_budget_select``'s
+    contract — ordered-by-construction quality desc.
+    """
+    from realtimechurnpredictiondataengineering_spark.operators import packing
+
+    rules = tx.gopher_rules("text")
+    # the repetition gate is the corpus-sensitive knob (Gopher's 0.3 is
+    # tuned for web text; boilerplate-heavy or synthetic corpora need it
+    # relaxed or they gate to zero) — every other threshold stays at the
+    # paper value via gopher_rules
+    keep = (
+        rules["tokens_ok"]
+        & rules["word_len_ok"]
+        & rules["alpha_ok"]
+        & rules["symbol_ok"]
+        & rules["stopwords_ok"]
+        & F.coalesce(tx.repetition_ratio("text") <= repetition_max, F.lit(False))
+        & rules["dup_gram_ok"]
+    )
+    gated = (
+        docs.withColumn("quality", tx.quality_score("text"))
+        .filter(keep)
+        .select("doc_id", "text", "quality")
+        .transform(_persist)
+    )
+    canon = dedup.content_hash_dedup(gated)
+    exact = gated.join(canon.select("doc_id"), "doc_id", "left_semi").transform(_persist)
+    pairs = dedup.minhash_near_duplicates(
+        exact,
+        shingle_k=shingle_k,
+        threshold=jaccard_threshold,
+        portable_hash=portable_hash,
+    )
+    comps = dedup.connected_components(pairs)
+    reps = dedup.cluster_representatives(
+        comps,
+        exact.select(F.col("doc_id").alias("id"), "quality"),
+        score_col="quality",
+    )
+    clustered = comps.select(F.col("id").alias("doc_id"))
+    survivors = exact.join(clustered, "doc_id", "left_anti").unionByName(
+        exact.join(
+            reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+    )
+    return packing.token_budget_select(survivors, budget=budget, quality_col="quality")
 
 
 def corpus_stats(clean: DataFrame) -> DataFrame:

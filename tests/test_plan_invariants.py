@@ -21,9 +21,10 @@ import pytest
 from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
 
 # Queries whose *construction* executes jobs (iterative label propagation
-# materializes per-round; the silver feeds run the synthetic generator).
-# Their plan shapes are asserted in their own tests instead.
-EXECUTES_ON_BUILD = {"d06_dup_clusters"} | {n for n in REGISTRY if n.startswith("sv")}
+# materializes per-round).  Their plan shapes are asserted in their own
+# tests instead.  The sv entries left this set in round 7: they now read
+# the committed feed fixture instead of running the generator.
+EXECUTES_ON_BUILD = {"d06_dup_clusters", "ll06_refinedweb_pipeline"}
 
 # BNLJ builds that are bounded by DOMAIN, not by plan structure — the
 # build side reads a real table, so the shape check cannot prove it
