@@ -377,3 +377,41 @@ def test_streaming_corpus_ingest_gates_then_dedups(spark, tmp_path):
     kept = [r["doc_id"] for r in spark.sql("SELECT doc_id FROM corpus_ingest").collect()]
     assert 1 not in kept and 4 not in kept
     assert len([d for d in kept if d in (2, 3)]) == 1
+
+
+def test_delta_stream_sink_restart_recovers_exactly_once(spark, tmp_path):
+    # ST4 beyond single-run: drain batch A through a checkpointed sink,
+    # terminate the query, add batch B to the source, restart a NEW query
+    # from the SAME checkpoint — recovery must emit B exactly once and
+    # must NOT re-emit A (a broken checkpoint would re-ingest the whole
+    # source and duplicate A; a too-eager one would skip B).
+    from pyspark.sql import types as T
+
+    from realtimechurnpredictiondataengineering_spark.sources.sinks import delta_stream_sink
+    from realtimechurnpredictiondataengineering_spark.sources.streaming import file_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+    )
+
+    def _append(lo, hi):
+        spark.createDataFrame(
+            [(i, f"row_{i}") for i in range(lo, hi)], schema
+        ).coalesce(1).write.mode("append").json(src)
+
+    _append(0, 10)
+    q1 = delta_stream_sink(file_stream(spark, src, schema), out, ckpt)
+    _drain(q1)
+    assert not q1.isActive
+    first = {r["id"] for r in spark.read.parquet(out).collect()}
+    assert first == set(range(10))
+
+    _append(10, 20)
+    q2 = delta_stream_sink(file_stream(spark, src, schema), out, ckpt)
+    _drain(q2)
+    rows = [r["id"] for r in spark.read.parquet(out).collect()]
+    # no gaps AND no dupes: batch A appears exactly once across both runs
+    assert sorted(rows) == list(range(20))
