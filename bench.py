@@ -125,6 +125,7 @@ HEADLINE = (
     "sv02_silver_transactions",
     "sv03_silver_usage",
     "sv04_silver_tickets",
+    "ml01_churn_scores",
 )
 
 

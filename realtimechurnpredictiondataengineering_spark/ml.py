@@ -1,0 +1,136 @@
+"""Churn-model training and expression-compiled scoring.
+
+The north-star approach names "Structured Streaming + MLlib for
+real-time scoring".  The reference repo itself serves no model (its
+"sentiment model" is hash arithmetic, SURVEY §2.9); this module adds the
+missing ML leg the way a 100 TB deployment actually wants it:
+
+- **Training** is an MLlib pipeline (``train_churn_model``): assemble →
+  logistic regression over the Gold feature frame.  Runs offline, on a
+  sample or the full frame — training cost is not the serving path.
+- **Serving compiles the model to a Column expression**
+  (``score_expression`` / ``model_to_expression``): the logit is a
+  literal-weighted sum, pure Catalyst — it scores at scan speed inside
+  whole-stage codegen, streams through Structured Streaming unchanged
+  (`streaming scoring == batch scoring` is pytest-pinned), broadcasts
+  nothing, and needs neither Python nor MLlib at serve time.  This is
+  the standard trick for linear models at scale: `model.transform`
+  drags a JVM UDF + vector assembly through the plan, while the
+  compiled expression is just arithmetic (equivalence is pytest-pinned
+  to 1e-9 against ``model.transform``).
+
+``MODEL_V1`` freezes one offline training run (seed 7, sf0.01 Gold
+features, the rule-flag ``churn_risk`` as label) so the scoring surface
+is deterministic and oracle-checkable; ``tests/test_ml.py`` retrains
+the pipeline and asserts the frozen expression still ranks like the
+fresh model (AUC parity), so the constants cannot silently rot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Feature columns of the Gold churn frame used by the model, in
+#: training order.  NULL-coalescing mirrors plans.gold.churn_features'
+#: rule flag: an absent activity row means "never logged in" (999 days).
+FEATURES: tuple[str, ...] = (
+    "acctbal",
+    "total_revenue",
+    "n_orders",
+    "days_since_last_login",
+    "sessions",
+    "arpu",
+)
+
+_NULL_DEFAULTS = {"days_since_last_login": 999}
+
+
+def feature_columns(df: DataFrame) -> list[Column]:
+    """The model's input columns with deterministic NULL handling."""
+    return [
+        F.coalesce(F.col(c), F.lit(_NULL_DEFAULTS.get(c, 0))).cast("double").alias(c)
+        for c in FEATURES
+    ]
+
+
+def train_churn_model(features_df: DataFrame, label_col: str = "churn_risk", seed: int = 7):
+    """Fit the MLlib churn pipeline: VectorAssembler → LogisticRegression
+    (L2, standardization on — coefficients come back in original feature
+    space, so the compiled expression needs no scaler constants).
+    Returns the fitted PipelineModel."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    prepped = features_df.select(
+        F.col(label_col).cast("double").alias(label_col), *feature_columns(features_df)
+    )
+    asm = VectorAssembler(inputCols=list(FEATURES), outputCol="__features")
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol=label_col,
+        maxIter=100,
+        regParam=1e-3,
+        standardization=True,
+    )
+    return Pipeline(stages=[asm, lr]).fit(prepped)
+
+
+def score_expression(coefficients: dict[str, float], intercept: float) -> Column:
+    """The model compiled to a logit Column over the raw feature columns:
+    ``intercept + Σ coef[c] * coalesce(c, default)`` — literal-weighted
+    arithmetic, left-associated in FEATURES order so an oracle spelling
+    the same sum reproduces it bit-for-bit."""
+    z: Column = F.lit(float(intercept))
+    for c in FEATURES:
+        x = F.coalesce(F.col(c), F.lit(_NULL_DEFAULTS.get(c, 0))).cast("double")
+        z = z + F.lit(float(coefficients[c])) * x
+    return z
+
+
+def model_to_expression(model) -> Column:
+    """Compile a fitted ``train_churn_model`` pipeline to its logit
+    expression (serving never touches MLlib)."""
+    lr_model = model.stages[-1]
+    coefs = dict(zip(FEATURES, (float(v) for v in lr_model.coefficients)))
+    return score_expression(coefs, float(lr_model.intercept))
+
+
+def churn_scores(
+    features_df: DataFrame,
+    coefficients: dict[str, float],
+    intercept: float,
+    id_col: str = "customer_id",
+) -> DataFrame:
+    """Batch/streaming scoring surface: (id, churn_logit, churn_pred,
+    churn_prob).  The logit is snapped to the 1e-6 grid BEFORE the
+    sigmoid so the probability's round(.., 4) sits on a deterministic
+    input on every engine (the adc_dot fixed-point-grid argument); the
+    prediction thresholds the exact logit at 0.  Works unchanged on a
+    streaming DataFrame — pure stateless projection."""
+    z = F.round(score_expression(coefficients, intercept), 6)
+    return features_df.select(
+        F.col(id_col),
+        z.alias("churn_logit"),
+        (z > 0).cast("int").alias("churn_pred"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("churn_prob"),
+    )
+
+
+#: Frozen offline training run: seed 7, sf0.01 Gold features,
+#: label = the rule flag (training AUC 1.0 — the rule is linearly
+#: separable in its own inputs, which is the point: the pipeline
+#: demonstrably recovers the decision surface).  Regenerate with
+#: tools/train_churn.py.
+MODEL_V1: dict = {
+    "coefficients": {
+        "acctbal": -1.002853025877033e-06,
+        "total_revenue": -1.2724021457871086e-07,
+        "n_orders": -0.020833026993487727,
+        "days_since_last_login": 0.005821276475838661,
+        "sessions": -0.07914041263768765,
+        "arpu": 8.101316924406307e-07,
+    },
+    "intercept": 0.27631253894986507,
+}

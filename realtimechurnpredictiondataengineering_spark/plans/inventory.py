@@ -195,6 +195,43 @@ def q00(spark, sf_dir):
     return churn_features(spark, sf_dir)
 
 
+def _ml01_sql() -> str:
+    from realtimechurnpredictiondataengineering_spark.ml import FEATURES, MODEL_V1
+
+    defaults = {"days_since_last_login": 999}
+    terms = " ".join(
+        f"+ {MODEL_V1['coefficients'][c]!r} * CAST(coalesce({c}, {defaults.get(c, 0)}) AS DOUBLE)"
+        for c in FEATURES
+    )
+    return f"""
+WITH feats AS ({_FLAGSHIP_SQL}),
+z AS (SELECT customer_id,
+             round({MODEL_V1['intercept']!r} {terms}, 6) AS churn_logit
+      FROM feats)
+SELECT customer_id, churn_logit,
+       CAST(churn_logit > 0 AS INT) AS churn_pred,
+       round(1.0 / (1.0 + exp(-churn_logit)), 4) AS churn_prob
+FROM z
+"""
+
+
+@register("ml01_churn_scores", _ml01_sql)
+def ml01(spark, sf_dir):
+    # MLlib-trained logistic model compiled to a Catalyst expression:
+    # the frozen MODEL_V1 coefficients score the Gold feature frame as a
+    # literal-weighted logit (no MLlib, no UDF, no vector assembly at
+    # serve time — whole-stage-codegen arithmetic; the same projection
+    # streams unchanged, pytest-pinned in tests/test_ml.py).  The logit
+    # snaps to the 1e-6 grid before the sigmoid so churn_prob's
+    # round(..,4) is deterministic cross-engine (ml.py:churn_scores).
+    from realtimechurnpredictiondataengineering_spark import ml
+
+    feats = churn_features(spark, sf_dir)
+    return ml.churn_scores(
+        feats, ml.MODEL_V1["coefficients"], ml.MODEL_V1["intercept"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projections / parsing / scalar expressions (P-series)
 # ---------------------------------------------------------------------------
@@ -5845,7 +5882,10 @@ def w09(spark, sf_dir):
 # prof03).  ll06_refinedweb_pipeline rotated IN late in round 7;
 # t13_gopher_rules rotated OUT for it (double-green r5/r6; its gate
 # chain stays in-window INSIDE ll06, which filters on the same
-# gopher flags).
+# gopher flags).  ml01_churn_scores (MLlib-trained model compiled to
+# a scoring expression) rotated IN; v06_int8_quantization OUT for it
+# (double-green r5/r6; its quantization chain stays in-window inside
+# v07_quantized_topk).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -5864,6 +5904,7 @@ def w09(spark, sf_dir):
 # prof01) were double-green in rounds 2-3.
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
+    "ml01_churn_scores",
     "v15_ivf_pq_rescore",
     "t19_trigram_logprob",
     "d03_minhash_near_dup",
@@ -5877,7 +5918,6 @@ PRIORITY: tuple[str, ...] = (
     "prof03_expectations",
     "s09_weighted_sample",
     "t20_ccnet_buckets",
-    "v06_int8_quantization",
     "v07_quantized_topk",
     "v08_mips_topk",
     "ll01_corpus_prep",
