@@ -126,6 +126,9 @@ HEADLINE = (
     "sv03_silver_usage",
     "sv04_silver_tickets",
     "ml01_churn_scores",
+    "v16_semdedup_pairs",
+    "v17_semdedup_survivors",
+    "t25_stupid_backoff_capped",
 )
 
 

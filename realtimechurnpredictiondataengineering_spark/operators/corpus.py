@@ -741,6 +741,7 @@ def stupid_backoff_logprob(
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.4,
+    top_v: int | None = None,
 ) -> DataFrame:
     """Score TARGET documents under a stupid-backoff trigram model
     (Brants et al. 2007, "Large Language Models in Machine
@@ -765,6 +766,16 @@ def stupid_backoff_logprob(
     ``S`` is pure ``when``/``coalesce`` over the joined counts, no
     state, no UDF.  Averaged over positions 3..n as −log2 S; target
     documents with fewer than 3 tokens score 0.0.
+
+    ``top_v`` is the web-scale valve, simpler here than in the
+    interpolated rungs because backoff already HAS an "unseen" path:
+    keep the top-V n-grams per order (count desc, key asc) and an
+    out-of-top n-gram simply scores as unseen — it falls through to the
+    next rung, ending at the exact Laplace floor (whose (N, V)
+    normalizers stay exact 1-row aggregates).  Context tables keep
+    exact values semi-restricted to the top keys' contexts; every
+    broadcast side is then ≤V rows at any corpus size, and capped ==
+    exact when V covers the vocabularies (unit-tested).
     Returns (id, n_tokens, mean_neg_log2p) rounded to 4.
     """
     from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
@@ -831,12 +842,33 @@ def stupid_backoff_logprob(
             )
         )
     )
+    if top_v is not None:
+        tri_j = F.broadcast(
+            ctri.orderBy(
+                F.desc("__nt"), F.asc("__w1"), F.asc("__w2"), F.asc("__w3")
+            ).limit(top_v).transform(_persist)
+        )
+        big_j = F.broadcast(
+            cbig.orderBy(F.desc("__nb"), F.asc("__w2"), F.asc("__w3"))
+            .limit(top_v).transform(_persist)
+        )
+        uni_j = F.broadcast(
+            cuni.orderBy(F.desc("__nu"), F.asc("__w3")).limit(top_v)
+        )
+        ctx3_j = F.broadcast(
+            ctx3.join(tri_j.select("__w1", "__w2").distinct(), ["__w1", "__w2"], "leftsemi")
+        )
+        ctx2_j = F.broadcast(
+            ctx2.join(big_j.select("__w2").distinct(), "__w2", "leftsemi")
+        )
+    else:
+        tri_j, big_j, uni_j, ctx3_j, ctx2_j = ctri, cbig, cuni, ctx3, ctx2
     scored = (
-        triples.join(ctri, ["__w1", "__w2", "__w3"], "left")
-        .join(ctx3, ["__w1", "__w2"], "left")
-        .join(cbig, ["__w2", "__w3"], "left")
-        .join(ctx2, "__w2", "left")
-        .join(cuni, "__w3", "left")
+        triples.join(tri_j, ["__w1", "__w2", "__w3"], "left")
+        .join(ctx3_j, ["__w1", "__w2"], "left")
+        .join(big_j, ["__w2", "__w3"], "left")
+        .join(ctx2_j, "__w2", "left")
+        .join(uni_j, "__w3", "left")
         .crossJoin(consts)
         .groupBy(id_col)
         .agg(F.round(F.avg(-F.log2(s)), 4).alias("mean_neg_log2p"))

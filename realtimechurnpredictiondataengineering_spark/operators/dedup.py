@@ -486,6 +486,93 @@ def embedding_near_duplicates(
     )
 
 
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): semantic-duplicate
+    pairs found INSIDE k-means clusters — cluster first, compare only
+    within a cluster, so the pair space is Σ|cluster|², never corpus².
+
+    ``centroids`` come from ``similarity.train_ivf_centroids`` (seeded
+    spherical k-means on a bounded sample, unit-norm rows) and ship as a
+    literal: assignment is a scan-local argmax of dots — with unit-norm
+    centroids that IS the max-cosine assignment, no shuffle.  Pair
+    generation is then an equi-join on the cluster id; ``max_cluster``
+    is the skew valve (a degenerate cluster would go quadratic — at
+    100 TB you raise nlist instead, keeping clusters at the ~10⁴ the
+    paper uses).  The cluster-count side of the cap is one ≤nlist-row
+    broadcast, not a window over the vectors.  Verification is exact
+    cosine, rounded to 6 BEFORE thresholding so the pair set is
+    engine-replayable.  Returns (cluster_id, id_a, id_b, cos_sim).
+    """
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import _nearest_centroid
+
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    assigned = fan_out(df).select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_centroid(F.col(vec_col), cents_lit).alias("cluster_id"),
+    ).transform(_persist)
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__n"))
+    kept = assigned.join(
+        F.broadcast(sizes.filter(F.col("__n") <= max_cluster).select("cluster_id")),
+        "cluster_id",
+    )
+    a = kept.select(
+        "cluster_id", F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a")
+    )
+    b = kept.select(
+        "cluster_id", F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b")
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v_a"), F.col("v_b")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("cluster_id", "id_a", "id_b", "cos_sim")
+    )
+
+
+def semdedup_survivors(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    max_cluster: int = 10_000,
+) -> DataFrame:
+    """The dedup decision over ``semdedup_pairs``: drop the larger id of
+    every semantic-duplicate pair (the deterministic single-link rule
+    ``near_dedup`` uses), keep everything else.  Returns (id, cluster_id)
+    for the surviving vectors — the frame a training pipeline feeds on.
+    """
+    pairs = semdedup_pairs(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, max_cluster=max_cluster,
+    )
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import _nearest_centroid
+
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        df.join(losers, id_col, "left_anti")
+        .select(
+            F.col(id_col),
+            _nearest_centroid(F.col(vec_col), cents_lit).alias("cluster_id"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Duplicate clustering (connected components over the pair graph)
 # --------------------------------------------------------------------------

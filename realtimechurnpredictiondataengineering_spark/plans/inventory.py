@@ -1616,6 +1616,66 @@ FROM rranked WHERE rnk <= 5
 """
 
 
+def _semdedup_ctes() -> str:
+    rows = ",\n".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])" for i, c in enumerate(_ivf_centroids())
+    )
+    cos = SQL_COSINE.format(a="a.v", b="b.v")
+    return f"""
+cents(cid, cv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (SELECT vec_id, v, cid FROM (
+  SELECT e.vec_id, e.v, ct.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_dot_product(e.v, ct.cv) DESC, ct.cid ASC) AS rn
+  FROM e, cents ct) WHERE rn = 1),
+sizes AS (SELECT cid, count(*) AS n FROM assigned GROUP BY 1),
+kept AS (SELECT a.* FROM assigned a JOIN sizes s USING (cid) WHERE s.n <= 10000),
+pairs AS (SELECT a.cid AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+                 round({cos}, 6) AS cos_sim
+          FROM kept a JOIN kept b ON a.cid = b.cid AND a.vec_id < b.vec_id)"""
+
+
+def _v16_sql() -> str:
+    return f"""
+WITH {_semdedup_ctes()}
+SELECT cluster_id, id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.3
+"""
+
+
+@register("v16_semdedup_pairs", _v16_sql)  # lazy: building the twin trains the centroids
+def v16(spark, sf_dir):
+    # SemDeDup: semantic-duplicate pairs INSIDE frozen spherical-kmeans
+    # clusters — scan-local max-cosine assignment (unit-norm centroid
+    # literals), equi-join on the cluster id, exact-cosine verify; the
+    # cluster-size cap rides a <=nlist-row broadcast
+    # (operators/dedup.py:semdedup_pairs).  Threshold 0.3, not the
+    # paper's ~0.95, for the same reason as v10: the synthetic
+    # embeddings' max pairwise cosine is ~0.5, so a production
+    # threshold would assert over an empty pair set.
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    return dedup.semdedup_pairs(e, _ivf_centroids(), threshold=0.3)
+
+
+def _v17_sql() -> str:
+    return f"""
+WITH {_semdedup_ctes()},
+losers AS (SELECT DISTINCT id_b FROM pairs WHERE cos_sim >= 0.3)
+SELECT a.vec_id, a.cid AS cluster_id
+FROM assigned a LEFT JOIN losers l ON l.id_b = a.vec_id
+WHERE l.id_b IS NULL
+"""
+
+
+@register("v17_semdedup_survivors", _v17_sql)
+def v17(spark, sf_dir):
+    # The SemDeDup dedup decision: drop the larger id of every semantic
+    # pair (deterministic single-link), return (vec_id, cluster_id) for
+    # the survivors (operators/dedup.py:semdedup_survivors).
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    return dedup.semdedup_survivors(e, _ivf_centroids(), threshold=0.3)
+
+
 @register("v15_ivf_pq_rescore", _v15_sql)  # lazy: building the twin trains the model
 def v15(spark, sf_dir):
     # The production retrieval stack end-to-end: IVF-PQ candidate
@@ -5460,6 +5520,65 @@ FROM tbase b LEFT JOIN s USING (doc_id)
 """
 
 
+_T25_SQL = f"""
+WITH ctoks AS (SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
+               WHERE doc_id % 10 != 0 AND length({SQL_NORM}) > 0),
+cuni AS (SELECT w3, count(*) AS nu FROM (SELECT unnest(t) AS w3 FROM ctoks) GROUP BY 1),
+consts AS (SELECT (SELECT sum(nu) FROM cuni) AS n, (SELECT count(*) FROM cuni) AS v),
+topu AS (SELECT w3, nu FROM cuni ORDER BY nu DESC, w3 ASC LIMIT 256),
+cpr AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+        FROM ctoks WHERE len(t) >= 2),
+cbig AS (SELECT p[1] AS w2, p[2] AS w3, count(*) AS nb FROM cpr GROUP BY 1, 2),
+topb AS (SELECT w2, w3, nb FROM cbig ORDER BY nb DESC, w2 ASC, w3 ASC LIMIT 256),
+ctx2 AS (SELECT w2, sum(nb) AS nc2 FROM cbig GROUP BY 1),
+ctr AS (SELECT unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS p
+        FROM ctoks WHERE len(t) >= 3),
+ctri AS (SELECT p[1] AS w1, p[2] AS w2, p[3] AS w3, count(*) AS nt FROM ctr GROUP BY 1, 2, 3),
+topt AS (SELECT w1, w2, w3, nt FROM ctri ORDER BY nt DESC, w1 ASC, w2 ASC, w3 ASC LIMIT 256),
+ctx3 AS (SELECT w1, w2, sum(nt) AS nc3 FROM ctri GROUP BY 1, 2),
+ttoks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+          WHERE doc_id % 10 = 0),
+tbase AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM ttoks),
+tr AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS p
+       FROM tbase WHERE n_tokens >= 3),
+triples AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM tr),
+s AS (SELECT doc_id,
+             round(avg(-log2(
+               CASE WHEN topt.nt IS NOT NULL THEN CAST(topt.nt AS DOUBLE) / ctx3.nc3
+                    WHEN topb.nb IS NOT NULL THEN 0.4 * (CAST(topb.nb AS DOUBLE) / ctx2.nc2)
+                    ELSE 0.4 * ((0.4 * (coalesce(topu.nu, 0) + 1.0)) / (n + v)) END)), 4)
+               AS mean_neg_log2p
+      FROM triples
+      LEFT JOIN topt USING (w1, w2, w3)
+      LEFT JOIN ctx3 USING (w1, w2)
+      LEFT JOIN topb USING (w2, w3)
+      LEFT JOIN ctx2 USING (w2)
+      LEFT JOIN topu USING (w3), consts
+      GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       coalesce(s.mean_neg_log2p, 0.0) AS mean_neg_log2p
+FROM tbase b LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("t25_stupid_backoff_capped", _T25_SQL)
+def t25(spark, sf_dir):
+    # The top-V valve on t24: an out-of-top n-gram scores as unseen and
+    # falls through to the next backoff rung, ending at the exact
+    # Laplace floor — V=256 is far below the train-split vocabularies so
+    # every fall-through is genuinely exercised
+    # (operators/corpus.py:stupid_backoff_logprob top_v).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    d = _td(spark, sf_dir)
+    return corpus.stupid_backoff_logprob(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        alpha=0.4,
+        top_v=256,
+    )
+
+
 @register("t24_stupid_backoff", _T24_SQL)
 def t24(spark, sf_dir):
     # Stupid-backoff trigram scoring of the held-out bench split under
@@ -5885,7 +6004,11 @@ def w09(spark, sf_dir):
 # gopher flags).  ml01_churn_scores (MLlib-trained model compiled to
 # a scoring expression) rotated IN; v06_int8_quantization OUT for it
 # (double-green r5/r6; its quantization chain stays in-window inside
-# v07_quantized_topk).
+# v07_quantized_topk).  v16/v17 (SemDeDup pairs + survivors) and t25
+# (capped stupid backoff) rotated IN; m02_video_frame_sample (m01
+# keeps multimodal in-window), s08_mixture_weights (sampling stays
+# via s09), d09_segment_dup_stats (segment family stays via d10) OUT
+# — all double-green r5/r6, outputs untouched in r7.
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -5905,6 +6028,9 @@ def w09(spark, sf_dir):
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
     "ml01_churn_scores",
+    "v16_semdedup_pairs",
+    "v17_semdedup_survivors",
+    "t25_stupid_backoff_capped",
     "v15_ivf_pq_rescore",
     "t19_trigram_logprob",
     "d03_minhash_near_dup",
@@ -5933,10 +6059,7 @@ PRIORITY: tuple[str, ...] = (
     "d14_tf_cosine_pairs",
     "c05_profile_drift",
     "m01_media_features",
-    "m02_video_frame_sample",
-    "d09_segment_dup_stats",
     "t18_bigram_logprob",
-    "s08_mixture_weights",
     "d10_segment_cleaned_docs",
     "d11_exact_contamination",
     "v10_embedding_dup_clusters",

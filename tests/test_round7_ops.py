@@ -136,3 +136,29 @@ def test_cluster_representatives_counts_unscored_members(spark):
     }
     assert out[1] == {"component": 1, "rep_id": 2, "quality": 0.9, "cluster_size": 3}
     assert out[7] == {"component": 7, "rep_id": 7, "quality": 0.5, "cluster_size": 2}
+
+
+def test_stupid_backoff_cap_matches_exact_when_vocab_fits(spark):
+    train = _docs(spark, [(1, "a b c a b c"), (2, "c a b a a b")])
+    target = _docs(spark, [(10, "a b c b c q"), (11, "b a c a")])
+    exact = {
+        r["doc_id"]: r.asDict()
+        for r in corpus.stupid_backoff_logprob(train, target).collect()
+    }
+    capped = {
+        r["doc_id"]: r.asDict()
+        for r in corpus.stupid_backoff_logprob(train, target, top_v=50).collect()
+    }
+    assert exact == capped
+
+
+def test_stupid_backoff_cap_falls_through_at_small_v(spark):
+    # V=1 keeps one n-gram per order -> most positions must fall through
+    # to a lower rung, changing the score vs exact
+    train = _docs(spark, [(1, "a b c a b c a b")])
+    target = _docs(spark, [(10, "a b c a b c")])
+    exact = corpus.stupid_backoff_logprob(train, target).collect()[0]["mean_neg_log2p"]
+    capped = corpus.stupid_backoff_logprob(train, target, top_v=1).collect()[0][
+        "mean_neg_log2p"
+    ]
+    assert capped != exact
