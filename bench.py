@@ -129,6 +129,8 @@ HEADLINE = (
     "v16_semdedup_pairs",
     "v17_semdedup_survivors",
     "t25_stupid_backoff_capped",
+    "s10_weighted_reservoir",
+    "ll07_zigzag_pack",
 )
 
 

@@ -192,3 +192,41 @@ def corpus_shuffle(
     ).withColumn("_one", F.lit(1))
     out = global_prefix_sum(hashed, ["_sk", key], "_one", out_col=out_col)
     return out.withColumn(out_col, F.col(out_col).cast("long")).drop("_sk", "_one")
+
+
+def zigzag_pack(
+    docs: DataFrame,
+    n_bins: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Balanced fixed-bin packing by the serpentine (boustrophedon) deal
+    — the distributable approximation of LPT/first-fit-decreasing for
+    "spread these documents across n_bins workers/batches with near-equal
+    token loads": rank documents by token count desc (id tie-break),
+    then deal rank r to bin ``r % n_bins`` on even rounds and the
+    mirrored bin on odd rounds, so each round pairs the heaviest
+    remainder with the lightest bins and loads converge without any
+    sequential least-loaded-bin state.
+
+    True LPT assigns each item to the currently lightest bin — an
+    inherently sequential scan.  The serpentine deal needs only the
+    GLOBAL RANK, which is ``global_prefix_sum`` of 1s over the
+    (-tokens, id) order: two narrow passes, no single-task window, no
+    driver loop — the same machinery as ``corpus_shuffle``, so the
+    assignment is identical on any cluster/partitioning/engine.
+    Returns (id, n_tokens, bin_id).
+    """
+    sized = docs.select(
+        F.col(id_col), tx.token_count(text_col).alias("n_tokens")
+    ).withColumn("_negt", -F.col("n_tokens")).withColumn("_one", F.lit(1))
+    ranked = global_prefix_sum(sized, ["_negt", id_col], "_one", out_col="__pos")
+    r = F.col("__pos") - 1  # 0-based rank
+    rnd = F.floor(r / n_bins)
+    p = r % n_bins
+    bin_id = F.when(rnd % 2 == 0, p).otherwise(n_bins - 1 - p)
+    return ranked.select(
+        F.col(id_col),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        bin_id.cast("int").alias("bin_id"),
+    )

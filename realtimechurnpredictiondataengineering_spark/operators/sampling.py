@@ -179,3 +179,45 @@ def temperature_mixture_weights(
             ).alias("rate"),
         )
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    k: int,
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Weighted sample of exactly ``k`` rows WITHOUT replacement
+    (Efraimidis & Spirakis 2006, algorithm A-Res): every row draws the
+    key ``u^(1/w)`` with ``u`` a deterministic content-hash uniform in
+    (0, 1); the global top-k by that key is distributed exactly as a
+    sequential weighted draw without replacement.  The complement of
+    ``weighted_hash_sample``: Bernoulli thinning keeps a RATE, this
+    keeps a COUNT — "pick exactly k documents, quality-proportional".
+
+    Deterministic end to end (same row, same u, any engine/partitioning
+    — rerunning reproduces the sample), and the top-k plans as
+    TakeOrderedAndProject: per-partition partial top-k, no global sort.
+    The ES key is snapped to the 1e-9 grid before ranking (pow differs
+    in the last ulp across engines) with the raw key as tie-break
+    input: ties break by ``key`` asc, keeping the cut total.  Rows with
+    non-positive weight are excluded up front (their draw probability
+    is zero; leaving them in would put engine-specific inf/NaN handling
+    on the ranking path).
+    Returns the sampled rows as (key, weight-as-``weight_value``,
+    sample_key), sample_key desc by construction.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (hash_bucket(key, buckets) + F.lit(0.5)) / F.lit(float(buckets))
+    es_key = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    return (
+        df.filter(w > 0)
+        .select(
+            F.col(key),
+            w.cast("double").alias("weight_value"),
+            es_key.alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc(key))
+        .limit(k)
+    )

@@ -5482,6 +5482,53 @@ def t23(spark, sf_dir):
     return corpus.trigram_logprob(_td(spark, sf_dir), lam3=0.6, lam2=0.3, top_v=256)
 
 
+_S10_SQL = f"""
+WITH q AS (SELECT doc_id, {SQL_QUALITY} AS quality FROM documents),
+keyed AS (SELECT doc_id, CAST(quality AS DOUBLE) AS weight_value,
+                 round(pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000 + 0.5) / 1000000.0,
+                           1.0 / quality), 9) AS sample_key
+          FROM q WHERE quality > 0)
+SELECT doc_id, weight_value, sample_key
+FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+"""
+
+
+@register("s10_weighted_reservoir", _S10_SQL)
+def s10(spark, sf_dir):
+    # Efraimidis-Spirakis A-Res: exactly-k weighted sample WITHOUT
+    # replacement via deterministic u^(1/w) keys + distributed top-k
+    # (TakeOrderedAndProject) — the count-targeted complement of s09's
+    # rate-targeted Bernoulli thinning
+    # (operators/sampling.py:weighted_reservoir_sample).
+    from realtimechurnpredictiondataengineering_spark.functions.text import quality_score
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    d = _td(spark, sf_dir).withColumn("quality", quality_score("text"))
+    return sampling.weighted_reservoir_sample(d, "doc_id", "quality", k=50)
+
+
+_LL07_SQL = f"""
+WITH q AS (SELECT doc_id, {SQL_TOKEN_COUNT} AS n_tokens FROM documents),
+ranked AS (SELECT doc_id, n_tokens,
+                  row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1 AS r
+           FROM q)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(CASE WHEN (r // 8) % 2 = 0 THEN r % 8 ELSE 7 - (r % 8) END AS INT) AS bin_id
+FROM ranked
+"""
+
+
+@register("ll07_zigzag_pack", _LL07_SQL)
+def ll07(spark, sf_dir):
+    # Serpentine LPT packing: global token-count rank via the
+    # distributed prefix sum (the oracle's single-task window is exactly
+    # the cliff the operator avoids), then the boustrophedon deal into 8
+    # bins (operators/packing.py:zigzag_pack).
+    from realtimechurnpredictiondataengineering_spark.operators import packing
+
+    return packing.zigzag_pack(_td(spark, sf_dir), n_bins=8)
+
+
 _T24_SQL = f"""
 WITH ctoks AS (SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
                WHERE doc_id % 10 != 0 AND length({SQL_NORM}) > 0),
@@ -6009,6 +6056,10 @@ def w09(spark, sf_dir):
 # keeps multimodal in-window), s08_mixture_weights (sampling stays
 # via s09), d09_segment_dup_stats (segment family stays via d10) OUT
 # — all double-green r5/r6, outputs untouched in r7.
+# s10_weighted_reservoir and ll07_zigzag_pack rotated IN;
+# v09_ann_recall (recall-eval stays via v14_pq_recall) and
+# d10_segment_cleaned_docs (segment-gram family stays via d12) OUT
+# — double-green r5/r6, outputs untouched in r7.
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -6031,6 +6082,8 @@ PRIORITY: tuple[str, ...] = (
     "v16_semdedup_pairs",
     "v17_semdedup_survivors",
     "t25_stupid_backoff_capped",
+    "s10_weighted_reservoir",
+    "ll07_zigzag_pack",
     "v15_ivf_pq_rescore",
     "t19_trigram_logprob",
     "d03_minhash_near_dup",
@@ -6060,10 +6113,8 @@ PRIORITY: tuple[str, ...] = (
     "c05_profile_drift",
     "m01_media_features",
     "t18_bigram_logprob",
-    "d10_segment_cleaned_docs",
     "d11_exact_contamination",
     "v10_embedding_dup_clusters",
-    "v09_ann_recall",
     "t14_quality_threshold",
     "d12_duplicate_spans",
     "d13_cluster_representatives",

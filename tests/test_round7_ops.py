@@ -162,3 +162,54 @@ def test_stupid_backoff_cap_falls_through_at_small_v(spark):
         "mean_neg_log2p"
     ]
     assert capped != exact
+
+
+# ---------------------------------------------------------------------------
+# weighted reservoir (A-Res) + serpentine packing
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_reservoir_prefers_heavy_weights(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+    from pyspark.sql import functions as F
+
+    # 5 heavy rows (w=100) vs 5 near-zero rows: u^(1/100) ~ 1 while
+    # u^(1/0.01) ~ 0, so the k=5 draw must be exactly the heavy rows;
+    # a zero-weight row must never appear
+    rows = [(i, 100.0) for i in range(5)] + [(i, 0.01) for i in range(5, 10)]
+    rows.append((10, 0.0))
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = sampling.weighted_reservoir_sample(df, "doc_id", F.col("w"), k=5)
+    picked = {r["doc_id"] for r in out.collect()}
+    assert picked == {0, 1, 2, 3, 4}
+
+
+def test_weighted_reservoir_is_deterministic(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, 1.0 + (i % 3)) for i in range(40)], "doc_id long, w double"
+    )
+    a = [tuple(r) for r in sampling.weighted_reservoir_sample(df, "doc_id", "w", k=10).collect()]
+    b = [tuple(r) for r in sampling.weighted_reservoir_sample(df, "doc_id", "w", k=10).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_zigzag_pack_balances_loads(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import packing
+
+    # 32 docs with strongly skewed lengths; the serpentine deal must use
+    # every bin, give each bin the same item count, and keep the load
+    # spread below one maximum item (the LPT-style guarantee shape)
+    rows = [(i, "w " * (400 - 12 * i)) for i in range(32)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = packing.zigzag_pack(df, n_bins=4).collect()
+    loads: dict = {}
+    counts: dict = {}
+    for r in out:
+        loads[r["bin_id"]] = loads.get(r["bin_id"], 0) + r["n_tokens"]
+        counts[r["bin_id"]] = counts.get(r["bin_id"], 0) + 1
+    assert set(loads) == {0, 1, 2, 3}
+    assert len(set(counts.values())) == 1
+    max_item = max(r["n_tokens"] for r in out)
+    assert max(loads.values()) - min(loads.values()) < max_item
