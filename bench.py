@@ -131,6 +131,7 @@ HEADLINE = (
     "t25_stupid_backoff_capped",
     "s10_weighted_reservoir",
     "ll07_zigzag_pack",
+    "prof04_psi_drift",
 )
 
 

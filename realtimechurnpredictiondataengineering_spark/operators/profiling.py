@@ -204,3 +204,69 @@ def expectations_report(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
         F.round(F.col("n_violations") / F.col("__n"), 6).alias("violation_rate"),
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def psi_report(
+    reference: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a bounded
+    score column — the standard model-monitoring drift metric
+    (PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref); rule of thumb:
+    <0.1 stable, 0.1-0.25 investigate, >0.25 drifted).
+
+    Fixed-width bins over [lo, hi] (values clamp to the edge bins, so a
+    broken upstream emitting out-of-range scores lands visibly in bin 0
+    or n_bins-1 rather than vanishing); each side is ONE keyless-free
+    grouped aggregate over its scan, the join is n_bins rows, and the
+    Laplace smoothing (+0.5 per bin) keeps empty bins finite and
+    identical on every engine.  NULL scores are excluded (they are
+    `profile_drift`'s null-rate signal, not a bin).
+    Returns (bin, lo_edge, p_ref, p_cur, psi_term) rounded to 6 — the
+    headline PSI is `sum(psi_term)`, left per-bin so the report shows
+    WHERE the mass moved.
+    """
+    width = (hi - lo) / n_bins
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)
+            ),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count("*").alias(f"__c_{side}"))
+        )
+
+    bins = reference.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    joined = (
+        bins.join(binned(reference, "ref"), "bin", "left")
+        .join(binned(current, "cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("__c_ref", F.lit(0)).alias("__cr"),
+            F.coalesce("__c_cur", F.lit(0)).alias("__cc"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__cc").alias("__tc")
+    )
+    p_ref = (F.col("__cr") + F.lit(0.5)) / (F.col("__tr") + F.lit(0.5) * n_bins)
+    p_cur = (F.col("__cc") + F.lit(0.5)) / (F.col("__tc") + F.lit(0.5) * n_bins)
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 6).alias("lo_edge"),
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
+        )
+    )

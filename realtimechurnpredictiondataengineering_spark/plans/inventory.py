@@ -5529,6 +5529,43 @@ def ll07(spark, sf_dir):
     return packing.zigzag_pack(_td(spark, sf_dir), n_bins=8)
 
 
+_PROF04_SQL = f"""
+WITH q AS (SELECT doc_id, {SQL_QUALITY} AS v FROM documents),
+ref AS (SELECT CAST(least(greatest(floor((v - 0.0) / 0.1), 0), 9) AS INT) AS bin, count(*) AS cr
+        FROM q WHERE doc_id % 10 != 0 AND v IS NOT NULL GROUP BY 1),
+cur AS (SELECT CAST(least(greatest(floor((v - 0.0) / 0.1), 0), 9) AS INT) AS bin, count(*) AS cc
+        FROM q WHERE doc_id % 10 = 0 AND v IS NOT NULL GROUP BY 1),
+bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+j AS (SELECT b.bin, coalesce(r.cr, 0) AS cr, coalesce(c.cc, 0) AS cc
+      FROM bins b LEFT JOIN ref r USING (bin) LEFT JOIN cur c USING (bin)),
+tot AS (SELECT sum(cr) AS tr, sum(cc) AS tc FROM j)
+SELECT bin, round(0.0 + bin * CAST(0.1 AS DOUBLE), 6) AS lo_edge,
+       round((cr + 0.5) / (tr + 5.0), 6) AS p_ref,
+       round((cc + 0.5) / (tc + 5.0), 6) AS p_cur,
+       round(((cc + 0.5) / (tc + 5.0) - (cr + 0.5) / (tr + 5.0))
+             * ln(((cc + 0.5) / (tc + 5.0)) / ((cr + 0.5) / (tr + 5.0))), 6) AS psi_term
+FROM j, tot
+"""
+
+
+@register("prof04_psi_drift", _PROF04_SQL)
+def prof04(spark, sf_dir):
+    # Population Stability Index between the bench split's quality
+    # distribution and the rest of the corpus (the d07/t21 split):
+    # fixed-width deciles with edge clamping, Laplace-smoothed bin
+    # masses, per-bin PSI terms — the model-monitoring drift metric
+    # (operators/profiling.py:psi_report).
+    from realtimechurnpredictiondataengineering_spark.functions.text import quality_score
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    d = _td(spark, sf_dir).withColumn("v", quality_score("text"))
+    return profiling.psi_report(
+        d.filter(F.col("doc_id") % 10 != 0).select("v"),
+        d.filter(F.col("doc_id") % 10 == 0).select("v"),
+        "v",
+    )
+
+
 _T24_SQL = f"""
 WITH ctoks AS (SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
                WHERE doc_id % 10 != 0 AND length({SQL_NORM}) > 0),
@@ -6059,7 +6096,10 @@ def w09(spark, sf_dir):
 # s10_weighted_reservoir and ll07_zigzag_pack rotated IN;
 # v09_ann_recall (recall-eval stays via v14_pq_recall) and
 # d10_segment_cleaned_docs (segment-gram family stays via d12) OUT
-# — double-green r5/r6, outputs untouched in r7.
+# — double-green r5/r6, outputs untouched in r7.  prof04_psi_drift
+# rotated IN; t07_tfidf_top_terms OUT (driver-green in EVERY round
+# since r2, untouched in r7 — the longest green streak in the
+# registry, still harness-checked).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -6084,6 +6124,7 @@ PRIORITY: tuple[str, ...] = (
     "t25_stupid_backoff_capped",
     "s10_weighted_reservoir",
     "ll07_zigzag_pack",
+    "prof04_psi_drift",
     "v15_ivf_pq_rescore",
     "t19_trigram_logprob",
     "d03_minhash_near_dup",
@@ -6104,7 +6145,6 @@ PRIORITY: tuple[str, ...] = (
     "ll05_token_budget_select",
     "ll06_refinedweb_pipeline",
     "ll04_corpus_shuffle",
-    "t07_tfidf_top_terms",
     "v12_pq_topk",
     "v13_ivf_pq_topk",
     "t21_dsir_importance",

@@ -213,3 +213,34 @@ def test_zigzag_pack_balances_loads(spark):
     assert len(set(counts.values())) == 1
     max_item = max(r["n_tokens"] for r in out)
     assert max(loads.values()) - min(loads.values()) < max_item
+
+
+def test_psi_report_hand_checked(spark):
+    import math
+
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    ref = spark.createDataFrame([(0.05,)] * 4, "v double")
+    cur = spark.createDataFrame([(0.95,)] * 4, "v double")
+    out = {r["bin"]: r.asDict() for r in profiling.psi_report(ref, cur, "v", n_bins=2).collect()}
+    # smoothing: p = (c + 0.5) / (4 + 0.5*2): ref = (0.9, 0.1), cur = (0.1, 0.9)
+    t0 = (0.1 - 0.9) * math.log(0.1 / 0.9)
+    t1 = (0.9 - 0.1) * math.log(0.9 / 0.1)
+    assert out[0]["p_ref"] == 0.9 and out[0]["p_cur"] == 0.1
+    assert out[0]["psi_term"] == round(t0, 6)
+    assert out[1]["psi_term"] == round(t1, 6)
+    assert out[0]["lo_edge"] == 0.0 and out[1]["lo_edge"] == 0.5
+
+
+def test_psi_report_clamps_out_of_range(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    # a broken producer emitting 7.3 must land visibly in the top bin,
+    # and NULLs must not occupy any bin
+    ref = spark.createDataFrame([(0.5,), (0.5,)], "v double")
+    cur = spark.createDataFrame([(7.3,), (-2.0,), (None,)], "v double")
+    out = {r["bin"]: r.asDict() for r in profiling.psi_report(ref, cur, "v", n_bins=4).collect()}
+    assert out[3]["p_cur"] > out[1]["p_cur"]  # 7.3 clamped into bin 3
+    assert out[0]["p_cur"] > out[1]["p_cur"]  # -2.0 clamped into bin 0
+    total_cur = round(sum(r["p_cur"] for r in out.values()), 2)
+    assert total_cur == 1.0  # NULL excluded, masses normalize
