@@ -379,3 +379,50 @@ def streaming_corpus_ingest(
     return streaming_incremental_dedup(
         gated, corpus_fingerprints, id_col, text_col, ts_col, watermark
     )
+
+
+def streaming_semantic_dedup(
+    vec_stream: DataFrame,
+    corpus_vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Streaming flavor of SemDeDup ingest (the v16/v17 machinery on a
+    live feed): an arriving embedding is dropped when the accepted
+    corpus already holds a semantic duplicate — same cluster, cosine at
+    or above ``threshold``.
+
+    Cluster assignment is the scan-local centroid-literal argmax on
+    BOTH sides (no shuffle to assign); the reject test is ONE
+    stream-static LEFT ANTI join keyed on the cluster id with the
+    cosine threshold as the residual predicate, so each micro-batch
+    probes only the clusters its rows land in — write the corpus index
+    partitioned/bucketed by cluster id and the static scan prunes to
+    those clusters (at production scale the static side carries PQ
+    codes, not floats; the join shape is identical).  The static side
+    is re-resolved every micro-batch, so a corpus refresh is picked up
+    without restarting the query.  Stateless — no watermark needed;
+    within-stream duplicates are the batch near-dup job's concern,
+    exactly as in ``streaming_incremental_dedup`` stage 3.
+
+    Returns the surviving streaming rows (original columns).
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.vectors import cosine
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import _nearest_centroid
+
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    assigned = vec_stream.withColumn(
+        "_cid", _nearest_centroid(F.col(vec_col), cents_lit)
+    )
+    existing = corpus_vectors.select(
+        _nearest_centroid(F.col(vec_col), cents_lit).alias("_ecid"),
+        F.col(vec_col).alias("_evec"),
+    )
+    cond = (F.col("_cid") == F.col("_ecid")) & (
+        cosine(F.col(vec_col), F.col("_evec")) >= threshold
+    )
+    return assigned.join(existing, cond, "left_anti").drop("_cid")

@@ -415,3 +415,59 @@ def test_delta_stream_sink_restart_recovers_exactly_once(spark, tmp_path):
     rows = [r["id"] for r in spark.read.parquet(out).collect()]
     # no gaps AND no dupes: batch A appears exactly once across both runs
     assert sorted(rows) == list(range(20))
+
+
+def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
+    # the streamed survivor set must EQUAL the batch anti-join with the
+    # same centroids/threshold: near-duplicates of accepted corpus
+    # vectors are rejected, novel vectors pass
+    import json as _json
+    import os
+
+    from pyspark.sql import types as T
+
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import train_ivf_centroids
+    from realtimechurnpredictiondataengineering_spark.sources.sinks import memory_sink
+    from realtimechurnpredictiondataengineering_spark.sources.streaming import file_stream
+    from realtimechurnpredictiondataengineering_spark.streaming.pipelines import (
+        streaming_semantic_dedup,
+    )
+
+    def vec(axis, dim=8, scale=1.0):
+        v = [0.0] * dim
+        v[axis] = scale
+        return v
+
+    corpus_rows = [(i, vec(i % 4)) for i in range(8)]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids([r[1] for r in corpus_rows], nlist=4)
+    arrivals = [
+        (100, vec(0, scale=2.0)),   # scaled copy of axis 0 -> cosine 1.0 -> reject
+        (101, vec(1, scale=0.5)),   # scaled copy of axis 1 -> reject
+        (102, [1.0] * 8),           # diagonal, cosine ~0.35 to any axis -> keep
+        (103, [1.0, -1.0] * 4),     # another novel direction -> keep
+    ]
+    src = str(tmp_path / "vecstream")
+    os.makedirs(src)
+    with open(os.path.join(src, "part.json"), "w") as fh:
+        for i, v in arrivals:
+            fh.write(_json.dumps({"vec_id": i, "embedding": v}) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    stream = file_stream(spark, src, schema)
+    q = memory_sink(
+        streaming_semantic_dedup(stream, corpus, cents, threshold=0.95),
+        "sem_dedup_out",
+    )
+    q.awaitTermination(120)
+    streamed = {r["vec_id"] for r in spark.sql("SELECT * FROM sem_dedup_out").collect()}
+    batch_in = spark.createDataFrame(arrivals, schema)
+    batch = {
+        r["vec_id"]
+        for r in streaming_semantic_dedup(batch_in, corpus, cents, threshold=0.95).collect()
+    }
+    assert streamed == batch == {102, 103}
