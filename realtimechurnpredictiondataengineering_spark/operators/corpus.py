@@ -781,8 +781,16 @@ def stupid_backoff_logprob(
     from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
 
     # token_count, not size(tokens(...)): split('') yields [''] (size 1),
-    # so an empty document would otherwise mint a phantom '' token
-    ctoks = corpus.filter(token_count(text_col) > 0).select(tokens(text_col).alias("__t"))
+    # so an empty document would otherwise mint a phantom '' token.
+    # Both token frames persist (the t18/t19 query-private cache
+    # pattern): the corpus side feeds all three count tables, the
+    # target side both the triples explode and the n_tokens join —
+    # unpersisted, each branch re-runs the tokenize regexes.
+    ctoks = (
+        corpus.filter(token_count(text_col) > 0)
+        .select(tokens(text_col).alias("__t"))
+        .transform(_persist)
+    )
     cuni = (
         ctoks.select(F.explode("__t").alias("__w3"))
         .groupBy("__w3")
@@ -820,7 +828,7 @@ def stupid_backoff_logprob(
     ctx3 = ctri.groupBy("__w1", "__w2").agg(F.sum("__nt").alias("__nc3"))
     ttoks = target.select(
         F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
-    )
+    ).transform(_persist)
     triples = (
         ttoks.filter(F.col("n_tokens") >= 3)
         .select(F.col(id_col), F.explode(tri_expr).alias("__p"))

@@ -189,10 +189,12 @@ def expectations_report(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
         )
     row = df.agg(*aggs)
     # rule names are spliced into stack()'s SQL as string literals —
-    # escape embedded quotes so a name like "o'brien rule" can't break
-    # (or inject into) the expression
+    # escape backslashes FIRST (Spark's parser treats them as escape
+    # sequences inside '...'), then double embedded quotes, so a name
+    # like "o'brien\rule" round-trips verbatim instead of breaking (or
+    # rewriting) the expression
     stack_args = ", ".join(
-        "'{}', __v_{}".format(name.replace("'", "''"), i)
+        "'{}', __v_{}".format(name.replace("\\", "\\\\").replace("'", "''"), i)
         for i, name in enumerate(rules)
     )
     return row.selectExpr(

@@ -186,31 +186,42 @@ def weighted_reservoir_sample(
     key: str,
     weight: Column | str,
     k: int,
-    buckets: int = 1_000_000,
+    buckets: int = 1 << 20,
 ) -> DataFrame:
     """Weighted sample of exactly ``k`` rows WITHOUT replacement
     (Efraimidis & Spirakis 2006, algorithm A-Res): every row draws the
-    key ``u^(1/w)`` with ``u`` a deterministic content-hash uniform in
-    (0, 1); the global top-k by that key is distributed exactly as a
-    sequential weighted draw without replacement.  The complement of
-    ``weighted_hash_sample``: Bernoulli thinning keeps a RATE, this
-    keeps a COUNT — "pick exactly k documents, quality-proportional".
+    rank key ``log(u)/w`` — the log of ES's ``u^(1/w)``, same ordering,
+    no pow saturation for large weights — with ``u`` a deterministic
+    content-hash uniform in (0, 1); the global top-k by that key
+    follows the A-Res inclusion rule with ``u`` standing in for the
+    random draw (hash-uniform per row, but quantized to ``buckets``
+    levels and shared across reruns — reproducibility is the point, at
+    the price of being an approximation of a true random draw).  The
+    complement of ``weighted_hash_sample``: Bernoulli thinning keeps a
+    RATE, this keeps a COUNT — "pick exactly k documents,
+    quality-proportional".
 
     Deterministic end to end (same row, same u, any engine/partitioning
     — rerunning reproduces the sample), and the top-k plans as
     TakeOrderedAndProject: per-partition partial top-k, no global sort.
-    The ES key is snapped to the 1e-9 grid before ranking (pow differs
-    in the last ulp across engines) with the raw key as tie-break
-    input: ties break by ``key`` asc, keeping the cut total.  Rows with
+    ``buckets`` must be a power of two ≤ 2**24: the bucket index is the
+    md5 prefix's 24 bits mod ``buckets``, and a power-of-two modulus
+    divides 2**24 evenly — a decimal modulus (an earlier revision used
+    10**6) makes the low buckets ~6% likelier.  The rank key is
+    snapped to the 1e-9 grid before ranking (log/division differ in
+    the last ulp across engines) with the raw key as tie-break input:
+    ties break by ``key`` asc, keeping the cut total.  Rows with
     non-positive weight are excluded up front (their draw probability
     is zero; leaving them in would put engine-specific inf/NaN handling
     on the ranking path).
     Returns the sampled rows as (key, weight-as-``weight_value``,
     sample_key), sample_key desc by construction.
     """
+    if buckets & (buckets - 1) or buckets > 1 << 24:
+        raise ValueError("buckets must be a power of two <= 2**24")
     w = F.col(weight) if isinstance(weight, str) else weight
     u = (hash_bucket(key, buckets) + F.lit(0.5)) / F.lit(float(buckets))
-    es_key = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    es_key = F.round(F.log(u) / w, 9)
     return (
         df.filter(w > 0)
         .select(

@@ -5485,8 +5485,8 @@ def t23(spark, sf_dir):
 _S10_SQL = f"""
 WITH q AS (SELECT doc_id, {SQL_QUALITY} AS quality FROM documents),
 keyed AS (SELECT doc_id, CAST(quality AS DOUBLE) AS weight_value,
-                 round(pow((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000000 + 0.5) / 1000000.0,
-                           1.0 / quality), 9) AS sample_key
+                 round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1048576 + 0.5) / 1048576.0)
+                       / quality, 9) AS sample_key
           FROM q WHERE quality > 0)
 SELECT doc_id, weight_value, sample_key
 FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 50
@@ -5496,7 +5496,9 @@ FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 50
 @register("s10_weighted_reservoir", _S10_SQL)
 def s10(spark, sf_dir):
     # Efraimidis-Spirakis A-Res: exactly-k weighted sample WITHOUT
-    # replacement via deterministic u^(1/w) keys + distributed top-k
+    # replacement via deterministic log(u)/w rank keys (the log of the
+    # ES u^(1/w) key — same order, no pow saturation, 2^20-bucket
+    # bias-free hash uniforms) + distributed top-k
     # (TakeOrderedAndProject) — the count-targeted complement of s09's
     # rate-targeted Bernoulli thinning
     # (operators/sampling.py:weighted_reservoir_sample).
