@@ -578,6 +578,66 @@ def semdedup_survivors(
 # --------------------------------------------------------------------------
 
 
+def _cc_edges(pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b") -> DataFrame:
+    """Both edge directions from ONE pass over ``pairs`` (explode, not a
+    self-union): referencing ``pairs`` twice would execute its whole
+    upstream plan — for near-dup graphs that is the expensive
+    inverted-index join — twice.  Exposed (with ``_cc_propagate`` /
+    ``_cc_jump``) so the plan gate can audit each CC stage's lazy shape
+    without running the iteration (tests/test_plan_invariants.py)."""
+    src, dst = F.col(src_col), F.col(dst_col)
+    return (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(src.alias("src"), dst.alias("dst")),
+                    F.struct(dst.alias("src"), src.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+
+
+def _cc_propagate(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round, lazily: edges ⋈ labels equi-join
+    + per-src min aggregate + a left equi-join back onto the labels —
+    the only join shapes a CC round is allowed to plan."""
+    neighbor_min = (
+        edges.join(labels, edges.dst == labels.id)
+        .groupBy("src")
+        .agg(F.min("label").alias("nb_label"))
+    )
+    return labels.join(
+        neighbor_min, labels.id == neighbor_min.src, "left"
+    ).select(
+        "id",
+        F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
+        (F.coalesce("nb_label", "label") < F.col("label")).alias("_changed"),
+    )
+
+
+def _cc_jump(propagated: DataFrame) -> DataFrame:
+    """The pointer-jump stage (label <- label's label), lazily: one
+    self equi-join on the label.  ``propagated`` must be materialized
+    (localCheckpoint) by the caller — both branches read it, and Spark
+    does not CSE across join branches."""
+    parents = propagated.select(
+        F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+    )
+    return propagated.join(
+        parents, propagated.label == F.col("_pid"), "left"
+    ).select(
+        "id",
+        F.least(F.col("label"), F.coalesce("_plabel", "label")).alias("label"),
+        (
+            F.col("_changed")
+            | (F.coalesce("_plabel", "label") < F.col("label"))
+        ).alias("_changed"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
@@ -607,40 +667,12 @@ def connected_components(
 
     Returns (id, component) for every node appearing in ``pairs``.
     """
-    # Both edge directions from ONE pass over ``pairs`` (explode, not a
-    # self-union): referencing ``pairs`` twice would execute its whole
-    # upstream plan — for near-dup graphs that is the expensive
-    # inverted-index join — twice.
-    src, dst = F.col(src_col), F.col(dst_col)
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(src.alias("src"), dst.alias("dst")),
-                    F.struct(dst.alias("src"), src.alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .distinct()
-        .transform(_persist)
-    )
+    edges = _cc_edges(pairs, src_col, dst_col).transform(_persist)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
     converged = False
     for round_idx in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nb_label"))
-        )
-        propagated = labels.join(
-            neighbor_min, labels.id == neighbor_min.src, "left"
-        ).select(
-            "id",
-            F.least(F.col("label"), F.coalesce("nb_label", "label")).alias("label"),
-            (F.coalesce("nb_label", "label") < F.col("label")).alias("_changed"),
-        )
+        propagated = _cc_propagate(edges, labels)
         if round_idx >= 2:
             # Pointer jump (label <- label's label) from round 3 on: one
             # extra equi-join per round turns O(diameter) convergence
@@ -654,22 +686,7 @@ def connected_components(
             # read ``propagated``, and Spark does not CSE across join
             # branches — unmaterialized, the edges⋈labels + groupBy
             # neighbor aggregation above would execute twice per round.
-            propagated = propagated.localCheckpoint(eager=True)
-            parents = propagated.select(
-                F.col("id").alias("_pid"), F.col("label").alias("_plabel")
-            )
-            propagated = propagated.join(
-                parents, propagated.label == F.col("_pid"), "left"
-            ).select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("_plabel", "label")
-                ).alias("label"),
-                (
-                    F.col("_changed")
-                    | (F.coalesce("_plabel", "label") < F.col("label"))
-                ).alias("_changed"),
-            )
+            propagated = _cc_jump(propagated.localCheckpoint(eager=True))
         updated = propagated.localCheckpoint(eager=True)
         changed = updated.filter("_changed").limit(1).count()
         labels = updated.drop("_changed")

@@ -74,6 +74,32 @@ def prepare_corpus(
     return exact.join(losers, "doc_id", "left_anti")
 
 
+def _post_cc_budget_select(
+    exact: DataFrame, comps: DataFrame, budget: int
+) -> DataFrame:
+    """The post-connected-components tail of ``refinedweb_pipeline``,
+    lazily: quality-best representative per cluster, survivor set
+    (unclustered ∪ representatives), token-budget prefix.  Split out so
+    the plan gate can audit this composition's shape with a LAZY
+    ``comps`` stand-in — the real pipeline feeds it checkpointed labels,
+    which the whole-plan gate cannot see past
+    (tests/test_plan_invariants.py)."""
+    from realtimechurnpredictiondataengineering_spark.operators import packing
+
+    reps = dedup.cluster_representatives(
+        comps,
+        exact.select(F.col("doc_id").alias("id"), "quality"),
+        score_col="quality",
+    )
+    clustered = comps.select(F.col("id").alias("doc_id"))
+    survivors = exact.join(clustered, "doc_id", "left_anti").unionByName(
+        exact.join(
+            reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
+        )
+    )
+    return packing.token_budget_select(survivors, budget=budget, quality_col="quality")
+
+
 def refinedweb_pipeline(
     docs: DataFrame,
     budget: int = 20_000,
@@ -107,8 +133,6 @@ def refinedweb_pipeline(
     Returns (doc_id, quality, n_tokens, cum_tokens) — ``token_budget_select``'s
     contract — ordered-by-construction quality desc.
     """
-    from realtimechurnpredictiondataengineering_spark.operators import packing
-
     rules = tx.gopher_rules("text")
     # the repetition gate is the corpus-sensitive knob (Gopher's 0.3 is
     # tuned for web text; boilerplate-heavy or synthetic corpora need it
@@ -138,18 +162,7 @@ def refinedweb_pipeline(
         portable_hash=portable_hash,
     )
     comps = dedup.connected_components(pairs)
-    reps = dedup.cluster_representatives(
-        comps,
-        exact.select(F.col("doc_id").alias("id"), "quality"),
-        score_col="quality",
-    )
-    clustered = comps.select(F.col("id").alias("doc_id"))
-    survivors = exact.join(clustered, "doc_id", "left_anti").unionByName(
-        exact.join(
-            reps.select(F.col("rep_id").alias("doc_id")), "doc_id", "left_semi"
-        )
-    )
-    return packing.token_budget_select(survivors, budget=budget, quality_col="quality")
+    return _post_cc_budget_select(exact, comps, budget)
 
 
 def corpus_stats(clean: DataFrame) -> DataFrame:

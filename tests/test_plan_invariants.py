@@ -21,10 +21,18 @@ import pytest
 from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
 
 # Queries whose *construction* executes jobs (iterative label propagation
-# materializes per-round).  Their plan shapes are asserted in their own
-# tests instead.  The sv entries left this set in round 7: they now read
-# the committed feed fixture instead of running the generator.
-EXECUTES_ON_BUILD = {"d06_dup_clusters", "ll06_refinedweb_pipeline"}
+# materializes per-round; streaming fixtures run an AvailableNow query),
+# so the whole-plan fixture cannot build them lazily.  They are NOT
+# exempt from the gate: every constituent stage that CAN be planned
+# lazily is asserted below with the same walkers —
+# test_cc_stage_plans_keep_gate_shape audits the per-round CC plans that
+# d06/ll06 iterate, and test_ll06_post_cc_plan_shape audits ll06's
+# composition downstream of the checkpointed labels.  Adding a name here
+# requires adding its stage assertions too.
+STAGE_ASSERTED_EXECUTES_ON_BUILD = {
+    "d06_dup_clusters",
+    "ll06_refinedweb_pipeline",
+}
 
 # BNLJ builds that are bounded by DOMAIN, not by plan structure — the
 # build side reads a real table, so the shape check cannot prove it
@@ -118,15 +126,41 @@ def _bounded(node) -> bool:
     return False
 
 
+def _plan_of(df):
+    qe = df._jdf.queryExecution()
+    return qe.sparkPlan(), qe.executedPlan().toString()
+
+
+def _bad_joins(name, tree, text, allow_domain_bounded=True):
+    """The gate's core check over one plan: every BNLJ build side must be
+    provably bounded (or the query domain-bounded by hand), and a BNLJ
+    hidden inside a subquery expression must not pass unexamined."""
+    offenders = []
+    walked = 0
+    listed = allow_domain_bounded and name in BNLJ_DOMAIN_BOUNDED
+    for node in _walk(tree):
+        if "BroadcastNestedLoopJoin" not in node.nodeName():
+            continue
+        walked += 1
+        if listed:
+            continue
+        side = node.buildSide().toString()
+        build = _children(node)[1 if side == "BuildRight" else 0]
+        if not _bounded(build):
+            offenders.append((name, build.nodeName()))
+    if walked == 0 and "BroadcastNestedLoopJoin" in text and not listed:
+        offenders.append((name, "<subquery-hidden BNLJ>"))
+    return offenders
+
+
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
     out = {}
     for name, (fn, _sql) in REGISTRY.items():
-        if name in EXECUTES_ON_BUILD:
+        if name in STAGE_ASSERTED_EXECUTES_ON_BUILD:
             continue
         df = fn(spark, sf_dir)
-        qe = df._jdf.queryExecution()
-        out[name] = (qe.sparkPlan(), qe.executedPlan().toString())
+        out[name] = _plan_of(df)
     return out
 
 
@@ -138,23 +172,70 @@ def test_no_cartesian_products(plans):
 def test_nested_loop_joins_only_where_designed(plans):
     offenders = []
     for name, (tree, text) in plans.items():
-        walked = 0
-        for node in _walk(tree):
-            if "BroadcastNestedLoopJoin" not in node.nodeName():
-                continue
-            walked += 1
-            if name in BNLJ_DOMAIN_BOUNDED:
-                continue
-            side = node.buildSide().toString()
-            build = _children(node)[1 if side == "BuildRight" else 0]
-            if not _bounded(build):
-                offenders.append((name, build.nodeName()))
-        # a BNLJ visible in the plan text but not reachable from the root
-        # children (e.g. inside a subquery expression) must not slip past
-        # the gate unexamined
-        if walked == 0 and "BroadcastNestedLoopJoin" in text and name not in BNLJ_DOMAIN_BOUNDED:
-            offenders.append((name, "<subquery-hidden BNLJ>"))
+        offenders += _bad_joins(name, tree, text)
     assert offenders == []
+
+
+def test_stage_asserted_set_is_live(plans):
+    # every name excluded from the whole-plan fixture must still exist in
+    # the registry (a renamed query must not silently re-enter the
+    # fixture) AND must genuinely execute on build — if it stops doing
+    # so, it belongs back in the fixture, not in this set
+    assert STAGE_ASSERTED_EXECUTES_ON_BUILD <= set(REGISTRY)
+    assert not (STAGE_ASSERTED_EXECUTES_ON_BUILD & set(plans))
+
+
+def test_cc_stage_plans_keep_gate_shape(spark, sf_dir):
+    # The per-round plans d06/ll06 iterate (connected_components runs
+    # jobs at build time, so the whole-plan fixture never sees them):
+    # edge normalization, one min-label propagation round, and the
+    # pointer-jump round must each plan pure equi-joins — no
+    # CartesianProduct, no unbounded BroadcastNestedLoopJoin.  The pair
+    # frame is scan-derived so boundedness is not trivially satisfied.
+    from pyspark.sql import functions as F
+
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    edges = dedup._cc_edges(pairs)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    propagated = dedup._cc_propagate(edges, labels)
+    jumped = dedup._cc_jump(propagated)
+    offenders = []
+    for stage, df in (("edges", edges), ("propagate", propagated), ("jump", jumped)):
+        tree, text = _plan_of(df)
+        assert "CartesianProduct" not in text, stage
+        offenders += _bad_joins(f"cc:{stage}", tree, text, allow_domain_bounded=False)
+    assert offenders == []
+
+
+def test_ll06_post_cc_plan_shape(spark, sf_dir):
+    # ll06's composition DOWNSTREAM of the checkpointed CC labels (reps
+    # pick -> anti/semi survivor union -> token-budget prefix), built
+    # against a lazy scan-derived component frame so the walkers can see
+    # through it — the half of ll06 the whole-plan fixture cannot audit.
+    from pyspark.sql import functions as F
+
+    from realtimechurnpredictiondataengineering_spark.functions import text as tx
+    from realtimechurnpredictiondataengineering_spark.plans import corpus_prep
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = docs.withColumn("quality", tx.quality_score("text")).select(
+        "doc_id", "text", "quality"
+    )
+    comps = docs.select(
+        F.col("doc_id").alias("id"), F.pmod("doc_id", F.lit(7)).alias("component")
+    )
+    df = corpus_prep._post_cc_budget_select(exact, comps, budget=20_000)
+    tree, text = _plan_of(df)
+    assert "CartesianProduct" not in text
+    assert _bad_joins("ll06:post_cc", tree, text, allow_domain_bounded=False) == []
 
 
 def test_domain_bounded_list_is_live(plans):
