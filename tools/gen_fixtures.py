@@ -21,24 +21,53 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from pyspark.sql import functions as F
+
 from realtimechurnpredictiondataengineering_spark.session import get_spark
-from realtimechurnpredictiondataengineering_spark.sources.generator import synthetic_topic_feed
+from realtimechurnpredictiondataengineering_spark.sources.generator import (
+    synthetic_topic_feed,
+    synthetic_transaction_collisions,
+)
 
 N_PER_TOPIC = 2000
+# planted (customer_id, event_time) duplicate-key rows on the
+# transaction topic, so sv02's deterministic-dedup survivor choice is
+# LIVE in the value check (round-7 verdict, Missing #3)
+N_COLLISIONS = 200
+MIN_COLLISION_GROUPS = 150
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "fixtures")
 
 
 def main() -> None:
     spark = get_spark()
-    pdf = synthetic_topic_feed(spark, N_PER_TOPIC, seed="42").toPandas()
+    feed = synthetic_topic_feed(spark, N_PER_TOPIC, seed="42")
+    dup = synthetic_transaction_collisions(spark, N_COLLISIONS, N_PER_TOPIC, seed="42")
+    dup_wire = dup.select(
+        F.to_json(F.struct(*[F.col(c) for c in dup.columns])).alias("value"),
+        F.lit("churn_transactions").alias("topic"),
+    )
+    pdf = feed.unionByName(dup_wire).toPandas()
     # total order (topic, value) so the file bytes are reproducible
     pdf = pdf.sort_values(["topic", "value"]).reset_index(drop=True)
+
+    # the fixture must not silently regenerate collision-free: count the
+    # duplicate (customer_id, event_time) groups the planted rows create
+    tx = pdf[pdf["topic"] == "churn_transactions"]["value"].apply(
+        lambda v: __import__("json").loads(v)
+    )
+    keys = tx.apply(lambda d: (d["customer_id"], d["event_time"]))
+    n_groups = int((keys.value_counts() > 1).sum())
+    assert n_groups >= MIN_COLLISION_GROUPS, (
+        f"only {n_groups} duplicate-key groups on churn_transactions; "
+        f"expected >= {MIN_COLLISION_GROUPS}"
+    )
+
     os.makedirs(OUT, exist_ok=True)
     path = os.path.join(OUT, "topic_feed.parquet")
     pq.write_table(
         pa.Table.from_pandas(pdf, preserve_index=False), path, compression="zstd"
     )
-    print(f"wrote {len(pdf)} rows -> {path}")
+    print(f"wrote {len(pdf)} rows ({n_groups} planted dup-key groups) -> {path}")
     spark.stop()
 
 
