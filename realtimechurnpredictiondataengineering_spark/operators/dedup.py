@@ -638,62 +638,149 @@ def _cc_jump(propagated: DataFrame) -> DataFrame:
     )
 
 
+def _cc_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that also RESETS plan statistics.
+
+    ``localCheckpoint`` truncates lineage but copies the origin plan's
+    estimated statistics onto the resulting ``LogicalRDD``
+    (``originStats``) — and join estimation MULTIPLIES input sizes, so
+    an iterative loop that joins checkpointed frames into the next
+    round's checkpointed frames compounds the estimate geometrically:
+    measured on a 1,000-link chain, ``sizeInBytes`` grew ~6.7× in BIT
+    LENGTH per round (67 → 432 → 2,885 → … bits), until BigInteger
+    arithmetic inside Catalyst's stats visitor dominated the round
+    (13×/round slowdown) and finally OOMed the driver — with the DATA
+    shrinking the whole time.  Rebuilding the frame from the
+    materialized internal-row RDD drops ``originStats``; the fresh
+    ``LogicalRDD`` reports the constant session default, so every
+    round's estimation cost is flat.  (Losing the inherited estimate
+    only forgoes broadcast-join promotion inside the loop — correct
+    posture anyway: at scale the label frame is NOT broadcastable.)
+    Falls back to the plain checkpoint when the JVM handle is absent
+    (e.g. Spark Connect), where the stats-compounding path differs.
+    """
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jqe = ck._jdf.queryExecution()
+        jdf = ck.sparkSession._jsparkSession.internalCreateDataFrame(
+            jqe.toRdd(), jqe.analyzed().schema(), False
+        )
+        return DataFrame(jdf, ck.sparkSession)
+    except Exception:  # pragma: no cover - non-py4j backends
+        return ck
+
+
+def _cc_contract(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One edge-contraction stage, lazily: rewrite every edge endpoint to
+    its CURRENT label (two equi-joins), drop self-loops, dedup.  This is
+    what makes convergence structure-independent: plain min-label
+    diffusion moves the component minimum ONE graph hop per round, and
+    pointer jumping only shortcuts label chains — on a graph where the
+    minimum must diffuse through many fresh nodes (a dense near-dup
+    blob with interleaved ids: the measured ll08 semantic graph took 26
+    rounds without contraction), neither helps.  Contracting the edges
+    onto label space re-wires the frontier directly to each region's
+    current minimum, and shrinks the edge set geometrically as
+    components collapse — so later rounds get CHEAPER, the opposite of
+    the uncontracted loop.  (The MapReduce-CC family — Kiveris et al.
+    2014 — is built on exactly this contraction.)"""
+    to_src = labels.select(F.col("id").alias("src"), F.col("label").alias("__ls"))
+    to_dst = labels.select(F.col("id").alias("dst"), F.col("label").alias("__ld"))
+    return (
+        edges.join(to_src, "src")
+        .join(to_dst, "dst")
+        .select(F.col("__ls").alias("src"), F.col("__ld").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 40,
 ) -> DataFrame:
     """Cluster a near-dup pair graph into components by iterative
-    min-label propagation: every node's label converges to the smallest
-    id reachable from it, so one canonical doc identifies each duplicate
+    min-label propagation with pointer jumping AND per-round edge
+    contraction: every node's label converges to the smallest id
+    reachable from it, so one canonical doc identifies each duplicate
     cluster (the transitive closure that the one-pass ``near_dedup``
     survivor rule approximates).
 
-    Each round is one shuffle (edges ⋈ labels, groupBy min); from round
-    3 a pointer jump through the labels joins in as well, giving
-    O(log diameter) convergence — the jump collapses chains
-    exponentially, so even a 1000-link duplicate chain (mirror
-    cascades) needs ~10 rounds where plain neighbor propagation needs
-    1000, while shallow graphs converge before ever paying the extra
-    join.  ``localCheckpoint`` truncates
-    lineage each round; without it the iterated plan nests ``max_iter``
-    joins deep and Catalyst re-analysis dominates (the classic
-    iterative-algorithm trap on Spark).  The convergence flag rides the
-    checkpointed rows, so each round runs exactly ONE job plus a cheap
-    count over materialized data.  Raises ``RuntimeError`` if the graph
-    has not converged within ``max_iter`` rounds — a silently split
-    component would corrupt downstream dedup.
+    Each round: one shuffle (edges ⋈ labels, groupBy min); from round
+    3 a pointer jump through the labels (label ← label's label) — the
+    jump collapses label CHAINS exponentially, so a 1000-link duplicate
+    chain (mirror cascades) needs ~10 rounds where plain neighbor
+    propagation needs 1000; then the edge set is CONTRACTED onto label
+    space (``_cc_contract``) — which handles the case the jump cannot:
+    a region where the minimum must diffuse through many
+    not-yet-labeled nodes (measured on the ll08 lexical∪semantic graph:
+    26 rounds without contraction, 7 with; chains keep their
+    logarithmic behavior).  Contraction also shrinks the edge set
+    geometrically, so per-round cost FALLS as components collapse.
+
+    ``localCheckpoint`` truncates lineage each round — without it the
+    iterated plan nests ``max_iter`` joins deep and Catalyst
+    re-analysis dominates (the classic iterative-algorithm trap on
+    Spark); the eager ``count()`` on the edge cache makes the ONE pass
+    over the caller's (possibly enormous) upstream plan happen through
+    the cache path, so every per-round plan — and every retained plan
+    string — is built against the materialized relation, not the raw
+    tree.  The convergence flag rides the checkpointed rows, so each
+    round runs a constant number of jobs over materialized data.
+    Raises ``RuntimeError`` if the graph has not converged within
+    ``max_iter`` rounds — a silently split component would corrupt
+    downstream dedup.  (Default 40: with contraction, rounds scale as
+    ~log₂ of the longest chain plus a small constant — 40 covers a
+    10⁹-link chain with margin; typical near-dup graphs finish in <10.)
 
     Returns (id, component) for every node appearing in ``pairs``.
     """
-    edges = _cc_edges(pairs, src_col, dst_col).transform(_persist)
+    base_edges = _cc_edges(pairs, src_col, dst_col).transform(_persist)
+    base_edges.count()  # materialize the cache BEFORE any downstream plan is built
+    edges = base_edges
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = _cc_checkpoint(labels)
     converged = False
     for round_idx in range(max_iter):
         propagated = _cc_propagate(edges, labels)
-        if round_idx >= 2:
-            # Pointer jump (label <- label's label) from round 3 on: one
-            # extra equi-join per round turns O(diameter) convergence
-            # into O(log diameter), so a 1000-link duplicate chain
-            # (mirror cascades produce them) finishes in ~10 rounds
-            # instead of blowing max_iter.  Deferred two rounds because
-            # typical near-dup clusters are shallow and converge before
-            # ever paying the jump join.  Safe: a node's label only
+        if round_idx >= 1:
+            # Pointer jump (label <- label's label): one extra equi-join
+            # per round turns O(diameter) convergence into
+            # O(log diameter), so a 1000-link duplicate chain (mirror
+            # cascades produce them) finishes in ~10 rounds instead of
+            # blowing max_iter.  From round 1 on the jump is REQUIRED
+            # for correctness, not just speed: the round-0 contraction
+            # below rewires the edge set into label space, so a
+            # non-representative node (one whose label is another id)
+            # can only receive its region's new minimum through the
+            # label chain — propagate alone would declare convergence
+            # with such nodes stranded one hop behind their root.
+            # Convergence is sound because it then requires BOTH no
+            # propagate change AND an idempotent label map
+            # (label(label) == label for every node): all chains
+            # resolved, and any surviving contracted edge between two
+            # distinct roots would have produced a propagate change.
+            # Round 0 skips the jump (labels are still identity — there
+            # is no chain to shortcut).  Safe: a node's label only
             # ever decreases toward its component minimum.
             # Checkpoint BEFORE deriving parents: both jump-join branches
             # read ``propagated``, and Spark does not CSE across join
             # branches — unmaterialized, the edges⋈labels + groupBy
             # neighbor aggregation above would execute twice per round.
-            propagated = _cc_jump(propagated.localCheckpoint(eager=True))
-        updated = propagated.localCheckpoint(eager=True)
+            propagated = _cc_jump(_cc_checkpoint(propagated))
+        updated = _cc_checkpoint(propagated)
         changed = updated.filter("_changed").limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
+        # contract the edge set onto label space for the next round —
+        # checkpointed so round plans stay flat; the frame shrinks as
+        # components collapse, so this gets cheaper every round
+        edges = _cc_checkpoint(_cc_contract(edges, labels))
+    base_edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter} "

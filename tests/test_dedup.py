@@ -109,6 +109,18 @@ def test_connected_components_transitive(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
 
 
+def test_connected_components_contraction_no_stranded_node(spark):
+    # Regression: after round 0's edge contraction the edge set lives in
+    # label space, so node 3 in the chain 1-2-3 (whose label is 2 after
+    # round 0) can ONLY receive the component minimum through the
+    # pointer jump — a jump deferred past round 1 let convergence fire
+    # with 3 stranded one hop behind its root ({1,2} + {3} instead of
+    # {1,2,3}).
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a int, id_b int")
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
 def test_connected_components_converges_early(spark):
     # a single edge converges in one round; max_iter is only a guard
     pairs = spark.createDataFrame([(5, 4)], "id_a int, id_b int")
