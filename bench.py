@@ -132,6 +132,12 @@ HEADLINE = (
     "s10_weighted_reservoir",
     "ll07_zigzag_pack",
     "prof04_psi_drift",
+    # round-8 additions (baseline rows = their first green min-of-2, see
+    # BASELINE.md round-8 subsection)
+    "prof05_embedding_drift",
+    "ml02_streaming_churn_scores",
+    "t26_kneser_ney",
+    "ll08_hybrid_dedup",
 )
 
 

@@ -28,8 +28,21 @@ fresh model (AUC parity), so the constants cannot silently rot.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: Committed Gold feature snapshot (tools/gen_fixtures.py) — the ml02
+#: streaming-scoring entry streams it; the DuckDB oracle replays it.
+#: A directory (one stable file inside): the file streaming source
+#: requires a directory base path, and a real feature feed lands as a
+#: directory of files anyway.
+GOLD_FEATURES_FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "gold_features",
+)
 
 #: Feature columns of the Gold churn frame used by the model, in
 #: training order.  NULL-coalescing mirrors plans.gold.churn_features'
@@ -116,6 +129,56 @@ def churn_scores(
         (z > 0).cast("int").alias("churn_pred"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("churn_prob"),
     )
+
+
+#: Feature-frame wire schema of the scoring stream (``customer_id`` +
+#: FEATURES, all numeric) — the contract a Gold feature snapshot or a
+#: feature-store CDC feed publishes for the real-time scoring leg.
+def feature_stream_schema():
+    from pyspark.sql import types as T
+
+    native = {
+        "n_orders": T.LongType(),
+        "days_since_last_login": T.IntegerType(),
+        "sessions": T.LongType(),
+    }
+    return T.StructType(
+        [T.StructField("customer_id", T.LongType())]
+        + [T.StructField(c, native.get(c, T.DoubleType())) for c in FEATURES]
+    )
+
+
+def streaming_churn_scores(
+    spark,
+    features_path: str,
+    coefficients: dict[str, float],
+    intercept: float,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """The north star's real-time scoring leg end-to-end: a file-stream
+    of Gold feature rows (the test stand-in for the Kafka/Delta feature
+    feed — same contract, ``sources/streaming.py`` S1 note) → the
+    compiled ``churn_scores`` projection → ``AvailableNow`` append sink
+    with a checkpoint (K1 exactly-once mechanics).  Drains everything
+    available, then returns the materialized scores.
+
+    Scale note: the scoring stage is a stateless literal-weighted
+    projection — no watermark, no state store, no shuffle; each
+    micro-batch scores inside whole-stage codegen, so throughput is
+    bounded by source/sink IO alone.  A continuous deployment swaps the
+    trigger and the sink path; the plan is identical.
+    """
+    from realtimechurnpredictiondataengineering_spark.sources.sinks import delta_stream_sink
+    from realtimechurnpredictiondataengineering_spark.sources.streaming import file_stream
+
+    stream = file_stream(spark, features_path, feature_stream_schema(), fmt="parquet")
+    scored = churn_scores(stream, coefficients, intercept)
+    q = delta_stream_sink(scored, out_dir, checkpoint_dir)
+    q.awaitTermination()
+    # the sandbox sink falls back to parquet (no Delta jars); on a
+    # cluster this read-back is spark.read.format("delta")
+    return spark.read.parquet(out_dir)
 
 
 #: Frozen offline training run: seed 7, sf0.01 Gold features,

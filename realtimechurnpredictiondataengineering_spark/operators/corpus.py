@@ -892,6 +892,133 @@ def stupid_backoff_logprob(
     )
 
 
+def kneser_ney_logprob(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    top_v: int | None = None,
+) -> DataFrame:
+    """Score TARGET documents under an interpolated Kneser-Ney bigram
+    model (Kneser & Ney 1995; Chen & Goodman 1999 empirically crown the
+    interpolated variant) trained on CORPUS — the principled-smoothing
+    rung of the n-gram ladder whose web-scale stand-in is t24's stupid
+    backoff (Brants et al. 2007 position SB as the KN approximation that
+    scales):
+    ``P(w|u) = max(c(u,w) − D, 0)/c(u·) + (D·N1+(u·)/c(u·)) · Pcont(w)``
+    with fixed discount ``D = 0.75`` and the continuation probability
+    ``Pcont(w) = (N1+(·w) + 1)/(N1+(··) + V + 1)`` — KN's defining idea
+    is that the backoff mass goes to tokens by how many distinct
+    CONTEXTS they follow, not how often they occur ("Francisco" is
+    frequent but only ever follows "San").  The +1/(V+1) Laplace closure
+    over continuation types keeps unseen continuations finite (same
+    doctrine as t24's unigram floor); an unseen context ``u`` backs off
+    to ``Pcont(w)`` alone.  Scoring a held-out split is what makes
+    every rung live.
+
+    Plan: count tables come from the corpus side exactly as t18/t24 —
+    one persisted tokenize scan, ONE count shuffle for the bigram
+    table; every KN statistic then derives from that table's PARTIALS
+    with no further raw scans: ``c(u·)`` and ``N1+(u·)`` are one
+    grouped aggregate over it (each bigram row is a distinct pair, so
+    ``count(*)`` IS the continuation-type count), ``N1+(·w)`` one more,
+    and (``N1+(··)``, ``V``) ride a single 1-row broadcast.  The target
+    side explodes once into adjacent pairs and LEFT-joins the
+    Zipf-bounded tables — pure ``when``/``greatest`` arithmetic, no UDF.
+
+    ``top_v`` is the web-scale valve, t25's doctrine: keep the top-V
+    bigrams (count desc, key asc) and top-V continuation rows; an
+    out-of-top pair scores as unseen (its probability mass falls to the
+    discount-funded continuation term), an out-of-top continuation
+    falls to the exact ``1/(N1+(··)+V+1)`` floor, and the context table
+    keeps exact values semi-restricted to the top pairs' contexts — so
+    every broadcast side is ≤V rows at any corpus size, and capped ==
+    exact when V covers the vocabularies (unit-tested).  Documents with
+    fewer than 2 tokens score 0.0.  Returns (id, n_tokens,
+    mean_neg_log2p) rounded to 4.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
+
+    ctoks = (
+        corpus.filter(token_count(text_col) > 0)
+        .select(tokens(text_col).alias("__t"))
+        .transform(_persist)
+    )
+    pair_expr = F.expr(
+        "transform(sequence(2, size(__t)), i -> struct(__t[i-2] AS prev, __t[i-1] AS tok))"
+    )
+    cbig = (
+        ctoks.filter(F.size("__t") >= 2)
+        .select(F.explode(pair_expr).alias("__p"))
+        .select(F.col("__p.prev").alias("__prev"), F.col("__p.tok").alias("__tok"))
+        .groupBy("__prev", "__tok")
+        .agg(F.count("*").alias("__nb"))
+        .transform(_persist)
+    )
+    # one aggregate yields BOTH c(u·) and N1+(u·): bigram rows are
+    # distinct pairs, so count(*) per context is its continuation count
+    ctx = cbig.groupBy("__prev").agg(
+        F.sum("__nb").alias("__nc"), F.count("*").alias("__n1f")
+    )
+    bwd = cbig.groupBy("__tok").agg(F.count("*").alias("__n1b"))
+    consts = F.broadcast(
+        cbig.agg(F.count("*").alias("__tt")).crossJoin(
+            ctoks.select(F.explode("__t").alias("__w"))
+            .agg(F.count_distinct("__w").alias("__v"))
+        )
+    )
+    ttoks = target.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
+    ).transform(_persist)
+    pairs = (
+        ttoks.filter(F.col("n_tokens") >= 2)
+        .select(F.col(id_col), F.explode(pair_expr).alias("__p"))
+        .select(F.col(id_col), F.col("__p.prev").alias("__prev"), F.col("__p.tok").alias("__tok"))
+    )
+    if top_v is not None:
+        big_j = F.broadcast(
+            cbig.orderBy(F.desc("__nb"), F.asc("__prev"), F.asc("__tok"))
+            .limit(top_v)
+            .transform(_persist)
+        )
+        ctx_j = F.broadcast(
+            ctx.join(big_j.select("__prev").distinct(), "__prev", "leftsemi")
+        )
+        bwd_j = F.broadcast(bwd.orderBy(F.desc("__n1b"), F.asc("__tok")).limit(top_v))
+    else:
+        big_j, ctx_j, bwd_j = cbig, ctx, bwd
+    # spelled identically to the DuckDB twin, term for term
+    pcont = (F.coalesce(F.col("__n1b"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("__tt") + F.col("__v") + F.lit(1.0)
+    )
+    p = F.when(
+        F.col("__nc").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("__nb"), F.lit(0)) - F.lit(discount), F.lit(0.0)
+        )
+        / F.col("__nc")
+        + (F.lit(discount) * F.col("__n1f") / F.col("__nc")) * pcont,
+    ).otherwise(pcont)
+    scored = (
+        pairs.join(big_j, ["__prev", "__tok"], "left")
+        .join(ctx_j, "__prev", "left")
+        .join(bwd_j, "__tok", "left")
+        .crossJoin(consts)
+        .groupBy(id_col)
+        .agg(F.round(F.avg(-F.log2(p)), 4).alias("mean_neg_log2p"))
+    )
+    return (
+        ttoks.select(F.col(id_col), "n_tokens")
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("mean_neg_log2p", F.lit(0.0)).alias("mean_neg_log2p"),
+        )
+    )
+
+
 def ccnet_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

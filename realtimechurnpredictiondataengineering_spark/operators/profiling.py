@@ -208,6 +208,80 @@ def expectations_report(df: DataFrame, rules: dict[str, F.Column]) -> DataFrame:
     )
 
 
+def embedding_psi(
+    reference: DataFrame,
+    current: DataFrame,
+    vec_col: str = "embedding",
+    dims: int = 64,
+    lo: float = -0.6,
+    hi: float = 0.6,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Per-DIMENSION Population Stability Index between two embedding
+    snapshots — the vector twin of ``psi_report`` and the drift signal a
+    retrieval/embedding pipeline actually monitors: a retrained or
+    corrupted encoder rarely moves the scalar quality score, but it
+    moves coordinate distributions, and the per-dimension view shows
+    WHICH coordinates moved (a single hot dimension is an encoder bug;
+    uniform drift is a data shift).
+
+    Plan: ONE ``posexplode`` scan per side into (dim, value), one
+    grouped aggregate each onto the (dims × n_bins) histogram — after
+    the aggregate everything is config-sized (640 rows at the
+    defaults), so the grid join, the per-dim totals join, and the final
+    per-dim sum are negligible at any corpus scale.  The bin grid is a
+    driver-local literal frame (dims and n_bins are config), keeping
+    the plan free of range×range cross joins.  Same numeric discipline
+    as ``psi_report``: values clamp to the edge bins so out-of-range
+    coordinates stay visible, Laplace +0.5 per bin keeps empty bins
+    finite, NULL vectors are excluded, and each bin term snaps to the
+    1e-9 grid before the per-dim sum (cross-engine ln/÷ last-ulp
+    noise must not reach the sum).  Returns one row per dimension:
+    (dim, psi) with psi rounded to 6.
+    """
+    width = (hi - lo) / n_bins
+    spark = reference.sparkSession
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        ex = df.filter(F.col(vec_col).isNotNull()).select(
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "__v")
+        )
+        b = F.least(
+            F.greatest(F.floor((F.col("__v") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(n_bins - 1),
+        ).cast("int")
+        return (
+            ex.filter(F.col("__v").isNotNull())
+            .groupBy(F.col("dim"), b.alias("bin"))
+            .agg(F.count("*").alias(f"__c_{side}"))
+        )
+
+    grid = spark.createDataFrame(
+        [(d, b) for d in range(dims) for b in range(n_bins)], "dim int, bin int"
+    )
+    joined = (
+        grid.join(binned(reference, "ref"), ["dim", "bin"], "left")
+        .join(binned(current, "cur"), ["dim", "bin"], "left")
+        .select(
+            "dim",
+            "bin",
+            F.coalesce("__c_ref", F.lit(0)).alias("__cr"),
+            F.coalesce("__c_cur", F.lit(0)).alias("__cc"),
+        )
+    )
+    tot = joined.groupBy("dim").agg(
+        F.sum("__cr").alias("__tr"), F.sum("__cc").alias("__tc")
+    )
+    p_ref = (F.col("__cr") + F.lit(0.5)) / (F.col("__tr") + F.lit(0.5) * n_bins)
+    p_cur = (F.col("__cc") + F.lit(0.5)) / (F.col("__tc") + F.lit(0.5) * n_bins)
+    term = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9)
+    return (
+        joined.join(F.broadcast(tot), "dim")
+        .groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(F.round(F.sum(term), 6).alias("psi"))
+    )
+
+
 def psi_report(
     reference: DataFrame,
     current: DataFrame,

@@ -165,6 +165,99 @@ def refinedweb_pipeline(
     return _post_cc_budget_select(exact, comps, budget)
 
 
+def hybrid_dedup_pipeline(
+    docs: DataFrame,
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    budget: int = 20_000,
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    cos_threshold: float = 0.95,
+    max_cluster: int = 10_000,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Lexical ∪ semantic dedup — the FineWeb/Dolma production shape:
+    near-verbatim duplicates (MinHash-LSH over shingles) and semantic
+    duplicates (SemDeDup over embeddings) are DIFFERENT phenomena with
+    different recall, so production pipelines run both and deduplicate
+    over the UNION of the two pair graphs:
+
+        MinHash-LSH pairs  ─┐
+                            ├─ union -> ONE connected components
+        SemDeDup pairs     ─┘       -> quality-best representative
+                                    -> token-budget prefix select
+
+    One CC over the union (not one per graph) is the point: a lexical
+    chain a–b and a semantic chain b–c are the SAME duplicate cluster
+    {{a,b,c}}, which two independent passes would split — keeping two
+    representatives of one cluster.
+
+    Scale shape: each pair generator keeps its own bounded candidate
+    structure (banded LSH buckets with the hot-bucket cap; scan-local
+    centroid assignment with the cluster-size valve) — the union is
+    edge-list concatenation, free of any new join.  Semantic edges are
+    semi-join-restricted to ids present in the document frame, so an
+    embedding table that is a superset of the corpus (common: one
+    embedding store, many corpus snapshots) cannot leak foreign ids
+    into the components.  The scored document frame is persisted once
+    and feeds the lexical index build, the representative pick, and the
+    budget pass; CC iterates on checkpointed labels exactly as ll06
+    (``connected_components`` executes jobs on construction, so this
+    composition is a driver — its lazy stages are gate-audited in
+    tests/test_plan_invariants.py).  Returns (doc_id, quality,
+    n_tokens, cum_tokens), ``token_budget_select``'s contract.
+    """
+    scored = (
+        docs.withColumn("quality", tx.quality_score("text"))
+        .select("doc_id", "text", "quality")
+        .transform(_persist)
+    )
+    edges = hybrid_dedup_edges(
+        scored,
+        vecs,
+        centroids,
+        shingle_k=shingle_k,
+        jaccard_threshold=jaccard_threshold,
+        cos_threshold=cos_threshold,
+        max_cluster=max_cluster,
+        portable_hash=portable_hash,
+    )
+    comps = dedup.connected_components(edges)
+    return _post_cc_budget_select(scored, comps, budget)
+
+
+def hybrid_dedup_edges(
+    scored: DataFrame,
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    shingle_k: int = 5,
+    jaccard_threshold: float = 0.5,
+    cos_threshold: float = 0.95,
+    max_cluster: int = 10_000,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """The lazy edge-building half of ``hybrid_dedup_pipeline`` (split
+    out so the plan gate can audit its shape without running CC): the
+    MinHash-LSH pair graph over ``scored`` (doc_id, text, quality)
+    unioned with the SemDeDup pair graph over ``vecs``, semantic
+    endpoints semi-restricted to the document id domain.  Direction
+    doubling and cross-graph edge dedup happen inside ``_cc_edges``."""
+    lex = dedup.minhash_near_duplicates(
+        scored,
+        shingle_k=shingle_k,
+        threshold=jaccard_threshold,
+        portable_hash=portable_hash,
+    ).select("id_a", "id_b")
+    sem = dedup.semdedup_pairs(
+        vecs, centroids, threshold=cos_threshold, max_cluster=max_cluster
+    ).select("id_a", "id_b")
+    ids = scored.select(F.col("doc_id").alias("id_a"))
+    sem = sem.join(ids, "id_a", "leftsemi").join(
+        ids.withColumnRenamed("id_a", "id_b"), "id_b", "leftsemi"
+    )
+    return lex.unionByName(sem)
+
+
 def corpus_stats(clean: DataFrame) -> DataFrame:
     """Per-source corpus report over the cleaned docs: volume, token
     budget, quality profile — the numbers a pretraining data team tracks

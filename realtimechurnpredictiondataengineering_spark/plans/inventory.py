@@ -232,6 +232,57 @@ def ml01(spark, sf_dir):
     )
 
 
+def _ml02_sql() -> str:
+    from realtimechurnpredictiondataengineering_spark.ml import (
+        FEATURES,
+        GOLD_FEATURES_FIXTURE,
+        MODEL_V1,
+    )
+
+    defaults = {"days_since_last_login": 999}
+    terms = " ".join(
+        f"+ {MODEL_V1['coefficients'][c]!r} * CAST(coalesce({c}, {defaults.get(c, 0)}) AS DOUBLE)"
+        for c in FEATURES
+    )
+    fixture = GOLD_FEATURES_FIXTURE.replace("'", "''")
+    return f"""
+WITH z AS (SELECT customer_id,
+             round({MODEL_V1['intercept']!r} {terms}, 6) AS churn_logit
+      FROM read_parquet('{fixture}/*.parquet'))
+SELECT customer_id, churn_logit,
+       CAST(churn_logit > 0 AS INT) AS churn_pred,
+       round(1.0 / (1.0 + exp(-churn_logit)), 4) AS churn_prob
+FROM z
+"""
+
+
+@register("ml02_streaming_churn_scores", _ml02_sql)
+def ml02(spark, sf_dir):
+    # The real-time scoring leg as a first-class registry entry: a
+    # file-stream of the committed Gold feature snapshot (the Kafka/Delta
+    # feature-feed stand-in, same wire contract) scored by the compiled
+    # MODEL_V1 logit expression and drained AvailableNow into a
+    # checkpointed append sink (ml.py:streaming_churn_scores).  The
+    # scoring stage is a stateless whole-stage-codegen projection —
+    # streaming output == batch output, which is exactly what the oracle
+    # twin checks by replaying the fixture in SQL.  Runs the streaming
+    # job at call time, so the whole-plan gate stage-asserts it instead
+    # (tests/test_plan_invariants.py).
+    import tempfile
+
+    from realtimechurnpredictiondataengineering_spark import ml
+
+    base = tempfile.mkdtemp(prefix="ml02_scores_")
+    return ml.streaming_churn_scores(
+        spark,
+        ml.GOLD_FEATURES_FIXTURE,
+        ml.MODEL_V1["coefficients"],
+        ml.MODEL_V1["intercept"],
+        out_dir=f"{base}/out",
+        checkpoint_dir=f"{base}/ck",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Projections / parsing / scalar expressions (P-series)
 # ---------------------------------------------------------------------------
@@ -5550,6 +5601,50 @@ FROM j, tot
 """
 
 
+_PROF05_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+exr AS (SELECT CAST(t.dim AS INT) AS dim, v[t.dim + 1] AS val
+        FROM e, range(0, 64) t(dim) WHERE vec_id % 10 != 0 AND v IS NOT NULL),
+exc AS (SELECT CAST(t.dim AS INT) AS dim, v[t.dim + 1] AS val
+        FROM e, range(0, 64) t(dim) WHERE vec_id % 10 = 0 AND v IS NOT NULL),
+r AS (SELECT dim, CAST(least(greatest(floor((val - -0.6) / CAST(0.12 AS DOUBLE)), 0), 9) AS INT) AS bin,
+             count(*) AS cr
+      FROM exr WHERE val IS NOT NULL GROUP BY 1, 2),
+c AS (SELECT dim, CAST(least(greatest(floor((val - -0.6) / CAST(0.12 AS DOUBLE)), 0), 9) AS INT) AS bin,
+             count(*) AS cc
+      FROM exc WHERE val IS NOT NULL GROUP BY 1, 2),
+grid AS (SELECT CAST(t.dim AS INT) AS dim, CAST(u.bin AS INT) AS bin
+         FROM range(0, 64) t(dim), range(0, 10) u(bin)),
+j AS (SELECT g.dim, g.bin, coalesce(r.cr, 0) AS cr, coalesce(c.cc, 0) AS cc
+      FROM grid g LEFT JOIN r USING (dim, bin) LEFT JOIN c USING (dim, bin)),
+tot AS (SELECT dim, sum(cr) AS tr, sum(cc) AS tc FROM j GROUP BY 1)
+SELECT j.dim,
+       round(sum(round(((cc + 0.5) / (tc + 5.0) - (cr + 0.5) / (tr + 5.0))
+                       * ln(((cc + 0.5) / (tc + 5.0)) / ((cr + 0.5) / (tr + 5.0))), 9)), 6) AS psi
+FROM j JOIN tot USING (dim) GROUP BY 1
+"""
+
+
+@register("prof05_embedding_drift", _PROF05_SQL)
+def prof05(spark, sf_dir):
+    # Per-dimension PSI between two embedding snapshots (the bench-split
+    # slice vs the rest, the prof04/d07/t21 split convention): one
+    # posexplode scan per side onto a config-sized (64 dims x 10 bins)
+    # histogram, edge-clamped fixed-width bins over [-0.6, 0.6],
+    # Laplace-smoothed masses, per-bin terms snapped to the 1e-9 grid
+    # before the per-dim sum (operators/profiling.py:embedding_psi).
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    e = _te(spark, sf_dir)
+    return profiling.embedding_psi(
+        e.filter(F.col("vec_id") % 10 != 0).select("embedding"),
+        e.filter(F.col("vec_id") % 10 == 0).select("embedding"),
+        dims=64,
+        lo=-0.6,
+        hi=0.6,
+    )
+
+
 @register("prof04_psi_drift", _PROF04_SQL)
 def prof04(spark, sf_dir):
     # Population Stability Index between the bench split's quality
@@ -5662,6 +5757,59 @@ def t25(spark, sf_dir):
         d.filter(F.col("doc_id") % 10 == 0),
         alpha=0.4,
         top_v=256,
+    )
+
+
+_T26_SQL = f"""
+WITH ctoks AS (SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
+               WHERE doc_id % 10 != 0 AND length({SQL_NORM}) > 0),
+cuni AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM ctoks)),
+cpr AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+        FROM ctoks WHERE len(t) >= 2),
+cbig AS (SELECT p[1] AS prev, p[2] AS tok, count(*) AS nb FROM cpr GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(nb) AS nc, count(*) AS n1f FROM cbig GROUP BY 1),
+bwd AS (SELECT tok, count(*) AS n1b FROM cbig GROUP BY 1),
+consts AS (SELECT (SELECT count(*) FROM cbig) AS tt, (SELECT v FROM cuni) AS v),
+ttoks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+          WHERE doc_id % 10 = 0),
+tbase AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM ttoks),
+tp AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+       FROM tbase WHERE n_tokens >= 2),
+pairs AS (SELECT doc_id, p[1] AS prev, p[2] AS tok FROM tp),
+s AS (SELECT doc_id,
+             round(avg(-log2(
+               CASE WHEN ctx.nc IS NOT NULL
+                    THEN greatest(coalesce(cbig.nb, 0) - 0.75, 0.0) / ctx.nc
+                         + (0.75 * ctx.n1f / ctx.nc)
+                           * ((coalesce(bwd.n1b, 0) + 1.0) / (tt + v + 1.0))
+                    ELSE (coalesce(bwd.n1b, 0) + 1.0) / (tt + v + 1.0) END)), 4)
+               AS mean_neg_log2p
+      FROM pairs
+      LEFT JOIN cbig USING (prev, tok)
+      LEFT JOIN ctx USING (prev)
+      LEFT JOIN bwd USING (tok), consts
+      GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       coalesce(s.mean_neg_log2p, 0.0) AS mean_neg_log2p
+FROM tbase b LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("t26_kneser_ney", _T26_SQL)
+def t26(spark, sf_dir):
+    # Interpolated Kneser-Ney bigram scoring of the held-out bench split
+    # under train-split counts (the t24 split) — the principled smoothing
+    # whose web-scale stand-in is stupid backoff: discounted bigram mass
+    # plus continuation-probability backoff, D=0.75, Laplace-closed
+    # continuation for unseen tokens; every KN statistic derives from the
+    # ONE bigram count table (operators/corpus.py:kneser_ney_logprob).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    d = _td(spark, sf_dir)
+    return corpus.kneser_ney_logprob(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        discount=0.75,
     )
 
 
@@ -5797,6 +5945,70 @@ def ll06(spark, sf_dir):
     # ~95 docs at sf0.01 so every downstream stage is genuinely exercised
     return refinedweb_pipeline(
         _td(spark, sf_dir), budget=20_000, repetition_max=0.6, portable_hash=True
+    )
+
+
+def _ll08_sql() -> str:
+    """Lexical ∪ semantic dedup twin: the d03 MinHash-LSH chain over
+    documents unioned with the v16 SemDeDup chain over embeddings
+    (building it trains the centroids, hence lazy), one recursive-CTE
+    CC over the union, quality representatives, 20k-token budget."""
+    return f"""
+WITH RECURSIVE
+{_sql_minhash_lsh_ctes("documents").strip().lstrip()}
+,
+{_semdedup_ctes().strip()},
+lex AS (SELECT id_a, id_b FROM verified WHERE j >= 0.5),
+sem AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= 0.3
+          AND id_a IN (SELECT doc_id FROM documents)
+          AND id_b IN (SELECT doc_id FROM documents)),
+allp AS (SELECT id_a, id_b FROM lex UNION SELECT id_a, id_b FROM sem),
+edges AS (SELECT id_a AS s, id_b AS d FROM allp UNION SELECT id_b, id_a FROM allp),
+walk(s, d) AS (SELECT s, d FROM edges
+               UNION SELECT w.s, e.d FROM walk w JOIN edges e ON e.s = w.d),
+comp AS (SELECT s AS id, least(s, min(d)) AS component FROM walk GROUP BY s),
+q AS (SELECT doc_id, text, {SQL_QUALITY} AS quality FROM documents),
+ranked AS (SELECT c.component, c.id,
+                  row_number() OVER (PARTITION BY c.component
+                                     ORDER BY q.quality DESC, c.id ASC) AS r
+           FROM comp c JOIN q ON q.doc_id = c.id),
+reps AS (SELECT id AS doc_id FROM ranked WHERE r = 1),
+surv AS (SELECT q.doc_id, q.text, q.quality FROM q
+         LEFT JOIN comp ON comp.id = q.doc_id WHERE comp.id IS NULL
+         UNION ALL
+         SELECT q.doc_id, q.text, q.quality FROM q JOIN reps USING (doc_id)),
+stc AS (SELECT doc_id, quality, {SQL_TOKEN_COUNT} AS n_tokens FROM surv),
+scum AS (SELECT doc_id, quality, n_tokens,
+                sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS cum_tokens
+         FROM stc)
+SELECT doc_id, quality, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM scum WHERE cum_tokens <= 20000
+"""
+
+
+@register("ll08_hybrid_dedup", _ll08_sql)  # lazy: building the twin trains the centroids
+def ll08(spark, sf_dir):
+    # The FineWeb/Dolma production dedup shape: MinHash-LSH pair graph
+    # (d03, portable hash family) ∪ SemDeDup pair graph (v16, threshold
+    # 0.3 per the v16 note) -> ONE connected components over the union
+    # (a lexical chain a-b plus a semantic chain b-c is the SAME cluster)
+    # -> quality-best representative -> 20k-token budget prefix
+    # (plans/corpus_prep.py:hybrid_dedup_pipeline).
+    from realtimechurnpredictiondataengineering_spark.plans.corpus_prep import (
+        hybrid_dedup_pipeline,
+    )
+
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    return hybrid_dedup_pipeline(
+        _td(spark, sf_dir),
+        e,
+        _ivf_centroids(),
+        budget=20_000,
+        cos_threshold=0.3,
+        portable_hash=True,
     )
 
 
@@ -6102,6 +6314,21 @@ def w09(spark, sf_dir):
 # rotated IN; t07_tfidf_top_terms OUT (driver-green in EVERY round
 # since r2, untouched in r7 — the longest green streak in the
 # registry, still harness-checked).
+# Round-8 deltas: four entries rotated IN — prof05_embedding_drift
+# (per-dimension embedding PSI), ml02_streaming_churn_scores (the
+# real-time scoring leg over the committed gold_features fixture),
+# t26_kneser_ney (the principled-smoothing rung of the LM ladder), and
+# ll08_hybrid_dedup (lexical ∪ semantic dedup composition).  Rotated
+# OUT to make room (each driver-green in rounds 6 AND 7, code untouched
+# in round 8, still value-checked by tests/oracle_harness.py):
+# t16_unigram_logprob (the ladder stays in-window via t17-t26),
+# d04_simhash_near_dup (near-dup family stays via d03/d05/d12 and the
+# new ll08, which carries the full MinHash-LSH chain),
+# v14_pq_recall (PQ family stays via v12/v13/v15),
+# s09_weighted_sample (sampling stays via s10).  prof03_expectations
+# deliberately KEPT in-window despite being double-green: its
+# backslash-escape fix this round makes it reshaped code, and reshaped
+# code must face the external gate.
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -6121,24 +6348,25 @@ def w09(spark, sf_dir):
 PRIORITY: tuple[str, ...] = (
     "q00_flagship_churn_features",
     "ml01_churn_scores",
+    "ml02_streaming_churn_scores",
     "v16_semdedup_pairs",
     "v17_semdedup_survivors",
     "t25_stupid_backoff_capped",
+    "t26_kneser_ney",
     "s10_weighted_reservoir",
     "ll07_zigzag_pack",
+    "ll08_hybrid_dedup",
     "prof04_psi_drift",
+    "prof05_embedding_drift",
     "v15_ivf_pq_rescore",
     "t19_trigram_logprob",
     "d03_minhash_near_dup",
-    "d04_simhash_near_dup",
     "d05_near_dedup_survivors",
     "d06_dup_clusters",
-    "v14_pq_recall",
     "d08_incremental_dedup",
     "w09_session_rollup",
     "v02_brute_force_topk",
     "prof03_expectations",
-    "s09_weighted_sample",
     "t20_ccnet_buckets",
     "v07_quantized_topk",
     "v08_mips_topk",
@@ -6161,7 +6389,6 @@ PRIORITY: tuple[str, ...] = (
     "d12_duplicate_spans",
     "d13_cluster_representatives",
     "v11_knn_label_accuracy",
-    "t16_unigram_logprob",
     "t22_bigram_logprob_capped",
     "t23_trigram_logprob_capped",
     "t24_stupid_backoff",

@@ -65,15 +65,20 @@ def file_stream(
     schema: T.StructType,
     fmt: str = "json",
     max_files_per_trigger: int | None = None,
+    **options: str,
 ) -> DataFrame:
     """File-source streaming scan — the test-harness stand-in for Kafka.
 
     Explicit schema is mandatory (streaming file sources do not infer);
     ``maxFilesPerTrigger`` plays the role of the Kafka rate cap (S2).
+    Extra ``options`` pass through to the reader (e.g. ``basePath`` when
+    ``path`` names a single file — the source requires a directory base).
     """
     reader = spark.readStream.schema(schema).format(fmt)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    for k, v in options.items():
+        reader = reader.option(k, v)
     return reader.load(path)
 
 

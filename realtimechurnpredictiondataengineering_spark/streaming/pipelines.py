@@ -381,6 +381,52 @@ def streaming_corpus_ingest(
     )
 
 
+def streaming_hybrid_ingest(
+    docs_stream: DataFrame,
+    corpus_fingerprints: DataFrame,
+    corpus_vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_col: str = "ts",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """The streaming twin of ``plans.corpus_prep.hybrid_dedup_pipeline``
+    (ll08): a crawl feed carrying (id, text, ts, embedding) is admitted
+    to the corpus only if it clears the Gopher gates, is lexically new,
+    AND is semantically new — the FineWeb/Dolma ingest path run
+    incrementally instead of as a batch rebuild.
+
+    Stage order is the cost order: the stateless quality gates prune
+    first; the LEXICAL reject (8-byte fingerprint anti-join vs the
+    accepted corpus + watermarked within-stream dedup,
+    ``streaming_corpus_ingest``) runs before the SEMANTIC reject
+    (stream-static LEFT ANTI keyed on the scan-local cluster id with
+    the cosine threshold as residual, ``streaming_semantic_dedup``)
+    because comparing fingerprints is cheaper than comparing vectors —
+    a verbatim mirror never reaches the vector stage.  State stays
+    bounded: the lexical stage by the watermark horizon, the semantic
+    stage by being stateless.  Within-stream SEMANTIC duplicates and
+    cross-graph cluster fusion remain the batch ll08 job's concern over
+    the accepted snapshot, exactly as ``streaming_incremental_dedup``
+    defers near-dup to batch.  Returns the admitted streaming rows
+    (original columns).
+    """
+    lexical = streaming_corpus_ingest(
+        docs_stream, corpus_fingerprints, id_col, text_col, ts_col, watermark
+    )
+    return streaming_semantic_dedup(
+        lexical,
+        corpus_vectors,
+        centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+    )
+
+
 def streaming_semantic_dedup(
     vec_stream: DataFrame,
     corpus_vectors: DataFrame,

@@ -32,6 +32,8 @@ from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTR
 STAGE_ASSERTED_EXECUTES_ON_BUILD = {
     "d06_dup_clusters",
     "ll06_refinedweb_pipeline",
+    "ll08_hybrid_dedup",
+    "ml02_streaming_churn_scores",
 }
 
 # BNLJ builds that are bounded by DOMAIN, not by plan structure — the
@@ -207,8 +209,14 @@ def test_cc_stage_plans_keep_gate_shape(spark, sf_dir):
     )
     propagated = dedup._cc_propagate(edges, labels)
     jumped = dedup._cc_jump(propagated)
+    contracted = dedup._cc_contract(edges, labels)
     offenders = []
-    for stage, df in (("edges", edges), ("propagate", propagated), ("jump", jumped)):
+    for stage, df in (
+        ("edges", edges),
+        ("propagate", propagated),
+        ("jump", jumped),
+        ("contract", contracted),
+    ):
         tree, text = _plan_of(df)
         assert "CartesianProduct" not in text, stage
         offenders += _bad_joins(f"cc:{stage}", tree, text, allow_domain_bounded=False)
@@ -236,6 +244,58 @@ def test_ll06_post_cc_plan_shape(spark, sf_dir):
     tree, text = _plan_of(df)
     assert "CartesianProduct" not in text
     assert _bad_joins("ll06:post_cc", tree, text, allow_domain_bounded=False) == []
+
+
+def test_ll08_edge_stage_plan_shape(spark, sf_dir):
+    # ll08's lazy half upstream of the iterative CC: the MinHash-LSH
+    # pair graph unioned with the SemDeDup pair graph, semantic
+    # endpoints semi-restricted to the doc id domain.  Both generators
+    # must stay bucketed equi-joins — no CartesianProduct, no unbounded
+    # BNLJ anywhere in the union plan.  (Post-CC composition and the CC
+    # rounds themselves are covered by test_ll06_post_cc_plan_shape and
+    # test_cc_stage_plans_keep_gate_shape — ll08 shares both stages.)
+    from pyspark.sql import functions as F
+
+    from realtimechurnpredictiondataengineering_spark.functions import text as tx
+    from realtimechurnpredictiondataengineering_spark.plans import corpus_prep
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import (
+        _ivf_centroids,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = docs.withColumn("quality", tx.quality_score("text")).select(
+        "doc_id", "text", "quality"
+    )
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    edges = corpus_prep.hybrid_dedup_edges(
+        scored, vecs, _ivf_centroids(), cos_threshold=0.3, portable_hash=True
+    )
+    tree, text = _plan_of(edges)
+    assert "CartesianProduct" not in text
+    assert _bad_joins("ll08:edges", tree, text, allow_domain_bounded=False) == []
+
+
+def test_ml02_scoring_stage_plan_is_a_pure_projection(spark):
+    # ml02 runs an AvailableNow streaming query at call time, so the
+    # whole-plan fixture never sees it; its one plannable stage is the
+    # scoring projection over the feature source.  Built on the batch
+    # twin of the same source (identical plan below the source node), it
+    # must be shuffle-free, join-free whole-stage arithmetic — the
+    # property that makes "streaming scoring == batch scoring" hold.
+    from realtimechurnpredictiondataengineering_spark import ml
+
+    df = ml.churn_scores(
+        spark.read.parquet(ml.GOLD_FEATURES_FIXTURE),
+        ml.MODEL_V1["coefficients"],
+        ml.MODEL_V1["intercept"],
+    )
+    tree, text = _plan_of(df)
+    assert "CartesianProduct" not in text
+    assert "Join" not in text
+    assert "Exchange" not in text
+    assert _bad_joins("ml02:score", tree, text, allow_domain_bounded=False) == []
 
 
 def test_domain_bounded_list_is_live(plans):

@@ -36,6 +36,44 @@ def test_feed_fixture_has_planted_transaction_collisions(spark):
     )
 
 
+# ---------------------------------------------------------------------------
+# prof05: per-dimension embedding PSI
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_psi_flags_the_shifted_dimension(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    # 200 synthetic 4-dim vectors; the "current" snapshot shifts dim 2 by
+    # +0.4 and leaves the rest identical — dim 2 must carry the largest
+    # PSI by a wide margin, and the untouched dims must sit near zero
+    ref_rows = [([((i * 7 + d * 13) % 100) / 100.0 - 0.5 for d in range(4)],) for i in range(200)]
+    cur_rows = [
+        ([v + (0.4 if d == 2 else 0.0) for d, v in enumerate(vec)],)
+        for (vec,) in ref_rows
+    ]
+    ref = spark.createDataFrame(ref_rows, "embedding array<double>")
+    cur = spark.createDataFrame(cur_rows, "embedding array<double>")
+    out = {
+        r["dim"]: r["psi"]
+        for r in profiling.embedding_psi(ref, cur, dims=4, lo=-0.6, hi=0.6).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    assert out[2] > 0.25  # "drifted" by the PSI rule of thumb
+    for d in (0, 1, 3):
+        assert abs(out[d]) < 0.05
+        assert out[2] > 10 * abs(out[d])
+
+
+def test_embedding_psi_identical_snapshots_are_stable(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    rows = [([(i % 10) / 10.0 - 0.45, ((i * 3) % 10) / 10.0 - 0.45],) for i in range(100)]
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = profiling.embedding_psi(df, df, dims=2, lo=-0.6, hi=0.6).collect()
+    assert len(out) == 2 and all(r["psi"] == 0.0 for r in out)
+
+
 def test_sv02_dedup_survivor_choice_is_live(spark):
     from realtimechurnpredictiondataengineering_spark.plans.silver import (
         FEED_FIXTURE,
@@ -65,3 +103,149 @@ def test_sv02_dedup_survivor_choice_is_live(spark):
         if k not in best or v < best[k]:
             best[k] = v
     assert kept == best
+
+
+# ---------------------------------------------------------------------------
+# ml02: the real-time scoring leg (file-stream -> compiled logit ->
+# AvailableNow checkpointed sink), value-pinned to batch scoring
+# ---------------------------------------------------------------------------
+
+
+def test_gold_features_fixture_exercises_the_null_path(spark):
+    # the coalesce defaults are part of the scoring contract — the
+    # committed snapshot must carry NULL activity rows so they are LIVE
+    # in ml02's value check (and must never silently regenerate without)
+    from realtimechurnpredictiondataengineering_spark import ml
+
+    feats = spark.read.parquet(ml.GOLD_FEATURES_FIXTURE)
+    assert feats.columns == ["customer_id", *ml.FEATURES]
+    n = feats.count()
+    n_null = feats.filter(F.col("days_since_last_login").isNull()).count()
+    assert n > 0 and 0 < n_null < n
+
+
+def test_streaming_churn_scores_equal_batch_on_the_fixture(spark, tmp_path):
+    from realtimechurnpredictiondataengineering_spark import ml
+
+    streamed = ml.streaming_churn_scores(
+        spark,
+        ml.GOLD_FEATURES_FIXTURE,
+        ml.MODEL_V1["coefficients"],
+        ml.MODEL_V1["intercept"],
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    batch = ml.churn_scores(
+        spark.read.parquet(ml.GOLD_FEATURES_FIXTURE),
+        ml.MODEL_V1["coefficients"],
+        ml.MODEL_V1["intercept"],
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) == batch.count()
+
+
+# ---------------------------------------------------------------------------
+# t26: interpolated Kneser-Ney bigram scoring
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_kneser_ney_all_paths_hand_checked(spark):
+    import math
+
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    # train "a b c a b": bigrams (a,b):2, (b,c):1, (c,a):1 -> tt=3 types;
+    # vocab V=3; ctx a:(nc 2,n1f 1), b:(1,1), c:(1,1);
+    # bwd N1+(.b)=1, N1+(.c)=1, N1+(.a)=1; Pcont(w) = (n1b+1)/(3+3+1)
+    train = _docs(spark, [(1, "a b c a b")])
+    # target "a b q a" positions:
+    #   (a,b) seen pair:   max(2-.75,0)/2 + (.75*1/2)*(2/7)
+    #   (b,q) seen ctx, unseen pair+continuation: 0 + (.75*1/1)*(1/7)
+    #   (q,a) unseen ctx: Pcont(a) = 2/7
+    target = _docs(spark, [(10, "a b q a"), (11, "a")])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in corpus.kneser_ney_logprob(train, target).collect()
+    }
+    p1 = (2 - 0.75) / 2 + (0.75 * 1 / 2) * (2 / 7)
+    p2 = (0.75 * 1 / 1) * (1 / 7)
+    p3 = 2 / 7
+    want = -(math.log2(p1) + math.log2(p2) + math.log2(p3)) / 3
+    assert out[10]["mean_neg_log2p"] == round(want, 4)
+    assert out[10]["n_tokens"] == 4
+    # fewer than 2 tokens -> no bigrams -> sentinel 0.0
+    assert out[11] == {"doc_id": 11, "n_tokens": 1, "mean_neg_log2p": 0.0}
+
+
+def test_kneser_ney_cap_matches_exact_when_vocab_fits(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    train = _docs(spark, [(1, "a b c a b c"), (2, "c a b a a b")])
+    target = _docs(spark, [(10, "a b c b c q"), (11, "b a c a")])
+    exact = {
+        r["doc_id"]: r.asDict()
+        for r in corpus.kneser_ney_logprob(train, target).collect()
+    }
+    capped = {
+        r["doc_id"]: r.asDict()
+        for r in corpus.kneser_ney_logprob(train, target, top_v=50).collect()
+    }
+    assert exact == capped
+
+
+def test_kneser_ney_cap_is_live_at_small_v(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    train = _docs(spark, [(1, "a b c a b c a b")])
+    target = _docs(spark, [(10, "a b c a b c")])
+    exact = corpus.kneser_ney_logprob(train, target).collect()[0]["mean_neg_log2p"]
+    capped = corpus.kneser_ney_logprob(train, target, top_v=1).collect()[0][
+        "mean_neg_log2p"
+    ]
+    assert capped != exact
+
+
+# ---------------------------------------------------------------------------
+# ll08: lexical ∪ semantic dedup composition
+# ---------------------------------------------------------------------------
+
+
+def test_hybrid_dedup_merges_lexical_and_semantic_chains(spark):
+    # doc 1-2 are lexical near-dups (identical text), doc 2-3 semantic
+    # dups (identical embeddings, different text): ONE CC over the union
+    # must fuse {1,2,3} into a single cluster with a single survivor —
+    # two independent dedup passes would keep two of them
+    from realtimechurnpredictiondataengineering_spark.plans.corpus_prep import (
+        hybrid_dedup_pipeline,
+    )
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, same),
+            (2, same),
+            (3, "completely different words describing the same meaning here today"),
+            (4, "an unrelated document about churn pipelines and spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.7, 0.7141428]),
+            (2, [1.0, 0.0]),
+            (3, [1.0, 0.0]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = hybrid_dedup_pipeline(
+        docs, vecs, [[1.0, 0.0]], budget=10**9, cos_threshold=0.95
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 4 in ids
+    assert len(ids & {1, 2, 3}) == 1, f"cluster {{1,2,3}} must keep ONE member, got {ids}"

@@ -471,3 +471,50 @@ def test_streaming_semantic_dedup_matches_batch(spark, tmp_path):
         for r in streaming_semantic_dedup(batch_in, corpus, cents, threshold=0.95).collect()
     }
     assert streamed == batch == {102, 103}
+
+
+def test_streaming_hybrid_ingest_rejects_lexical_and_semantic_dups(spark, tmp_path):
+    # ll08's streaming twin: gates -> lexical fingerprint reject ->
+    # semantic cosine reject.  One doc per reject path plus a survivor.
+    from realtimechurnpredictiondataengineering_spark.functions.text import fingerprint_md5
+    from realtimechurnpredictiondataengineering_spark.streaming.pipelines import (
+        streaming_hybrid_ingest,
+    )
+
+    good = "the quick brown fox jumps over and beside certain lazy dogs " + " ".join(
+        f"word{i:02d}x" for i in range(53)
+    )
+    fresh_a = good.replace("word00x", "fresh00x")
+    fresh_b = good.replace("word00x", "other00x")
+    feed = str(tmp_path / "hybrid_feed")
+    spark.createDataFrame(
+        [
+            (1, good, "2024-01-01 00:00:00", [0.0, 1.0]),     # lexical corpus dup
+            (2, fresh_a, "2024-01-01 00:00:10", [1.0, 0.0]),  # semantic corpus dup
+            (3, fresh_b, "2024-01-01 00:00:20", [0.0, 1.0]),  # genuinely new
+            (4, "junk doc", "2024-01-01 00:00:30", [0.5, 0.5]),  # gated
+        ],
+        "doc_id long, text string, ts string, embedding array<double>",
+    ).selectExpr(
+        "doc_id", "text", "CAST(ts AS TIMESTAMP) AS ts", "embedding"
+    ).coalesce(1).write.json(feed)
+
+    corpus_fp = spark.createDataFrame([(good,)], "text string").select(
+        fingerprint_md5("text").alias("fingerprint")
+    )
+    corpus_vec = spark.createDataFrame([([1.0, 0.0],)], "embedding array<double>")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp, embedding array<double>"
+    ).json(feed)
+    q = memory_sink(
+        streaming_hybrid_ingest(
+            stream, corpus_fp, corpus_vec, [[1.0, 0.0]], threshold=0.95
+        ),
+        "hybrid_ingest",
+    )
+    _drain(q)
+    kept = [r["doc_id"] for r in spark.sql("SELECT doc_id FROM hybrid_ingest").collect()]
+    assert kept == [3]
+    assert set(spark.sql("SELECT * FROM hybrid_ingest").columns) == {
+        "doc_id", "text", "ts", "embedding",
+    }
