@@ -138,6 +138,8 @@ HEADLINE = (
     "ml02_streaming_churn_scores",
     "t26_kneser_ney",
     "ll08_hybrid_dedup",
+    "d15_ngram_contamination",
+    "ll09_decontaminate",
 )
 
 

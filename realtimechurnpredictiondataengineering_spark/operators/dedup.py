@@ -30,6 +30,7 @@ from realtimechurnpredictiondataengineering_spark.functions.text import (
     shingles,
     token_count,
     tokens,
+    word_kgrams,
 )
 from realtimechurnpredictiondataengineering_spark.functions.vectors import (
     cosine,
@@ -1112,3 +1113,94 @@ def duplicate_spans(
     return islands.groupBy(id_col, "__island").agg(
         F.min("start").alias("span_start"), F.max("end").alias("span_end")
     ).select(id_col, "span_start", "span_end")
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_tokens: int = 8,
+    min_hits: int = 1,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Flag corpus documents that share word n-grams with an evaluation
+    benchmark — the decontamination pass every serious pretraining
+    pipeline runs before training (GPT-3's 13-gram dedup against its
+    eval sets; FineWeb/Dolma ship the same n-gram-overlap check):
+    training on text that also appears in a benchmark silently inflates
+    eval scores, so contaminated documents must be found and dropped.
+
+    A corpus document is contaminated when at least ``min_hits`` of its
+    DISTINCT stride-1 ``gram_tokens``-grams appear anywhere in the
+    benchmark.  Returns (id, hits) for contaminated documents only,
+    ``hits`` = the distinct-gram overlap count — the evidence column an
+    auditor reviews before tightening/loosening ``gram_tokens``.
+
+    Scale shape: the asymmetry is the whole design.  The benchmark side
+    is an eval suite — thousands of documents, bounded by construction,
+    nothing like the corpus — so its distinct gram-hash set (8-byte
+    hashes) broadcasts (~8 MB per million grams); the corpus side is
+    one scan-local gram fan-out (same cardinality discipline as
+    ``duplicate_spans``) feeding a BROADCAST inner join + per-document
+    count-distinct, so the corpus is never shuffled at all — the only
+    wide exchange is the per-document aggregate of the (tiny) matching
+    subset.  ``array_distinct`` before the explode keeps a gram
+    repeated inside one document from double-counting as multiple hits.
+    Documents shorter than ``gram_tokens`` produce no grams and cannot
+    be flagged.
+    """
+    hash_fn = portable_hash60 if portable_hash else F.xxhash64
+
+    def gram_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
+        toks = df.select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            tokens(text_col).alias("__t"),
+            token_count(text_col).alias("__n"),
+        )
+        exploded = toks.filter(F.col("__n") >= gram_tokens).select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            F.explode(
+                F.array_distinct(word_kgrams(F.col("__t"), gram_tokens, min_one=False))
+            ).alias("__gram"),
+        )
+        return exploded.select(
+            *( [F.col(id_col)] if keep_id else [] ),
+            hash_fn(F.col("__gram")).alias("gram_hash"),
+        )
+
+    bench_grams = F.broadcast(gram_hashes(benchmark, keep_id=False).distinct())
+    return (
+        gram_hashes(corpus, keep_id=True)
+        .join(bench_grams, "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+        .select(F.col(id_col), F.col("hits").cast("int").alias("hits"))
+    )
+
+
+def benchmark_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_tokens: int = 8,
+    min_hits: int = 1,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """The removal half of decontamination: the corpus minus every
+    document ``contamination_report`` flags, via LEFT ANTI on the id —
+    original columns preserved, so the result drops into the corpus'
+    place in any downstream composition (ll01/ll06/ll08 run unchanged
+    on the decontaminated frame).  Same plan as the report plus one
+    anti-join keyed on the (small) flagged-id set."""
+    flagged = contamination_report(
+        corpus, benchmark, id_col, text_col, gram_tokens, min_hits, portable_hash
+    )
+    return corpus.join(flagged.select(id_col), id_col, "leftanti")

@@ -5158,6 +5158,78 @@ def d12(spark, sf_dir):
     return dedup.duplicate_spans(_td(spark, sf_dir), gram_tokens=10, portable_hash=True)
 
 
+# Shared CTE body of d15/ll09: per-document DISTINCT 5-gram hashes of
+# both sides of the bench split (the t16-t26 convention: doc_id % 10 = 0
+# is the held-out/benchmark slice).  Corpus side keeps doc_id; benchmark
+# side collapses to the distinct hash set — mirroring the operator's
+# broadcast-side shape.
+_DECON_GRAMS = f"""
+toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
+sized AS (SELECT doc_id, t, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n FROM toks),
+bg AS (SELECT DISTINCT
+         CAST(('0x' || substr(md5(array_to_string(t[s.i:s.i+4], ' ')), 1, 15)) AS BIGINT) AS gram_hash
+       FROM sized, LATERAL (SELECT unnest(range(1, n - 4 + 1)) AS i) s
+       WHERE doc_id % 10 = 0 AND n >= 5),
+cgs AS (SELECT DISTINCT doc_id, array_to_string(t[s.i:s.i+4], ' ') AS gram
+        FROM sized, LATERAL (SELECT unnest(range(1, n - 4 + 1)) AS i) s
+        WHERE doc_id % 10 != 0 AND n >= 5),
+cg AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_hash
+       FROM cgs),
+hits AS (SELECT doc_id, CAST(count(*) AS INT) AS hits
+         FROM cg JOIN bg USING (gram_hash) GROUP BY 1)
+"""
+
+_D15_SQL = f"""
+WITH {_DECON_GRAMS}
+SELECT doc_id, hits FROM hits WHERE hits >= 1
+"""
+
+
+@register("d15_ngram_contamination", _D15_SQL)
+def d15(spark, sf_dir):
+    # Benchmark-contamination evidence: corpus docs (the train slice of
+    # the %10 bench split) sharing >=1 distinct 5-gram with the held-out
+    # slice, with the distinct-gram overlap count as the evidence column
+    # (operators/dedup.py:contamination_report).  The n-gram-overlap
+    # generalization of d11's verbatim canary probe — GPT-3's 13-gram
+    # eval dedup and FineWeb/Dolma decontamination are this exact shape.
+    d = _td(spark, sf_dir)
+    return dedup.contamination_report(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        gram_tokens=5,
+        portable_hash=True,
+    )
+
+
+_LL09_SQL = f"""
+WITH {_DECON_GRAMS}
+SELECT s.doc_id, CAST(s.n AS INT) AS n_tokens
+FROM sized s
+LEFT JOIN hits h ON h.doc_id = s.doc_id AND h.hits >= 1
+WHERE s.doc_id % 10 != 0 AND h.doc_id IS NULL
+"""
+
+
+@register("ll09_decontaminate", _LL09_SQL)
+def ll09(spark, sf_dir):
+    # The removal half: the training slice minus every d15-flagged doc
+    # (LEFT ANTI on the flagged-id set), projected to (doc_id, n_tokens)
+    # so the twin compares a compact frame
+    # (operators/dedup.py:benchmark_decontaminate).
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count
+
+    d = _td(spark, sf_dir)
+    surv = dedup.benchmark_decontaminate(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        gram_tokens=5,
+        portable_hash=True,
+    )
+    return surv.select("doc_id", token_count("text").cast("int").alias("n_tokens"))
+
+
 _T16_SQL = f"""
 WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
 base AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM toks),
@@ -6369,7 +6441,7 @@ PRIORITY: tuple[str, ...] = (
     "prof03_expectations",
     "t20_ccnet_buckets",
     "v07_quantized_topk",
-    "v08_mips_topk",
+    "d15_ngram_contamination",
     "ll01_corpus_prep",
     "ll02_sequence_packing",
     "ll05_token_budget_select",
@@ -6385,7 +6457,7 @@ PRIORITY: tuple[str, ...] = (
     "t18_bigram_logprob",
     "d11_exact_contamination",
     "v10_embedding_dup_clusters",
-    "t14_quality_threshold",
+    "ll09_decontaminate",
     "d12_duplicate_spans",
     "d13_cluster_representatives",
     "v11_knn_label_accuracy",

@@ -249,3 +249,75 @@ def test_hybrid_dedup_merges_lexical_and_semantic_chains(spark):
     ids = {r["doc_id"] for r in out.collect()}
     assert 4 in ids
     assert len(ids & {1, 2, 3}) == 1, f"cluster {{1,2,3}} must keep ONE member, got {ids}"
+
+
+# ---------------------------------------------------------------------------
+# d15/ll09: n-gram benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _decon_frames(spark):
+    # benchmark doc 100 shares its 5-gram span with corpus doc 1 only;
+    # doc 2 paraphrases (no shared 5-gram); doc 3 is unrelated; doc 4 is
+    # too short to produce a 5-gram at all
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words alpha beta gamma delta epsilon zeta eta closing words"),
+            (2, "alpha beta gamma are followed by delta then epsilon"),
+            (3, "totally unrelated content about churn pipelines in spark"),
+            (4, "alpha beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    return corpus, bench
+
+
+def test_contamination_report_flags_ngram_overlap_only(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    corpus, bench = _decon_frames(spark)
+    got = {
+        r["doc_id"]: r["hits"]
+        for r in dedup.contamination_report(corpus, bench, gram_tokens=5).collect()
+    }
+    # doc 1 embeds a 7-token verbatim span -> 3 distinct shared 5-grams
+    assert got == {1: 3}
+
+
+def test_contamination_min_hits_raises_the_bar(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    corpus, bench = _decon_frames(spark)
+    assert (
+        dedup.contamination_report(corpus, bench, gram_tokens=5, min_hits=4).count()
+        == 0
+    )
+
+
+def test_benchmark_decontaminate_preserves_columns_and_survivors(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    corpus, bench = _decon_frames(spark)
+    surv = dedup.benchmark_decontaminate(corpus, bench, gram_tokens=5)
+    assert surv.columns == corpus.columns
+    assert {r["doc_id"] for r in surv.collect()} == {2, 3, 4}
+
+
+def test_contamination_within_doc_repeats_count_once(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five")], "doc_id long, text string"
+    )
+    # the shared 5-gram appears TWICE in the corpus doc: hits must be 1
+    # (distinct grams per document), not 2
+    corpus = spark.createDataFrame(
+        [(1, "one two three four five and one two three four five")],
+        "doc_id long, text string",
+    )
+    got = dedup.contamination_report(corpus, bench, gram_tokens=5).collect()
+    assert [(r["doc_id"], r["hits"]) for r in got] == [(1, 1)]
