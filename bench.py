@@ -140,6 +140,9 @@ HEADLINE = (
     "ll08_hybrid_dedup",
     "d15_ngram_contamination",
     "ll09_decontaminate",
+    "w10_ewma_activity",
+    "ml03_calibration",
+    "v18_truncated_recall",
 )
 
 

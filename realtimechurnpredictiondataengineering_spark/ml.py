@@ -197,3 +197,40 @@ MODEL_V1: dict = {
     },
     "intercept": 0.27631253894986507,
 }
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: str = "churn_prob",
+    label_col: str = "churn_risk",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data for a scored frame — THE model-monitoring
+    report for a probabilistic classifier in production: per fixed-width
+    probability bin, how many rows landed there, what the model said on
+    average, and what actually happened.  A calibrated model tracks the
+    diagonal (``mean_prob ≈ label_rate``); divergence localized to a bin
+    shows WHERE the model lies, and the paired prof04/prof05 PSI reports
+    say whether the inputs drifted to cause it.
+
+    One aggregation over the scored frame: bin = ``floor(p·n_bins)``
+    clamped to the top bin (p = 1.0 belongs in [0.9, 1.0]), then a
+    single groupBy with count/avg — output is ``n_bins`` rows, so
+    everything after the scan is negligible at any scale, and the
+    scored frame itself never materializes (the scoring projection
+    fuses into the aggregate's scan).  NULL probabilities are excluded;
+    means round to 4 on the 1e-4 prob grid ``churn_scores`` guarantees.
+    Returns (bin, n, mean_prob, label_rate) for non-empty bins.
+    """
+    b = F.least(
+        F.greatest(F.floor(F.col(prob_col) * n_bins), F.lit(0)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        df.filter(F.col(prob_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("int").alias("n"),
+            F.round(F.avg(prob_col), 4).alias("mean_prob"),
+            F.round(F.avg(F.col(label_col).cast("double")), 4).alias("label_rate"),
+        )
+    )

@@ -121,3 +121,67 @@ def sessionize(
             F.count("*").cast("long").alias("n_events"),
         )
     )
+
+
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Exponentially weighted moving average of ``value_col`` per key,
+    folded in event-time order — the decayed-activity feature a churn
+    model wants (yesterday's session counts more than last quarter's):
+    ``y_1 = x_1;  y_i = α·x_i + (1−α)·y_{i−1}``, returning each key's
+    FINAL ewma (the feature value as of the last event) plus the event
+    count.
+
+    Plan: one groupBy shuffle collects each key's (ts, tiebreak, value)
+    structs; ``array_sort`` orders them scan-locally (struct sort is
+    lexicographic, so the tiebreak column makes the fold deterministic
+    under timestamp ties); one ``aggregate`` lambda folds the recurrence
+    — all JVM expression tree, no UDF, no window.
+
+    The fold-over-array shape is deliberate: the closed form
+    ``y_i = α·Σ (1−α)^(i−j)·x_j`` looks window-expressible, but
+    factoring the window sum requires ``(1−α)^(−j)`` terms that OVERFLOW
+    double for ``j ≳ 2000`` — the fold is exact at any length.  Per-key
+    state is one array of that key's events (the same bound as any
+    sessionization or per-entity feature build: a single entity's
+    history fits an executor; a key that doesn't is an upstream data
+    problem, not a plan problem).  Arithmetic is spelled
+    ``(α·x) + ((1−α)·acc)`` and the result rounds to 6 so a SQL oracle
+    replays the identical IEEE sequence.  NULL values are excluded
+    before the fold (they carry no activity); keys with no non-null
+    events are absent from the result.
+    """
+    a = float(alpha)
+    tie = tiebreak_col or ts_col
+    collected = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("__ts"),
+                        F.col(tie).alias("__tie"),
+                        F.col(value_col).cast("double").alias("__v"),
+                    )
+                )
+            ).alias("__events")
+        )
+    )
+    vals = F.transform("__events", lambda s: s["__v"])
+    fold = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: (F.lit(a) * x) + (F.lit(1.0 - a) * acc),
+    )
+    return collected.select(
+        F.col(key_col),
+        F.size("__events").cast("int").alias("n_events"),
+        F.round(fold, 6).alias("ewma"),
+    )

@@ -764,3 +764,59 @@ def knn_label_accuracy(
         )
         .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n"), 4))
     )
+
+
+def truncate_vectors(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension truncation: keep the first ``dims``
+    coordinates and L2-renormalize (Kusupati et al. 2022 — MRL-trained
+    encoders pack coarse-to-fine structure into prefixes, so the prefix
+    IS a valid lower-cost embedding).  The standard storage/speed trade in
+    retrieval systems: shorter vectors mean proportionally less scan
+    bytes, broadcast size, and dot-product work at a recall cost that
+    ``truncation_recall`` measures before anyone commits to it.
+
+    Pure scan-local expression (slice + one aggregate for the norm +
+    transform to divide), no shuffle; all-zero prefixes keep NULL-free
+    zeros (cosine downstream treats them as orthogonal-to-everything).
+    """
+    pre = F.slice(F.col(vec_col), 1, dims)
+    n = F.sqrt(F.aggregate(pre, F.lit(0.0), lambda a, x: a + x * x))
+    renorm = F.when(n > 0, F.transform(pre, lambda x: x / n)).otherwise(pre)
+    return df.withColumn(vec_col, renorm)
+
+
+def truncation_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Recall@k of truncated-then-renormalized (MRL prefix) search
+    against full-dimension exact search — the evaluation that prices a
+    dimension cut BEFORE re-encoding a corpus: run top-k at ``dims``
+    and at full width over the same queries, compare with
+    ``ann_recall``.  Composition of existing pieces (two broadcast
+    brute-force passes + the recall join), so the plan inherits their
+    shapes; at sweep time the truncated pass costs ``dims/full`` of the
+    exact one.  Returns (query_id, k, n_hit, recall)."""
+    exact = brute_force_topk(
+        corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
+    )
+    approx = brute_force_topk(
+        truncate_vectors(corpus, dims, vec_col),
+        truncate_vectors(queries, dims, query_vec_col),
+        k,
+        id_col,
+        vec_col,
+        query_id_col,
+        query_vec_col,
+    )
+    return ann_recall(approx, exact, query_id_col, id_col)

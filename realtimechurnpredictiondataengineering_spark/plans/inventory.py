@@ -232,6 +232,49 @@ def ml01(spark, sf_dir):
     )
 
 
+def _ml03_sql() -> str:
+    from realtimechurnpredictiondataengineering_spark.ml import FEATURES, MODEL_V1
+
+    defaults = {"days_since_last_login": 999}
+    terms = " ".join(
+        f"+ {MODEL_V1['coefficients'][c]!r} * CAST(coalesce({c}, {defaults.get(c, 0)}) AS DOUBLE)"
+        for c in FEATURES
+    )
+    return f"""
+WITH feats AS ({_FLAGSHIP_SQL}),
+z AS (SELECT churn_risk,
+             round({MODEL_V1['intercept']!r} {terms}, 6) AS churn_logit
+      FROM feats),
+p AS (SELECT churn_risk,
+             round(1.0 / (1.0 + exp(-churn_logit)), 4) AS churn_prob
+      FROM z)
+SELECT CAST(least(greatest(floor(churn_prob * 10), 0), 9) AS INT) AS bin,
+       CAST(count(*) AS INT) AS n,
+       round(avg(churn_prob), 4) AS mean_prob,
+       round(avg(CAST(churn_risk AS DOUBLE)), 4) AS label_rate
+FROM p GROUP BY 1
+"""
+
+
+@register("ml03_calibration", _ml03_sql)
+def ml03(spark, sf_dir):
+    # Reliability diagram of the compiled MODEL_V1 scores against the
+    # rule label: per fixed-width probability decile, count, mean
+    # predicted probability, observed label rate (ml.py:
+    # calibration_report).  Zero-join: the scoring projection and the
+    # label ride the SAME feature scan and fuse into one aggregate; the
+    # output is <= 10 rows at any corpus size.
+    from realtimechurnpredictiondataengineering_spark import ml
+
+    feats = churn_features(spark, sf_dir)
+    z = F.round(ml.score_expression(ml.MODEL_V1["coefficients"], ml.MODEL_V1["intercept"]), 6)
+    scored = feats.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("churn_prob"),
+        F.col("churn_risk"),
+    )
+    return ml.calibration_report(scored)
+
+
 def _ml02_sql() -> str:
     from realtimechurnpredictiondataengineering_spark.ml import (
         FEATURES,
@@ -1272,6 +1315,44 @@ def v01(spark, sf_dir):
         F.size("embedding").alias("dim"),
         F.round(vec.norm(dv), 6).alias("l2_norm"),
     )
+
+
+_V18_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+exact_s AS (SELECT query_id, vec_id, {SQL_COSINE.format(a='qv', b='cv')} AS cos FROM q, c),
+exact AS (SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id DESC) AS r
+            FROM exact_s) WHERE r <= 5),
+qt AS (SELECT query_id, list_transform(qv[1:16], x -> x / sqrt(list_dot_product(qv[1:16], qv[1:16]))) AS qv FROM q),
+ct AS (SELECT vec_id, list_transform(cv[1:16], x -> x / sqrt(list_dot_product(cv[1:16], cv[1:16]))) AS cv FROM c),
+trunc_s AS (SELECT query_id, vec_id, {SQL_COSINE.format(a='qv', b='cv')} AS cos FROM qt, ct),
+approx AS (SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id DESC) AS r
+             FROM trunc_s) WHERE r <= 5)
+SELECT e.query_id, CAST(count(*) AS INT) AS k,
+       CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+       round(CAST(count(a.vec_id) AS DOUBLE) / count(*), 4) AS recall
+FROM exact e LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY 1
+"""
+
+
+@register("v18_truncated_recall", _V18_SQL)
+def v18(spark, sf_dir):
+    # Matryoshka truncation priced before anyone commits to it: recall@5
+    # of prefix-16-renormalized search vs full-64 exact search over the
+    # v02 query set (operators/similarity.py:truncate_vectors/
+    # truncation_recall).  Both passes are broadcast brute force (the
+    # eval loop, not the serving path); the truncated pass costs
+    # dims/full of the exact one, which is the trade being measured.
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.truncation_recall(e, qs, dims=16, k=5)
 
 
 _V02_SQL = f"""
@@ -6305,6 +6386,35 @@ FROM sess GROUP BY 1
 """
 
 
+_W10_SQL = """
+WITH o AS (SELECT user_id,
+                  list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+           FROM events WHERE value IS NOT NULL GROUP BY 1)
+SELECT user_id,
+       CAST(len(vals) AS INT) AS n_events,
+       round(list_reduce(vals,
+             (acc, x) -> (CAST(0.3 AS DOUBLE) * x) + (CAST(0.7 AS DOUBLE) * acc)), 6) AS ewma
+FROM o
+"""
+
+
+@register("w10_ewma_activity", _W10_SQL)
+def w10(spark, sf_dir):
+    # Decayed activity per user: EWMA of event value in event-time order
+    # (alpha=0.3, event_id tiebreak) — the recency-weighted feature a
+    # churn model wants next to q00's plain aggregates
+    # (operators/rollup.py:ewma_by_key).  One groupBy shuffle, then a
+    # scan-local array_sort + aggregate fold: DuckDB's list_reduce seeds
+    # the accumulator with the first element, which is exactly the
+    # y_1 = x_1 recurrence both engines replay term for term.
+    from realtimechurnpredictiondataengineering_spark.operators import rollup
+
+    return rollup.ewma_by_key(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "value",
+        alpha=0.3, tiebreak_col="event_id",
+    )
+
+
 @register("w09_session_rollup", _W09_SQL)
 def w09(spark, sf_dir):
     # Composition: sessionize (w08) THEN hierarchical rollup (st08) —
@@ -6436,17 +6546,17 @@ PRIORITY: tuple[str, ...] = (
     "d05_near_dedup_survivors",
     "d06_dup_clusters",
     "d08_incremental_dedup",
-    "w09_session_rollup",
+    "w10_ewma_activity",
     "v02_brute_force_topk",
     "prof03_expectations",
     "t20_ccnet_buckets",
-    "v07_quantized_topk",
+    "v18_truncated_recall",
     "d15_ngram_contamination",
     "ll01_corpus_prep",
     "ll02_sequence_packing",
     "ll05_token_budget_select",
     "ll06_refinedweb_pipeline",
-    "ll04_corpus_shuffle",
+    "ml03_calibration",
     "v12_pq_topk",
     "v13_ivf_pq_topk",
     "t21_dsir_importance",

@@ -52,6 +52,7 @@ BNLJ_DOMAIN_BOUNDED = {
     "v12_pq_topk": "per-query ADC LUT set broadcast over the coded corpus scan",
     "v14_pq_recall": "exact side is v08's broadcast query-set scan",
     "d11_exact_contamination": "eval-suite probe table (bench split) broadcast",
+    "v18_truncated_recall": "both passes broadcast the 3-query literal-keyed set (v02 shape)",
 }
 
 _AGG = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

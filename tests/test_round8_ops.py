@@ -321,3 +321,98 @@ def test_contamination_within_doc_repeats_count_once(spark):
     )
     got = dedup.contamination_report(corpus, bench, gram_tokens=5).collect()
     assert [(r["doc_id"], r["hits"]) for r in got] == [(1, 1)]
+
+
+# ---------------------------------------------------------------------------
+# w10: EWMA by key
+# ---------------------------------------------------------------------------
+
+
+def test_ewma_matches_hand_fold_and_breaks_ties(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.rollup import ewma_by_key
+
+    rows = [
+        # user 1: ordered values 10, 20, 30 -> y = 10, 13, 18.1
+        (1, "2024-01-01 00:00:00", 1, 10.0),
+        (1, "2024-01-01 00:02:00", 3, 30.0),
+        (1, "2024-01-01 00:01:00", 2, 20.0),
+        # user 2: timestamp TIE — event_id orders 5.0 before 100.0
+        (2, "2024-01-01 00:00:00", 1, 5.0),
+        (2, "2024-01-01 00:00:00", 2, 100.0),
+        # user 3: NULL value excluded, single survivor -> ewma = x1
+        (3, "2024-01-01 00:00:00", 1, None),
+        (3, "2024-01-01 00:01:00", 2, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_by_key(df, "user_id", "ts", "value", 0.3, "event_id").collect()
+    }
+    assert got[1] == (3, round(0.3 * 30 + 0.7 * (0.3 * 20 + 0.7 * 10), 6))
+    assert got[2] == (2, round(0.3 * 100 + 0.7 * 5, 6))
+    assert got[3] == (1, 7.0)
+
+
+# ---------------------------------------------------------------------------
+# ml03: calibration report
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_report_bins_and_clamps(spark):
+    from realtimechurnpredictiondataengineering_spark.ml import calibration_report
+
+    rows = [
+        (0.05, 0), (0.08, 0),          # bin 0: mean 0.065, rate 0.0
+        (0.55, 1), (0.55, 0),          # bin 5: mean 0.55, rate 0.5
+        (1.0, 1),                      # p = 1.0 clamps into bin 9
+        (None, 1),                     # NULL prob excluded
+    ]
+    df = spark.createDataFrame(rows, "churn_prob double, churn_risk int")
+    got = {r["bin"]: (r["n"], r["mean_prob"], r["label_rate"])
+           for r in calibration_report(df).collect()}
+    assert got == {0: (2, 0.065, 0.0), 5: (2, 0.55, 0.5), 9: (1, 1.0, 1.0)}
+
+
+# ---------------------------------------------------------------------------
+# v18: Matryoshka truncation recall
+# ---------------------------------------------------------------------------
+
+
+def test_truncate_vectors_renormalizes_prefix(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        truncate_vectors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 100.0, 100.0])], "vec_id long, embedding array<double>"
+    )
+    got = truncate_vectors(df, 2).collect()[0]["embedding"]
+    assert got == [pytest.approx(0.6), pytest.approx(0.8)]
+
+
+def test_truncation_recall_full_dims_is_perfect_and_prefix_degrades(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        truncation_recall,
+    )
+
+    # corpus designed so the 2-dim PREFIX misleads: doc 1's prefix is
+    # the query's prefix exactly (cos 1.0 truncated) but its tail points
+    # the other way; docs 2/3 win on the full vector
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.2, 1.0, -1.0, -1.0]),
+            (2, [0.0, 0.9, 1.0, 1.0]),
+            (3, [0.0, 0.8, 1.0, 1.0]),
+            (4, [-1.0, -1.0, -1.0, -1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qs = spark.createDataFrame(
+        [(0, [0.2, 1.0, 1.0, 1.0])], "query_id long, query_vec array<double>"
+    )
+    full = truncation_recall(corpus, qs, dims=4, k=2).collect()[0]
+    assert (full["n_hit"], full["recall"]) == (2, 1.0)
+    cut = truncation_recall(corpus, qs, dims=2, k=2).collect()[0]
+    assert cut["recall"] == 0.5
