@@ -143,6 +143,7 @@ HEADLINE = (
     "w10_ewma_activity",
     "ml03_calibration",
     "v18_truncated_recall",
+    "v19_kmeans_assign",
 )
 
 

@@ -45,3 +45,34 @@ def release_caches() -> int:
             pass  # session already stopped — nothing to release
     _TRACKED.clear()
     return n
+
+
+def stats_free_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that also RESETS plan statistics —
+    the checkpoint an ITERATIVE loop must use.
+
+    ``localCheckpoint`` truncates lineage but copies the origin plan's
+    estimated statistics onto the resulting ``LogicalRDD``
+    (``originStats``), and join estimation MULTIPLIES input sizes — so a
+    loop that joins checkpointed frames into the next round's
+    checkpointed frames compounds the estimate geometrically (measured
+    in connected_components: ``sizeInBytes`` grew ~6.7× in BIT LENGTH
+    per round until BigInteger arithmetic inside Catalyst's stats
+    visitor dominated the round, then OOMed the driver — with the data
+    shrinking the whole time).  Rebuilding from the materialized
+    internal-row RDD drops ``originStats``; the fresh ``LogicalRDD``
+    reports the constant session default, so estimation cost stays flat
+    at any round count.  The trade: inherited small-size estimates are
+    lost, so in-loop joins won't be broadcast-promoted — the correct
+    posture for loop state that grows with the data (labels, edges,
+    centroid assignments).  Falls back to the plain checkpoint when the
+    JVM handle is absent (e.g. Spark Connect)."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        jqe = ck._jdf.queryExecution()
+        jdf = ck.sparkSession._jsparkSession.internalCreateDataFrame(
+            jqe.toRdd(), jqe.analyzed().schema(), False
+        )
+        return DataFrame(jdf, ck.sparkSession)
+    except Exception:  # pragma: no cover - non-py4j backends
+        return ck

@@ -639,36 +639,9 @@ def _cc_jump(propagated: DataFrame) -> DataFrame:
     )
 
 
-def _cc_checkpoint(df: DataFrame) -> DataFrame:
-    """``localCheckpoint(eager=True)`` that also RESETS plan statistics.
-
-    ``localCheckpoint`` truncates lineage but copies the origin plan's
-    estimated statistics onto the resulting ``LogicalRDD``
-    (``originStats``) — and join estimation MULTIPLIES input sizes, so
-    an iterative loop that joins checkpointed frames into the next
-    round's checkpointed frames compounds the estimate geometrically:
-    measured on a 1,000-link chain, ``sizeInBytes`` grew ~6.7× in BIT
-    LENGTH per round (67 → 432 → 2,885 → … bits), until BigInteger
-    arithmetic inside Catalyst's stats visitor dominated the round
-    (13×/round slowdown) and finally OOMed the driver — with the DATA
-    shrinking the whole time.  Rebuilding the frame from the
-    materialized internal-row RDD drops ``originStats``; the fresh
-    ``LogicalRDD`` reports the constant session default, so every
-    round's estimation cost is flat.  (Losing the inherited estimate
-    only forgoes broadcast-join promotion inside the loop — correct
-    posture anyway: at scale the label frame is NOT broadcastable.)
-    Falls back to the plain checkpoint when the JVM handle is absent
-    (e.g. Spark Connect), where the stats-compounding path differs.
-    """
-    ck = df.localCheckpoint(eager=True)
-    try:
-        jqe = ck._jdf.queryExecution()
-        jdf = ck.sparkSession._jsparkSession.internalCreateDataFrame(
-            jqe.toRdd(), jqe.analyzed().schema(), False
-        )
-        return DataFrame(jdf, ck.sparkSession)
-    except Exception:  # pragma: no cover - non-py4j backends
-        return ck
+from realtimechurnpredictiondataengineering_spark.cache import (
+    stats_free_checkpoint as _cc_checkpoint,  # CC rounds MUST reset originStats (see cache.py)
+)
 
 
 def _cc_contract(edges: DataFrame, labels: DataFrame) -> DataFrame:

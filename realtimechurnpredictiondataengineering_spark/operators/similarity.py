@@ -820,3 +820,98 @@ def truncation_recall(
         query_vec_col,
     )
     return ann_recall(approx, exact, query_id_col, id_col)
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the FULL vector table — the
+    cluster-scale twin of ``train_ivf_centroids`` (which trains on a
+    driver-side sample): when nlist grows to the point that the
+    training sample itself is corpus-scale (FAISS doctrine wants ~100s
+    of training vectors per centroid, so a 1M-list index trains on
+    ~100M vectors), assignment and re-estimation must run as Spark
+    jobs.  Deterministic end to end, so a SQL oracle can replay every
+    round: init = the ``k`` vectors with the smallest ids (cluster j =
+    rank j), squared-L2 assignment with distances snapped to the 1e-9
+    grid and ties broken by cluster index, per-dimension means snapped
+    to the 1e-6 grid, an empty cluster keeps its previous centroid.
+
+    Per round: ONE corpus-scan assignment (vectors × broadcast k-row
+    centroid frame, fold-computed distance, ``min_by`` argmin — no
+    window, no shuffle of the vector table) and ONE re-estimation
+    shuffle (posexplode to (cluster, dim, value) partial means).  The
+    k-row centroid frame is rebuilt each round and
+    ``stats_free_checkpoint``-ed: checkpointing keeps round plans flat,
+    and resetting ``originStats`` keeps Catalyst's size estimate from
+    compounding across rounds (the connected_components lesson —
+    see cache.py).  Rounds are a FIXED budget, not a convergence loop:
+    training is offline, the artifact ships frozen (the v05/v16
+    posture), and a fixed budget is what makes the result reproducible
+    and oracle-checkable.  Returns the final assignment
+    (id, cluster: int).
+    """
+    from realtimechurnpredictiondataengineering_spark.cache import (
+        persist_tracked as _persist,
+        stats_free_checkpoint,
+    )
+
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).transform(_persist)
+    w_init = Window.orderBy(id_col)
+    centroids = stats_free_checkpoint(
+        vecs.orderBy(id_col)
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).cast("int").alias("cluster"),
+            F.col("__v").alias("__c"),
+        )
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("__v", "__c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        scored = vecs.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col("__v"),
+            F.col("cluster"),
+            dist.alias("__d"),
+        )
+        return scored.groupBy(id_col).agg(
+            F.min_by("cluster", F.struct("__d", "cluster")).alias("cluster"),
+            F.first("__v").alias("__v"),
+        )
+
+    for _ in range(rounds):
+        assigned = assign(centroids)
+        means = (
+            assigned.select("cluster", F.posexplode("__v").alias("dim", "__x"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("__x"), 6).alias("__m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__new")
+            )
+        )
+        centroids = stats_free_checkpoint(
+            centroids.join(means, "cluster", "left").select(
+                "cluster", F.coalesce("__new", "__c").alias("__c")
+            )
+        )
+    return assign(centroids).select(
+        F.col(id_col), F.col("cluster").cast("int").alias("cluster")
+    )

@@ -1317,6 +1317,57 @@ def v01(spark, sf_dir):
     )
 
 
+def _v19_sql(k: int = 8, rounds: int = 3, dims: int = 64) -> str:
+    """Unrolled-round DuckDB twin of the distributed Lloyd's k-means:
+    each round is two CTEs (argmin assignment, grid-snapped per-dim
+    means with the empty-cluster coalesce) — the fixed round budget is
+    what makes the whole training replayable as SQL."""
+    dist = (
+        f"round(list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> (x[i] - c[i]) * (x[i] - c[i]))), 9)"
+    )
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)",
+        f"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, x AS c
+       FROM (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""a{r} AS (SELECT vec_id, x, cluster FROM (
+         SELECT v.vec_id, v.x, c{r - 1}.cluster,
+                row_number() OVER (PARTITION BY v.vec_id
+                                   ORDER BY {dist}, c{r - 1}.cluster) AS rn
+         FROM v, c{r - 1}) WHERE rn = 1)""")
+        ctes.append(f"""m{r} AS (SELECT cluster, t.dim, round(avg(x[t.dim]), 6) AS mv
+       FROM a{r}, LATERAL (SELECT unnest(range(1, {dims + 1})) AS dim) t
+       GROUP BY 1, 2)""")
+        ctes.append(f"""c{r} AS (SELECT p.cluster, coalesce(n.c, p.c) AS c
+       FROM c{r - 1} p LEFT JOIN
+            (SELECT cluster, list(mv ORDER BY dim) AS c FROM m{r} GROUP BY 1) n
+       USING (cluster))""")
+    final = f"""af AS (SELECT vec_id, cluster FROM (
+         SELECT v.vec_id, c{rounds}.cluster,
+                row_number() OVER (PARTITION BY v.vec_id
+                                   ORDER BY {dist}, c{rounds}.cluster) AS rn
+         FROM v, c{rounds}) WHERE rn = 1)"""
+    ctes.append(final)
+    return "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, CAST(cluster AS INT) AS cluster FROM af"
+
+
+@register("v19_kmeans_assign", _v19_sql)
+def v19(spark, sf_dir):
+    # Distributed Lloyd's k-means (k=8, 3 fixed rounds) over the full
+    # embedding table — the cluster-scale twin of the driver-side sample
+    # trainer behind _ivf_centroids (operators/similarity.py:
+    # kmeans_lloyd).  Per round: one broadcast-assignment corpus scan +
+    # one re-estimation shuffle; the k-row centroid frame is rebuilt and
+    # stats_free_checkpoint-ed each round (the connected_components
+    # lesson).  Deterministic: smallest-id init, 1e-9 distance grid with
+    # cluster-index tie-break, 1e-6 mean grid, empty clusters keep their
+    # previous centroid — the oracle replays all rounds unrolled.
+    e = _te(spark, sf_dir)
+    return similarity.kmeans_lloyd(e, k=8, rounds=3)
+
+
 _V18_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -6557,7 +6608,7 @@ PRIORITY: tuple[str, ...] = (
     "ll05_token_budget_select",
     "ll06_refinedweb_pipeline",
     "ml03_calibration",
-    "v12_pq_topk",
+    "v19_kmeans_assign",
     "v13_ivf_pq_topk",
     "t21_dsir_importance",
     "t17_unigram_logprob_capped",

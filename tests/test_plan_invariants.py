@@ -53,6 +53,8 @@ BNLJ_DOMAIN_BOUNDED = {
     "v14_pq_recall": "exact side is v08's broadcast query-set scan",
     "d11_exact_contamination": "eval-suite probe table (bench split) broadcast",
     "v18_truncated_recall": "both passes broadcast the 3-query literal-keyed set (v02 shape)",
+    "v19_kmeans_assign": "k-row checkpointed centroid frame broadcast (k is config; "
+    "the checkpoint makes it an opaque ExistingRDD the shape rule cannot read)",
 }
 
 _AGG = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

@@ -416,3 +416,44 @@ def test_truncation_recall_full_dims_is_perfect_and_prefix_degrades(spark):
     assert (full["n_hit"], full["recall"]) == (2, 1.0)
     cut = truncation_recall(corpus, qs, dims=2, k=2).collect()[0]
     assert cut["recall"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# v19: distributed Lloyd's k-means
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_lloyd_separates_planted_blobs(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    # two tight blobs far apart; init takes ids 1 and 2 (one from each
+    # blob), so 3 rounds must converge to the planted partition
+    rows = [(1, [0.0, 0.0]), (2, [10.0, 10.0])]
+    rows += [(10 + i, [0.1 * i, 0.05 * i]) for i in range(5)]
+    rows += [(20 + i, [10.0 + 0.1 * i, 10.0 - 0.05 * i]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["cluster"] for r in kmeans_lloyd(df, k=2, rounds=3).collect()}
+    low = {got[1], *(got[10 + i] for i in range(5))}
+    high = {got[2], *(got[20 + i] for i in range(5))}
+    assert low == {0} and high == {1}
+
+
+def test_kmeans_lloyd_empty_cluster_keeps_previous_centroid(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        kmeans_lloyd,
+    )
+
+    # init = ids 1,2,3; points 2 and 3 coincide, so one of their two
+    # clusters empties after round 1 — the round must not NaN out and
+    # every vector must still get a cluster
+    rows = [(1, [0.0, 0.0]), (2, [5.0, 5.0]), (3, [5.0, 5.0]), (4, [0.2, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = kmeans_lloyd(df, k=3, rounds=3).collect()
+    assert len(got) == 4
+    assert all(r["cluster"] in (0, 1, 2) for r in got)
+    by_id = {r["vec_id"]: r["cluster"] for r in got}
+    # ties on identical points break to the lower cluster index, both rounds
+    assert by_id[2] == by_id[3] == 1
+    assert by_id[1] == by_id[4] == 0
