@@ -144,6 +144,8 @@ HEADLINE = (
     "ml03_calibration",
     "v18_truncated_recall",
     "v19_kmeans_assign",
+    "c06_merge_upserts",
+    "prof06_completeness",
 )
 
 

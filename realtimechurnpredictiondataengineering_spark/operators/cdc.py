@@ -88,6 +88,36 @@ def scd2_history(
     )
 
 
+def merge_frames(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_cols: list[str],
+    op_col: str = "_op",
+) -> DataFrame:
+    """The MERGE INTO core as pure frames (no storage dependency): keep
+    target rows whose key has no incoming change (anti-join on the
+    change-key set), union the per-key change winners (``latest_state``),
+    drop keys whose latest change is a delete — SCD type 1 upsert
+    semantics, exactly what Delta's ``MERGE INTO`` executes, expressed
+    on any target frame.  ``changes`` must carry the target's columns
+    (plus ``op_col`` and the ``seq_cols``); the winner projection maps
+    it onto the target schema.
+
+    Scale shape: the only wide work is ``latest_state``'s per-key window
+    over the CHANGE BATCH (small by definition) and the anti-join, whose
+    build side is the distinct change-key set — AQE broadcasts it when
+    the batch is small (the target scan never shuffles) and falls back
+    to a shuffle join for backfill-sized batches; no hint is forced for
+    exactly that reason (see ``merge_snapshot``)."""
+    from realtimechurnpredictiondataengineering_spark.operators.joins import anti_join
+
+    incoming = latest_state(changes, keys, seq_cols, op_col=op_col, drop_deletes=True)
+    change_keys = changes.select(*keys).distinct()
+    kept = anti_join(target, change_keys, on=keys)
+    return kept.unionByName(incoming.select(*target.columns))
+
+
 def merge_snapshot(
     spark,
     target_path: str,

@@ -346,3 +346,45 @@ def psi_report(
             F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_term"),
         )
     )
+
+
+def completeness_matrix(
+    df: DataFrame,
+    segment_col: str,
+    cols: list[str],
+) -> DataFrame:
+    """Per-segment completeness grid — the data-quality monitor a
+    production pipeline alerts on: for every (segment, column) cell, row
+    count and NULL rate.  A column going dark in ONE segment (a producer
+    dropped a field, a schema change missed one topic) is invisible in
+    the global profile (``column_profile``) because the other segments
+    dilute it; the grid localizes it.
+
+    One scan, one aggregate: per-column null counts are conditional sums
+    computed segment-wise (map-side partial), then the wide row unpivots
+    via ``stack`` into the (segment, column) grid — output cardinality
+    is segments × columns, so everything after the scan is negligible.
+    Column names are injected as string literals; they come from the
+    caller's schema (``df.columns``-derived), not from data, and are
+    validated against it so a typo fails loudly instead of profiling a
+    phantom column.
+    """
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    aggs = [F.count("*").alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+    wide = df.groupBy(F.col(segment_col).alias("segment")).agg(*aggs)
+    pairs = ", ".join(f"'{c}', __null_{c}" for c in cols)
+    return (
+        wide.selectExpr(
+            "segment", "__n", f"stack({len(cols)}, {pairs}) AS (column, __nulls)"
+        )
+        .select(
+            "segment",
+            F.col("column"),
+            F.col("__n").cast("long").alias("n"),
+            F.round(F.col("__nulls") / F.col("__n"), 4).alias("null_rate"),
+        )
+    )

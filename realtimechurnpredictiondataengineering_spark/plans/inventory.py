@@ -2863,6 +2863,55 @@ def c04(spark, sf_dir):
     return cdc.snapshot_diff(old, new, keys=["o_orderkey"], compare_cols=["o_orderstatus", "price"])
 
 
+_C06_SQL = """
+WITH ch AS (SELECT user_id, event_id AS last_event_id, round(value, 2) AS last_value,
+                   CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+                   ts
+            FROM events),
+old AS (SELECT * FROM ch WHERE last_event_id % 4 != 0),
+new AS (SELECT * FROM ch WHERE last_event_id % 4 = 0),
+target AS (SELECT user_id, last_event_id, last_value FROM old
+           QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, last_event_id DESC) = 1
+             AND op <> 'd'),
+incoming AS (SELECT user_id, last_event_id, last_value FROM new
+             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, last_event_id DESC) = 1
+               AND op <> 'd'),
+kept AS (SELECT t.* FROM target t ANTI JOIN (SELECT DISTINCT user_id FROM new) n USING (user_id))
+SELECT * FROM kept UNION ALL SELECT * FROM incoming
+"""
+
+
+@register("c06_merge_upserts", _C06_SQL)
+def c06(spark, sf_dir):
+    # MERGE INTO semantics as pure frames (operators/cdc.py:
+    # merge_frames): the snapshot built from the first change-log slice
+    # receives the second slice as a change batch — unchanged keys kept
+    # via anti-join, per-key winners upserted, delete-latest keys
+    # dropped.  What Delta MERGE executes, expressed storage-free so the
+    # oracle replays it.
+    from realtimechurnpredictiondataengineering_spark.operators import cdc
+
+    e = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    ch = e.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        round2(F.col("value")).alias("last_value"),
+        op.alias("_op"),
+        "ts",
+    )
+    old = ch.filter(F.col("last_event_id") % 4 != 0)
+    new = ch.filter(F.col("last_event_id") % 4 == 0)
+    target = cdc.latest_state(old, ["user_id"], ["ts", "last_event_id"]).select(
+        "user_id", "last_event_id", "last_value"
+    )
+    return cdc.merge_frames(target, new, ["user_id"], ["ts", "last_event_id"])
+
+
 @register(
     "ll01_corpus_prep",
     f"""
@@ -5829,6 +5878,40 @@ FROM j JOIN tot USING (dim) GROUP BY 1
 """
 
 
+_PROF06_COLS = ("days_since_last_login", "total_declined", "avg_ticket_sentiment", "last_order_date")
+
+_PROF06_NULLSUMS = ", ".join(
+    f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS __null_{c}" for c in _PROF06_COLS
+)
+_PROF06_UNION = " UNION ALL ".join(
+    f"SELECT segment, '{c}' AS \"column\", CAST(n AS BIGINT) AS n, "
+    f"round(CAST(__null_{c} AS DOUBLE) / n, 4) AS null_rate FROM wide"
+    for c in _PROF06_COLS
+)
+
+_PROF06_SQL = f"""
+WITH feats AS ({_FLAGSHIP_SQL}),
+wide AS (SELECT segment, count(*) AS n, {_PROF06_NULLSUMS}
+         FROM feats GROUP BY 1)
+{_PROF06_UNION}
+"""
+
+
+@register("prof06_completeness", _PROF06_SQL)
+def prof06(spark, sf_dir):
+    # Per-segment completeness grid over the Gold feature frame — the
+    # data-quality monitor that localizes a column going dark in ONE
+    # segment, which the global profile dilutes away (operators/
+    # profiling.py:completeness_matrix).  The profiled NULLs are real:
+    # they come from the flagship's left joins (customers with no
+    # activity, no declines, no tickets).  One scan, one aggregate,
+    # output = segments x columns.
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    feats = churn_features(spark, sf_dir)
+    return profiling.completeness_matrix(feats, "segment", list(_PROF06_COLS))
+
+
 @register("prof05_embedding_drift", _PROF05_SQL)
 def prof05(spark, sf_dir):
     # Per-dimension PSI between two embedding snapshots (the bench-split
@@ -6611,9 +6694,9 @@ PRIORITY: tuple[str, ...] = (
     "v19_kmeans_assign",
     "v13_ivf_pq_topk",
     "t21_dsir_importance",
-    "t17_unigram_logprob_capped",
+    "prof06_completeness",
     "d14_tf_cosine_pairs",
-    "c05_profile_drift",
+    "c06_merge_upserts",
     "m01_media_features",
     "t18_bigram_logprob",
     "d11_exact_contamination",

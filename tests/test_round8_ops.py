@@ -457,3 +457,69 @@ def test_kmeans_lloyd_empty_cluster_keeps_previous_centroid(spark):
     # ties on identical points break to the lower cluster index, both rounds
     assert by_id[2] == by_id[3] == 1
     assert by_id[1] == by_id[4] == 0
+
+
+# ---------------------------------------------------------------------------
+# c06: frame-level MERGE (upsert/delete apply)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_frames_upserts_deletes_and_keeps(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import cdc
+
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    # key 2 updated twice (latest wins), key 3 deleted, key 4 inserted,
+    # key 5 inserted-then-deleted (must not appear), key 1 untouched
+    changes = spark.createDataFrame(
+        [
+            (2, 21.0, "u", 1),
+            (2, 22.0, "u", 2),
+            (3, 0.0, "d", 1),
+            (4, 40.0, "c", 1),
+            (5, 50.0, "c", 1),
+            (5, 0.0, "d", 2),
+        ],
+        "k long, v double, _op string, seq long",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in cdc.merge_frames(target, changes, ["k"], ["seq"]).collect()
+    }
+    assert got == {1: 10.0, 2: 22.0, 4: 40.0}
+
+
+# ---------------------------------------------------------------------------
+# prof06: completeness matrix
+# ---------------------------------------------------------------------------
+
+
+def test_completeness_matrix_localizes_a_dark_segment(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.profiling import (
+        completeness_matrix,
+    )
+
+    rows = [("a", 1.0, "x"), ("a", 2.0, None), ("b", None, "y"), ("b", None, "z")]
+    df = spark.createDataFrame(rows, "seg string, v double, s string")
+    got = {
+        (r["segment"], r["column"]): (r["n"], r["null_rate"])
+        for r in completeness_matrix(df, "seg", ["v", "s"]).collect()
+    }
+    # column v went dark in segment b only; the grid shows exactly that
+    assert got == {
+        ("a", "v"): (2, 0.0),
+        ("a", "s"): (2, 0.5),
+        ("b", "v"): (2, 1.0),
+        ("b", "s"): (2, 0.0),
+    }
+
+
+def test_completeness_matrix_rejects_unknown_columns(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.profiling import (
+        completeness_matrix,
+    )
+
+    df = spark.createDataFrame([("a", 1.0)], "seg string, v double")
+    with pytest.raises(ValueError, match="phantom"):
+        completeness_matrix(df, "seg", ["phantom"])
