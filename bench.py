@@ -146,6 +146,7 @@ HEADLINE = (
     "v19_kmeans_assign",
     "c06_merge_upserts",
     "prof06_completeness",
+    "t27_ngram_novelty",
 )
 
 

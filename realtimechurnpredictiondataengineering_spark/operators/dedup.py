@@ -1177,3 +1177,89 @@ def benchmark_decontaminate(
         corpus, benchmark, id_col, text_col, gram_tokens, min_hits, portable_hash
     )
     return corpus.join(flagged.select(id_col), id_col, "leftanti")
+
+
+def ngram_novelty(
+    target: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_tokens: int = 5,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Per-document n-gram novelty of TARGET against CORPUS — the
+    memorization/freshness metric an eval-set builder checks before
+    trusting a benchmark (a "new" test set whose n-grams mostly exist
+    in the training corpus measures recall, not generalization; the
+    same score ranks candidate eval docs by contamination risk, the
+    continuous view of ``contamination_report``'s binary flag):
+    ``novelty = |target grams ∉ corpus| / |target grams|`` over each
+    document's DISTINCT stride-1 ``gram_tokens``-grams.
+
+    Scale shape: inverted from ``contamination_report``, because here
+    the BIG side is the reference — the corpus gram set does NOT
+    broadcast; instead the (bounded) target side's grams LEFT-join the
+    corpus gram-hash set reduced to distinct keys, so the corpus pays
+    one scan + one distinct and the join shuffles only gram hashes
+    (8-byte keys), never documents.  Documents shorter than
+    ``gram_tokens`` have no grams: they surface with ``n_grams = 0``
+    and ``novelty = 1.0`` (nothing about them is attested in the
+    corpus) rather than silently dropping.  Returns
+    (id, n_grams, n_novel, novelty) with novelty rounded to 4.
+    """
+    hash_fn = portable_hash60 if portable_hash else F.xxhash64
+    tgrams = (
+        target.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.when(
+                    token_count(text_col) >= gram_tokens,
+                    F.array_distinct(
+                        word_kgrams(tokens(text_col), gram_tokens, min_one=False)
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("__gram"),
+        )
+        .select(
+            F.col(id_col),
+            # explicit NULL guard: xxhash64(NULL) returns the SEED hash
+            # (non-null), which would mint a phantom gram for every
+            # short document — the md5 path returns NULL; both must.
+            F.when(
+                F.col("__gram").isNotNull(), hash_fn(F.col("__gram"))
+            ).alias("gram_hash"),
+        )
+    )
+    cgrams = (
+        corpus.filter(token_count(text_col) >= gram_tokens)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    word_kgrams(tokens(text_col), gram_tokens, min_one=False)
+                )
+            ).alias("__gram")
+        )
+        .select(hash_fn(F.col("__gram")).alias("gram_hash"), F.lit(1).alias("__seen"))
+        .distinct()
+    )
+    joined = tgrams.join(cgrams, "gram_hash", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("gram_hash").cast("int").alias("n_grams"),
+            F.sum(
+                F.when(F.col("gram_hash").isNotNull() & F.col("__seen").isNull(), 1)
+                .otherwise(0)
+            ).cast("int").alias("n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.when(F.col("n_grams") > 0, F.col("n_novel") / F.col("n_grams"))
+                .otherwise(F.lit(1.0)),
+                4,
+            ).alias("novelty"),
+        )
+    )

@@ -5361,6 +5361,47 @@ hits AS (SELECT doc_id, CAST(count(*) AS INT) AS hits
          FROM cg JOIN bg USING (gram_hash) GROUP BY 1)
 """
 
+_T27_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents),
+sized AS (SELECT doc_id, t, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n FROM toks),
+cg AS (SELECT DISTINCT
+         CAST(('0x' || substr(md5(array_to_string(t[s.i:s.i+4], ' ')), 1, 15)) AS BIGINT) AS gram_hash
+       FROM sized, LATERAL (SELECT unnest(range(1, n - 4 + 1)) AS i) s
+       WHERE doc_id % 10 != 0 AND n >= 5),
+tg AS (SELECT DISTINCT doc_id, array_to_string(t[s.i:s.i+4], ' ') AS gram
+       FROM sized, LATERAL (SELECT unnest(range(1, n - 4 + 1)) AS i) s
+       WHERE doc_id % 10 = 0 AND n >= 5),
+tgh AS (SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) AS gram_hash FROM tg),
+agg AS (SELECT t.doc_id, CAST(count(*) AS INT) AS n_grams,
+               CAST(sum(CASE WHEN c.gram_hash IS NULL THEN 1 ELSE 0 END) AS INT) AS n_novel
+        FROM tgh t LEFT JOIN cg c USING (gram_hash) GROUP BY 1)
+SELECT s.doc_id,
+       coalesce(a.n_grams, 0) AS n_grams,
+       coalesce(a.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(a.n_grams, 0) > 0
+            THEN round(CAST(a.n_novel AS DOUBLE) / a.n_grams, 4) ELSE 1.0 END AS novelty
+FROM sized s LEFT JOIN agg a USING (doc_id)
+WHERE s.doc_id % 10 = 0
+"""
+
+
+@register("t27_ngram_novelty", _T27_SQL)
+def t27(spark, sf_dir):
+    # N-gram novelty of the held-out slice against the train slice — the
+    # continuous view of d15's binary contamination flag, and the
+    # freshness score an eval-set builder ranks candidates by
+    # (operators/dedup.py:ngram_novelty).  Inverted scale shape from
+    # d15: the reference side is the BIG one, so nothing broadcasts by
+    # construction — the join shuffles 8-byte gram hashes only.
+    d = _td(spark, sf_dir)
+    return dedup.ngram_novelty(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+        gram_tokens=5,
+        portable_hash=True,
+    )
+
+
 _D15_SQL = f"""
 WITH {_DECON_GRAMS}
 SELECT doc_id, hits FROM hits WHERE hits >= 1
@@ -6698,7 +6739,7 @@ PRIORITY: tuple[str, ...] = (
     "d14_tf_cosine_pairs",
     "c06_merge_upserts",
     "m01_media_features",
-    "t18_bigram_logprob",
+    "t27_ngram_novelty",
     "d11_exact_contamination",
     "v10_embedding_dup_clusters",
     "ll09_decontaminate",

@@ -523,3 +523,39 @@ def test_completeness_matrix_rejects_unknown_columns(spark):
     df = spark.createDataFrame([("a", 1.0)], "seg string, v double")
     with pytest.raises(ValueError, match="phantom"):
         completeness_matrix(df, "seg", ["phantom"])
+
+
+# ---------------------------------------------------------------------------
+# t27: n-gram novelty
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_scores_every_path(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(100, "one two three four five six")], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [
+            # 2 grams, 1 attested ("one..five"), 1 novel ("two..six2")
+            (1, "one two three four five six2"),
+            # fully attested single gram
+            (2, "two three four five six"),
+            # fully novel
+            (3, "alpha beta gamma delta epsilon"),
+            # shorter than the gram -> 0 grams, novelty sentinel 1.0
+            (4, "one two"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in dedup.ngram_novelty(target, corpus, gram_tokens=5).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (1, 0, 0.0),
+        3: (1, 1, 1.0),
+        4: (0, 0, 1.0),
+    }
