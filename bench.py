@@ -147,6 +147,8 @@ HEADLINE = (
     "c06_merge_upserts",
     "prof06_completeness",
     "t27_ngram_novelty",
+    "ml04_feature_importance",
+    "ml05_score_drift",
 )
 
 

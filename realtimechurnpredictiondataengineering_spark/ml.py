@@ -234,3 +234,44 @@ def calibration_report(
             F.round(F.avg(F.col(label_col).cast("double")), 4).alias("label_rate"),
         )
     )
+
+
+def feature_importance(
+    features_df: DataFrame,
+    coefficients: dict[str, float],
+) -> DataFrame:
+    """Linear-model feature importance: |coefficient| × population
+    standard deviation of the feature THE MODEL ACTUALLY SEES (after the
+    NULL-coalescing defaults) — the standardized-coefficient view that
+    makes weights on differently-scaled features comparable, and the
+    first report anyone asks for when a score moves ("which feature is
+    driving it?").  Pairs with the monitoring set: prof04/prof05 say the
+    INPUTS drifted, ml03 says the calibration broke, this says which
+    lever is big enough to matter.
+
+    One keyless aggregate over the feature scan computes every stddev
+    map-side (7 columns, one row), then the wide row unpivots via
+    ``stack`` against the coefficient literals — output is one row per
+    feature at any corpus size.  ``stddev_samp`` on both engines;
+    everything rounds to 6.  Returns (feature, coef, std, importance)
+    with importance = round(|coef| · std, 6).
+    """
+    defaults = {"days_since_last_login": 999}
+    aggs = [
+        F.stddev_samp(
+            F.coalesce(F.col(c), F.lit(defaults.get(c, 0))).cast("double")
+        ).alias(f"__s_{c}")
+        for c in FEATURES
+    ]
+    wide = features_df.agg(*aggs)
+    pairs = ", ".join(f"'{c}', __s_{c}" for c in FEATURES)
+    unpivoted = wide.selectExpr(f"stack({len(FEATURES)}, {pairs}) AS (feature, __std)")
+    coef = F.lit(None).cast("double")
+    for c in FEATURES:
+        coef = F.when(F.col("feature") == c, F.lit(float(coefficients[c]))).otherwise(coef)
+    return unpivoted.select(
+        "feature",
+        F.round(coef, 6).alias("coef"),
+        F.round("__std", 6).alias("std"),
+        F.round(F.abs(coef) * F.col("__std"), 6).alias("importance"),
+    )

@@ -232,6 +232,103 @@ def ml01(spark, sf_dir):
     )
 
 
+def _ml04_sql() -> str:
+    from realtimechurnpredictiondataengineering_spark.ml import FEATURES, MODEL_V1
+
+    defaults = {"days_since_last_login": 999}
+    stds = ", ".join(
+        f"stddev_samp(CAST(coalesce({c}, {defaults.get(c, 0)}) AS DOUBLE)) AS __s_{c}"
+        for c in FEATURES
+    )
+    arms = " UNION ALL ".join(
+        f"SELECT '{c}' AS feature, round({MODEL_V1['coefficients'][c]!r}, 6) AS coef, "
+        f"round(__s_{c}, 6) AS std, "
+        f"round(abs({MODEL_V1['coefficients'][c]!r}) * __s_{c}, 6) AS importance FROM wide"
+        for c in FEATURES
+    )
+    return f"""
+WITH feats AS ({_FLAGSHIP_SQL}),
+wide AS (SELECT {stds} FROM feats)
+{arms}
+"""
+
+
+@register("ml04_feature_importance", _ml04_sql)
+def ml04(spark, sf_dir):
+    # Standardized-coefficient importance of the frozen MODEL_V1 over
+    # the population the model actually scores: |coef| x stddev of the
+    # COALESCED feature (ml.py:feature_importance).  One keyless
+    # aggregate over the feature scan, stack-unpivoted against the
+    # coefficient literals; one output row per feature at any scale.
+    from realtimechurnpredictiondataengineering_spark import ml
+
+    feats = churn_features(spark, sf_dir)
+    return ml.feature_importance(feats, ml.MODEL_V1["coefficients"])
+
+
+_ML05_SQL = f"""
+WITH feats AS ({_FLAGSHIP_SQL}),
+z AS (SELECT customer_id,
+             round({{intercept}} {{terms}}, 6) AS churn_logit
+      FROM feats),
+p AS (SELECT customer_id,
+             round(1.0 / (1.0 + exp(-churn_logit)), 4) AS v
+      FROM z),
+ref AS (SELECT CAST(least(greatest(floor((v - 0.0) / CAST(0.1 AS DOUBLE)), 0), 9) AS INT) AS bin, count(*) AS cr
+        FROM p WHERE customer_id % 2 = 0 AND v IS NOT NULL GROUP BY 1),
+cur AS (SELECT CAST(least(greatest(floor((v - 0.0) / CAST(0.1 AS DOUBLE)), 0), 9) AS INT) AS bin, count(*) AS cc
+        FROM p WHERE customer_id % 2 = 1 AND v IS NOT NULL GROUP BY 1),
+bins AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bin),
+j AS (SELECT b.bin, coalesce(r.cr, 0) AS cr, coalesce(c.cc, 0) AS cc
+      FROM bins b LEFT JOIN ref r USING (bin) LEFT JOIN cur c USING (bin)),
+tot AS (SELECT sum(cr) AS tr, sum(cc) AS tc FROM j)
+SELECT bin, round(0.0 + bin * CAST(0.1 AS DOUBLE), 6) AS lo_edge,
+       round((cr + 0.5) / (tr + 5.0), 6) AS p_ref,
+       round((cc + 0.5) / (tc + 5.0), 6) AS p_cur,
+       round(((cc + 0.5) / (tc + 5.0) - (cr + 0.5) / (tr + 5.0))
+             * ln(((cc + 0.5) / (tc + 5.0)) / ((cr + 0.5) / (tr + 5.0))), 6) AS psi_term
+FROM j, tot
+"""
+
+
+def _ml05_sql() -> str:
+    from realtimechurnpredictiondataengineering_spark.ml import FEATURES, MODEL_V1
+
+    defaults = {"days_since_last_login": 999}
+    terms = " ".join(
+        f"+ {MODEL_V1['coefficients'][c]!r} * CAST(coalesce({c}, {defaults.get(c, 0)}) AS DOUBLE)"
+        for c in FEATURES
+    )
+    return _ML05_SQL.format(intercept=repr(MODEL_V1["intercept"]), terms=terms)
+
+
+@register("ml05_score_drift", _ml05_sql)
+def ml05(spark, sf_dir):
+    # PSI over the model's OUTPUT distribution between two population
+    # slices — the score-drift monitor that closes the triad: prof04/
+    # prof05 watch the inputs, ml03 watches calibration, ml05 watches
+    # the scores themselves (a score distribution moving while inputs
+    # look stable is the classic sign of a feature-pipeline bug).
+    # Composition: the compiled scoring projection feeds prof04's
+    # psi_report — the scored frame never materializes.
+    from realtimechurnpredictiondataengineering_spark import ml
+    from realtimechurnpredictiondataengineering_spark.operators import profiling
+
+    feats = churn_features(spark, sf_dir)
+    z = F.round(ml.score_expression(ml.MODEL_V1["coefficients"], ml.MODEL_V1["intercept"]), 6)
+    scored = feats.select(
+        "customer_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("churn_prob"),
+    )
+    return profiling.psi_report(
+        scored.filter(F.col("customer_id") % 2 == 0).select("churn_prob"),
+        scored.filter(F.col("customer_id") % 2 == 1).select("churn_prob"),
+        "churn_prob",
+        lo=0.0,
+        hi=1.0,
+    )
+
+
 def _ml03_sql() -> str:
     from realtimechurnpredictiondataengineering_spark.ml import FEATURES, MODEL_V1
 
@@ -6734,9 +6831,9 @@ PRIORITY: tuple[str, ...] = (
     "ml03_calibration",
     "v19_kmeans_assign",
     "v13_ivf_pq_topk",
-    "t21_dsir_importance",
+    "ml05_score_drift",
     "prof06_completeness",
-    "d14_tf_cosine_pairs",
+    "ml04_feature_importance",
     "c06_merge_upserts",
     "m01_media_features",
     "t27_ngram_novelty",

@@ -559,3 +559,34 @@ def test_ngram_novelty_scores_every_path(spark):
         3: (1, 1, 1.0),
         4: (0, 0, 1.0),
     }
+
+
+# ---------------------------------------------------------------------------
+# ml04: feature importance
+# ---------------------------------------------------------------------------
+
+
+def test_feature_importance_is_abs_coef_times_std(spark):
+    import statistics
+
+    from realtimechurnpredictiondataengineering_spark import ml
+
+    # two customers; days_since_last_login NULL coalesces to 999 BEFORE
+    # the stddev, which is the population the model actually sees
+    rows = [(1, 100.0, 10.0, 2, 5, 3, 20.0), (2, 300.0, 30.0, 6, None, 9, 40.0)]
+    df = spark.createDataFrame(
+        rows,
+        "customer_id long, acctbal double, total_revenue double, n_orders long, "
+        "days_since_last_login int, sessions long, arpu double",
+    )
+    got = {
+        r["feature"]: r
+        for r in ml.feature_importance(df, ml.MODEL_V1["coefficients"]).collect()
+    }
+    assert set(got) == set(ml.FEATURES)
+    std_days = statistics.stdev([5, 999])
+    want = round(abs(ml.MODEL_V1["coefficients"]["days_since_last_login"]) * std_days, 6)
+    assert got["days_since_last_login"]["importance"] == want
+    for f in ml.FEATURES:
+        r = got[f]
+        assert r["importance"] >= 0 and r["std"] >= 0
