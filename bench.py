@@ -149,6 +149,7 @@ HEADLINE = (
     "t27_ngram_novelty",
     "ml04_feature_importance",
     "ml05_score_drift",
+    "ll10_decontaminated_refinedweb",
 )
 
 

@@ -6354,6 +6354,49 @@ FROM scum WHERE cum_tokens <= 20000
 """.replace("{MINHASH}", _sql_minhash_lsh_ctes("exact"))
 
 
+def _ll10_sql() -> str:
+    """The ll06 twin with the decontamination stage spliced in: every
+    base-table reference is rebound to ``corpus_docs`` (the training
+    slice minus d15-flagged docs), built from the same _DECON_GRAMS
+    CTE fragment d15/ll09 share — one SQL body, three entries, zero
+    drift between the operator and its composition."""
+    body = _LL06_SQL.replace("FROM documents", "FROM corpus_docs")
+    header = (
+        "WITH RECURSIVE\n"
+        + _DECON_GRAMS.strip()
+        + ",\ncorpus_docs AS (SELECT d.* FROM documents d\n"
+        + "  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.hits >= 1\n"
+        + "  WHERE d.doc_id % 10 != 0 AND h.doc_id IS NULL),\n"
+    )
+    return body.replace("WITH RECURSIVE\n", header, 1)
+
+
+@register("ll10_decontaminated_refinedweb", _ll10_sql)
+def ll10(spark, sf_dir):
+    # The production pipeline order end-to-end: benchmark
+    # decontamination FIRST (ll09 against the held-out slice — training
+    # on eval text corrupts the benchmark no matter how well it is
+    # deduped), THEN the full RefinedWeb chain (gates -> exact dedup ->
+    # MinHash-LSH -> CC -> representatives -> budget).  Decon runs
+    # before the gates because a contaminated doc must not survive even
+    # if it is high quality; both stages are scan-local-first, so the
+    # composition stays cost-ordered.
+    from realtimechurnpredictiondataengineering_spark.plans.corpus_prep import (
+        refinedweb_pipeline,
+    )
+
+    d = _td(spark, sf_dir)
+    clean = dedup.benchmark_decontaminate(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        gram_tokens=5,
+        portable_hash=True,
+    )
+    return refinedweb_pipeline(
+        clean, budget=20_000, repetition_max=0.6, portable_hash=True
+    )
+
+
 @register("ll06_refinedweb_pipeline", _LL06_SQL)
 def ll06(spark, sf_dir):
     # RefinedWeb-style composition: gopher gates -> exact content dedup
@@ -6826,7 +6869,7 @@ PRIORITY: tuple[str, ...] = (
     "d15_ngram_contamination",
     "ll01_corpus_prep",
     "ll02_sequence_packing",
-    "ll05_token_budget_select",
+    "ll10_decontaminated_refinedweb",
     "ll06_refinedweb_pipeline",
     "ml03_calibration",
     "v19_kmeans_assign",

@@ -34,6 +34,11 @@ STAGE_ASSERTED_EXECUTES_ON_BUILD = {
     "ll06_refinedweb_pipeline",
     "ll08_hybrid_dedup",
     "ml02_streaming_churn_scores",
+    # ll10 = decon (lazy half gate-audited via d15's plan) + the ll06
+    # chain (stage-asserted by test_ll06_post_cc_plan_shape + the CC
+    # round gate); running CC on build keeps it out of the whole-plan
+    # fixture exactly like ll06.
+    "ll10_decontaminated_refinedweb",
 }
 
 # BNLJ builds that are bounded by DOMAIN, not by plan structure — the
