@@ -53,6 +53,22 @@ def round2(col: Column) -> Column:
     return F.round(col, 2)
 
 
+def snap(col: Column | str, scale: int) -> Column:
+    """Round to ``scale`` digits AND normalize IEEE signed zero.
+
+    ``round()`` of a tiny negative (e.g. -1.3e-07 at scale 6) yields
+    ``-0.0`` in some engines (DuckDB) and ``+0.0`` in others (Spark);
+    value comparisons treat them as equal but BITWISE canonicalizers
+    (``pd.util.hash_pandas_object``, parquet bytes) do not.  Appending
+    ``+ 0.0`` lands both engines on ``+0.0`` (IEEE: -0.0 + 0.0 = +0.0)
+    without changing any nonzero value or NULL.  Use this instead of
+    ``F.round`` for every rounded OUTPUT column whose value can reach
+    zero from below; the DuckDB twin spells it ``round(x, n) + 0.0``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c, scale) + F.lit(0.0)
+
+
 def pseudo_score(col: Column | str, buckets: int = 10) -> Column:
     """P11 — deterministic hash-bucket pseudo-score in [0, (buckets-1)/buckets].
 

@@ -33,6 +33,8 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from realtimechurnpredictiondataengineering_spark.functions.scalar import snap
+
 #: Committed Gold feature snapshot (tools/gen_fixtures.py) — the ml02
 #: streaming-scoring entry streams it; the DuckDB oracle replays it.
 #: A directory (one stable file inside): the file streaming source
@@ -122,7 +124,7 @@ def churn_scores(
     input on every engine (the adc_dot fixed-point-grid argument); the
     prediction thresholds the exact logit at 0.  Works unchanged on a
     streaming DataFrame — pure stateless projection."""
-    z = F.round(score_expression(coefficients, intercept), 6)
+    z = snap(score_expression(coefficients, intercept), 6)
     return features_df.select(
         F.col(id_col),
         z.alias("churn_logit"),
@@ -253,8 +255,11 @@ def feature_importance(
     map-side (7 columns, one row), then the wide row unpivots via
     ``stack`` against the coefficient literals — output is one row per
     feature at any corpus size.  ``stddev_samp`` on both engines;
-    everything rounds to 6.  Returns (feature, coef, std, importance)
-    with importance = round(|coef| · std, 6).
+    everything rounds to 6 via ``snap`` (a coefficient like
+    total_revenue's -1.27e-07 rounds to -0.0 in DuckDB but +0.0 in
+    Spark; snap normalizes both to +0.0 so bitwise hashes agree).
+    Returns (feature, coef, std, importance) with
+    importance = snap(|coef| · std, 6).
     """
     defaults = {"days_since_last_login": 999}
     aggs = [
@@ -271,7 +276,7 @@ def feature_importance(
         coef = F.when(F.col("feature") == c, F.lit(float(coefficients[c]))).otherwise(coef)
     return unpivoted.select(
         "feature",
-        F.round(coef, 6).alias("coef"),
-        F.round("__std", 6).alias("std"),
-        F.round(F.abs(coef) * F.col("__std"), 6).alias("importance"),
+        snap(coef, 6).alias("coef"),
+        snap("__std", 6).alias("std"),
+        snap(F.abs(coef) * F.col("__std"), 6).alias("importance"),
     )

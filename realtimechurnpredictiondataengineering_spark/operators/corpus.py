@@ -1113,7 +1113,7 @@ def dsir_importance(
         .join(F.broadcast(tgt), "__tok", "left")
         .crossJoin(consts)
         .groupBy(id_col)
-        .agg(F.round(F.avg(F.log2(p_t) - F.log2(p_r)), 4).alias("importance"))
+        .agg((F.round(F.avg(F.log2(p_t) - F.log2(p_r)), 4) + F.lit(0.0)).alias("importance"))
     )
     return (
         toks.select(F.col(id_col), "n_tokens")

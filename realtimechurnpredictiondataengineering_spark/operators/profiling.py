@@ -148,20 +148,22 @@ def profile_drift(
     mean delta, rounded to 4.
     """
 
+    from realtimechurnpredictiondataengineering_spark.functions.scalar import snap
+
     def prof(df: DataFrame, side: str) -> DataFrame:
         return df.groupBy(group_col).agg(
             F.count("*").alias(f"n_{side}"),
             F.round(
                 F.avg(F.col(value_col).isNull().cast("double")), 4
             ).alias(f"null_rate_{side}"),
-            F.round(F.avg(value_col), 4).alias(f"mean_{side}"),
+            snap(F.avg(value_col), 4).alias(f"mean_{side}"),
             F.round(F.stddev_pop(value_col), 4).alias(f"std_{side}"),
         )
 
     joined = prof(old, "old").join(prof(new, "new"), group_col, "full_outer")
     return joined.withColumn(
         "mean_delta",
-        F.round(F.coalesce("mean_new", F.lit(0.0)) - F.coalesce("mean_old", F.lit(0.0)), 4),
+        snap(F.coalesce("mean_new", F.lit(0.0)) - F.coalesce("mean_old", F.lit(0.0)), 4),
     )
 
 

@@ -180,8 +180,10 @@ def ewma_by_key(
         F.element_at(vals, 1),
         lambda acc, x: (F.lit(a) * x) + (F.lit(1.0 - a) * acc),
     )
+    from realtimechurnpredictiondataengineering_spark.functions.scalar import snap
+
     return collected.select(
         F.col(key_col),
         F.size("__events").cast("int").alias("n_events"),
-        F.round(fold, 6).alias("ewma"),
+        snap(fold, 6).alias("ewma"),
     )

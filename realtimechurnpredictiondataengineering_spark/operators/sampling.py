@@ -221,7 +221,10 @@ def weighted_reservoir_sample(
         raise ValueError("buckets must be a power of two <= 2**24")
     w = F.col(weight) if isinstance(weight, str) else weight
     u = (hash_bucket(key, buckets) + F.lit(0.5)) / F.lit(float(buckets))
-    es_key = F.round(F.log(u) / w, 9)
+    # snap (round + 0.0) rather than bare round: a weight large enough to
+    # push log(u)/w inside (-5e-10, 0) would round to -0.0 in DuckDB but
+    # +0.0 in Spark, flipping the tie-break order between engines
+    es_key = F.round(F.log(u) / w, 9) + F.lit(0.0)
     return (
         df.filter(w > 0)
         .select(

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from realtimechurnpredictiondataengineering_spark.functions import text as tx
 from realtimechurnpredictiondataengineering_spark.functions import vectors as vec
-from realtimechurnpredictiondataengineering_spark.functions.scalar import pseudo_score, round2
+from realtimechurnpredictiondataengineering_spark.functions.scalar import pseudo_score, round2, snap
 from realtimechurnpredictiondataengineering_spark.operators import dedup, joins, similarity
 from realtimechurnpredictiondataengineering_spark.operators.partitioning import stage_hot_table
 from realtimechurnpredictiondataengineering_spark.plans.gold import DEFAULT_AS_OF, churn_features
@@ -206,7 +206,7 @@ def _ml01_sql() -> str:
     return f"""
 WITH feats AS ({_FLAGSHIP_SQL}),
 z AS (SELECT customer_id,
-             round({MODEL_V1['intercept']!r} {terms}, 6) AS churn_logit
+             round({MODEL_V1['intercept']!r} {terms}, 6) + 0.0 AS churn_logit
       FROM feats)
 SELECT customer_id, churn_logit,
        CAST(churn_logit > 0 AS INT) AS churn_pred,
@@ -240,10 +240,12 @@ def _ml04_sql() -> str:
         f"stddev_samp(CAST(coalesce({c}, {defaults.get(c, 0)}) AS DOUBLE)) AS __s_{c}"
         for c in FEATURES
     )
+    # round(..) + 0.0 = the snap rule: total_revenue's coef -1.27e-07
+    # rounds to -0.0 here but +0.0 in Spark; +0.0 lands both on +0.0
     arms = " UNION ALL ".join(
-        f"SELECT '{c}' AS feature, round({MODEL_V1['coefficients'][c]!r}, 6) AS coef, "
-        f"round(__s_{c}, 6) AS std, "
-        f"round(abs({MODEL_V1['coefficients'][c]!r}) * __s_{c}, 6) AS importance FROM wide"
+        f"SELECT '{c}' AS feature, round({MODEL_V1['coefficients'][c]!r}, 6) + 0.0 AS coef, "
+        f"round(__s_{c}, 6) + 0.0 AS std, "
+        f"round(abs({MODEL_V1['coefficients'][c]!r}) * __s_{c}, 6) + 0.0 AS importance FROM wide"
         for c in FEATURES
     )
     return f"""
@@ -387,7 +389,7 @@ def _ml02_sql() -> str:
     fixture = GOLD_FEATURES_FIXTURE.replace("'", "''")
     return f"""
 WITH z AS (SELECT customer_id,
-             round({MODEL_V1['intercept']!r} {terms}, 6) AS churn_logit
+             round({MODEL_V1['intercept']!r} {terms}, 6) + 0.0 AS churn_logit
       FROM read_parquet('{fixture}/*.parquet'))
 SELECT customer_id, churn_logit,
        CAST(churn_logit > 0 AS INT) AS churn_pred,
@@ -2223,8 +2225,8 @@ def a13(spark, sf_dir):
     "SELECT l_returnflag, "
     "round(stddev_samp(l_extendedprice), 4) AS sd_price, "
     "round(var_samp(l_quantity), 4) AS var_qty, "
-    "round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, "
-    "round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp, "
+    "round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS corr_qp, "
+    "round(covar_samp(l_quantity, l_extendedprice), 4) + 0.0 AS covar_qp, "
     "round(min(l_discount), 2) AS min_disc, round(max(l_discount), 2) AS max_disc "
     "FROM lineitem GROUP BY l_returnflag",
 )
@@ -2236,8 +2238,8 @@ def a14(spark, sf_dir):
     return l.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        snap(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        snap(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
         F.round(F.min("l_discount"), 2).alias("min_disc"),
         F.round(F.max("l_discount"), 2).alias("max_disc"),
     )
@@ -5677,7 +5679,7 @@ consts AS (SELECT (SELECT sum(nr) FROM raw) AS rn,
                   (SELECT sum(ntg) FROM tgt) AS tn),
 s AS (SELECT doc_id,
              round(avg(log2((coalesce(ntg, 0) + 1.0) / (tn + v))
-                       - log2((coalesce(nr, 0) + 1.0) / (rn + v))), 4) AS importance
+                       - log2((coalesce(nr, 0) + 1.0) / (rn + v))), 4) + 0.0 AS importance
       FROM ex LEFT JOIN raw USING (tok) LEFT JOIN tgt USING (tok), consts
       GROUP BY doc_id)
 SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
@@ -5928,7 +5930,7 @@ _S10_SQL = f"""
 WITH q AS (SELECT doc_id, {SQL_QUALITY} AS quality FROM documents),
 keyed AS (SELECT doc_id, CAST(quality AS DOUBLE) AS weight_value,
                  round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1048576 + 0.5) / 1048576.0)
-                       / quality, 9) AS sample_key
+                       / quality, 9) + 0.0 AS sample_key
           FROM q WHERE quality > 0)
 SELECT doc_id, weight_value, sample_key
 FROM keyed ORDER BY sample_key DESC, doc_id ASC LIMIT 50
@@ -6640,21 +6642,21 @@ _C05_SQL = """
 WITH o AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_old,
          round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 4) AS null_rate_old,
-         round(avg(value), 4) AS mean_old,
+         round(avg(value), 4) + 0.0 AS mean_old,
          round(stddev_pop(value), 4) AS std_old
   FROM events WHERE event_id % 2 = 0 GROUP BY 1
 ),
 n AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_new,
          round(avg(CASE WHEN value IS NULL THEN 1.0 ELSE 0.0 END), 4) AS null_rate_new,
-         round(avg(value), 4) AS mean_new,
+         round(avg(value), 4) + 0.0 AS mean_new,
          round(stddev_pop(value), 4) AS std_new
   FROM events WHERE event_id % 2 = 1 GROUP BY 1
 )
 SELECT coalesce(o.event_type, n.event_type) AS event_type,
        n_old, null_rate_old, mean_old, std_old,
        n_new, null_rate_new, mean_new, std_new,
-       round(coalesce(mean_new, 0.0) - coalesce(mean_old, 0.0), 4) AS mean_delta
+       round(coalesce(mean_new, 0.0) - coalesce(mean_old, 0.0), 4) + 0.0 AS mean_delta
 FROM o FULL OUTER JOIN n ON o.event_type = n.event_type
 """
 
@@ -6708,7 +6710,7 @@ WITH o AS (SELECT user_id,
 SELECT user_id,
        CAST(len(vals) AS INT) AS n_events,
        round(list_reduce(vals,
-             (acc, x) -> (CAST(0.3 AS DOUBLE) * x) + (CAST(0.7 AS DOUBLE) * acc)), 6) AS ewma
+             (acc, x) -> (CAST(0.3 AS DOUBLE) * x) + (CAST(0.7 AS DOUBLE) * acc)), 6) + 0.0 AS ewma
 FROM o
 """
 

@@ -12,7 +12,15 @@ contracts on every window entry, executing each side exactly ONCE:
    must survive pandas column-sort + row-sort + hash (the driver's
    ``_canon`` shape);
 2. value match — tests/oracle_harness.py's row-count/columns/value
-   comparison, fed the same fetched rows.
+   comparison, fed the same fetched rows;
+3. BITWISE hash match — ``pd.util.hash_pandas_object`` digests of both
+   canonicalized frames must agree.  Tuple equality (check 2) treats
+   ``0.0 == -0.0`` as equal; the driver's pandas hash is bitwise and
+   does not — exactly how ml04 passed both local gates and failed the
+   round-8 driver (a -1.27e-07 coefficient rounds to -0.0 in DuckDB,
+   +0.0 in Spark).  Engine representation trivia (int32 vs int64, µs vs
+   ns timestamps, date objects vs datetime64) are normalized first so
+   only value-level bit divergence fails.
 
 Any failure (including a missing oracle: the window policy is that every
 slot is value-checkable) exits non-zero.  Runs at sf0.001 by default for
@@ -51,6 +59,52 @@ def driver_canon_probe(pdf: pd.DataFrame) -> str | None:
     except Exception as exc:  # noqa: BLE001 - the probe's whole job
         return f"{type(exc).__name__}: {exc}"
     return None
+
+
+def bitwise_row_hashes(pdf: pd.DataFrame) -> "pd.Series":
+    """The driver's value-hash contract: canonicalize (column-sort,
+    row-sort, reset index) then ``pd.util.hash_pandas_object`` per row.
+    Floats hash by BIT PATTERN, so ``-0.0 != +0.0`` — the distinction
+    tuple equality misses.  Cross-engine representation trivia normalize
+    first: ints → int64, floats → float64 (bits untouched), datetimes →
+    ns, object columns holding ``date``/``datetime`` values → ns."""
+    import datetime as _dt
+
+    out = {}
+    for c in sorted(pdf.columns):
+        s = pdf[c].reset_index(drop=True)
+        if pd.api.types.is_bool_dtype(s):
+            s = s.astype("bool")
+        elif pd.api.types.is_integer_dtype(s):
+            s = s.astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            s = s.astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            s = s.astype("datetime64[ns]")
+        elif s.dtype == object:
+            vals = s.dropna()
+            if len(vals) and all(isinstance(v, _dt.date) for v in vals):
+                s = pd.to_datetime(s).astype("datetime64[ns]")
+        out[c] = s
+    frame = pd.DataFrame(out)
+    cols = list(frame.columns)
+    if cols and len(frame):
+        frame = frame.sort_values(by=cols).reset_index(drop=True)
+    return pd.util.hash_pandas_object(frame, index=False)
+
+
+def bitwise_hash_mismatch(spdf: pd.DataFrame, dpdf: pd.DataFrame) -> str | None:
+    """Compare the driver's bitwise row-hash multisets; None if they
+    agree, else a diagnostic naming the first differing canonical rows."""
+    sh = bitwise_row_hashes(spdf)
+    dh = bitwise_row_hashes(dpdf)
+    if list(sh) == list(dh):
+        return None
+    bad = [i for i, (a, b) in enumerate(zip(sh, dh)) if a != b][:3]
+    return (
+        "bitwise hash mismatch (tuple-equal values can still differ in bit "
+        f"pattern, e.g. -0.0 vs +0.0): canonical rows {bad or 'length-diff'}"
+    )
 
 
 def main() -> int:
@@ -107,6 +161,8 @@ def main() -> int:
                     ok, msg = compare_fetched(spark_cols, spark_rows, duck_cols, duck_rows)
                     if not ok:
                         errs.append(msg)
+                    elif (bit := bitwise_hash_mismatch(spdf, dpdf)) is not None:
+                        errs.append(bit)
             except Exception as exc:  # noqa: BLE001
                 errs.append(f"oracle EXCEPTION: {type(exc).__name__}: {exc}")
         if errs:
