@@ -277,9 +277,36 @@ def embedding_psi(
     p_ref = (F.col("__cr") + F.lit(0.5)) / (F.col("__tr") + F.lit(0.5) * n_bins)
     p_cur = (F.col("__cc") + F.lit(0.5)) / (F.col("__tc") + F.lit(0.5) * n_bins)
     term = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9)
-    return (
+    # configured-dims guard: a dims/encoder mismatch must fail loudly, not
+    # read as "no drift" (coordinates beyond the grid would silently
+    # vanish; configured dims absent from the data would report psi = 0.0
+    # — both sides Laplace-smoothed from zero counts).  One max(size)
+    # probe per side (1-row result, broadcast into the config-sized term
+    # frame); assert_true raises at runtime, keeping the check
+    # distributed — no driver-side collect.
+    probe = (
+        reference.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("__sz"))
+        .unionByName(
+            current.filter(F.col(vec_col).isNotNull()).select(F.size(vec_col).alias("__sz"))
+        )
+        .agg(F.max("__sz").alias("__max_sz"))
+    )
+    checked = (
         joined.join(F.broadcast(tot), "dim")
-        .groupBy(F.col("dim").cast("int").alias("dim"))
+        .crossJoin(F.broadcast(probe))
+        .filter(
+            F.assert_true(
+                F.col("__max_sz") == dims,
+                F.concat(
+                    F.lit(f"embedding_psi: configured dims={dims} but observed vector size "),
+                    F.col("__max_sz").cast("string"),
+                ),
+            ).isNull()
+        )
+    )
+    return (
+        checked.groupBy(F.col("dim").cast("int").alias("dim"))
         .agg(F.round(F.sum(term), 6).alias("psi"))
     )
 
@@ -375,10 +402,19 @@ def completeness_matrix(
     if missing:
         raise ValueError(f"columns not in frame: {missing}")
     aggs = [F.count("*").alias("__n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+    for i, c in enumerate(cols):
+        # positional aliases: a legitimate column name containing quotes,
+        # backslashes, backticks, or spaces must not reach the generated
+        # stack() SQL as an identifier
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{i}"))
     wide = df.groupBy(F.col(segment_col).alias("segment")).agg(*aggs)
-    pairs = ", ".join(f"'{c}', __null_{c}" for c in cols)
+    # names are spliced as string LITERALS — escape backslashes first
+    # (Spark treats them as escape sequences inside '...'), then double
+    # embedded quotes (the expectations_report rule)
+    pairs = ", ".join(
+        "'{}', __null_{}".format(c.replace("\\", "\\\\").replace("'", "''"), i)
+        for i, c in enumerate(cols)
+    )
     return (
         wide.selectExpr(
             "segment", "__n", f"stack({len(cols)}, {pairs}) AS (column, __nulls)"

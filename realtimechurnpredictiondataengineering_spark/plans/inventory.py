@@ -410,11 +410,17 @@ def ml02(spark, sf_dir):
     # twin checks by replaying the fixture in SQL.  Runs the streaming
     # job at call time, so the whole-plan gate stage-asserts it instead
     # (tests/test_plan_invariants.py).
+    import atexit
+    import shutil
     import tempfile
 
     from realtimechurnpredictiondataengineering_spark import ml
 
     base = tempfile.mkdtemp(prefix="ml02_scores_")
+    # the returned DataFrame reads lazily from `base`, so removal must
+    # wait for process exit — without this, repeated bench/harness runs
+    # strand one scores+checkpoint directory per invocation in tmp
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     return ml.streaming_churn_scores(
         spark,
         ml.GOLD_FEATURES_FIXTURE,
