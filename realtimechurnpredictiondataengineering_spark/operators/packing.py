@@ -152,11 +152,18 @@ def token_budget_select(
     budget, so the output never exceeds ``budget`` tokens (the first
     straddling document is dropped, not truncated — token-level
     truncation belongs to packing).
+
+    If ``docs`` already carries an ``n_tokens`` column (the corpus
+    pipelines compute it in their first, persisted scan), it is used
+    as-is — re-running the normalize+split regexes over every cached
+    survivor was pure duplicated scan work.
     Returns (id, quality, n_tokens, cum_tokens) for the kept prefix.
     """
-    with_tc = docs.withColumn("n_tokens", tx.token_count(text_col)).withColumn(
-        "__negq", -F.col(quality_col)
-    )
+    with_tc = (
+        docs
+        if "n_tokens" in docs.columns
+        else docs.withColumn("n_tokens", tx.token_count(text_col))
+    ).withColumn("__negq", -F.col(quality_col))
     cum = global_prefix_sum(with_tc, ["__negq", id_col], "n_tokens", out_col="cum_tokens")
     return (
         cum.filter(F.col("cum_tokens") <= budget)

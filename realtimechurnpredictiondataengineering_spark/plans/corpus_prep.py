@@ -150,7 +150,14 @@ def refinedweb_pipeline(
     gated = (
         docs.withColumn("quality", tx.quality_score("text"))
         .filter(keep)
-        .select("doc_id", "text", "quality")
+        # n_tokens rides the persisted frame (4 bytes/row) so the budget
+        # pass reads a column instead of re-running normalize+split over
+        # every cached survivor.  The token ARRAY deliberately does NOT:
+        # caching it would roughly double the cache footprint (the array
+        # is about the bytes of the text itself), and its only consumer
+        # is the signature scan, which is itself persisted — shingling
+        # already tokenizes exactly once per pipeline run.
+        .select("doc_id", "text", "quality", tx.token_count("text").alias("n_tokens"))
         .transform(_persist)
     )
     canon = dedup.content_hash_dedup(gated)
@@ -209,7 +216,9 @@ def hybrid_dedup_pipeline(
     """
     scored = (
         docs.withColumn("quality", tx.quality_score("text"))
-        .select("doc_id", "text", "quality")
+        # n_tokens cached, token array not — same boundary as
+        # refinedweb_pipeline (see the comment there)
+        .select("doc_id", "text", "quality", tx.token_count("text").alias("n_tokens"))
         .transform(_persist)
     )
     edges = hybrid_dedup_edges(
