@@ -3017,6 +3017,73 @@ def c06(spark, sf_dir):
     return cdc.merge_frames(target, new, ["user_id"], ["ts", "last_event_id"])
 
 
+@register("c07_streaming_merge_upserts", _C06_SQL)
+def c07(spark, sf_dir):
+    # The production CDC loop: the SAME change log as c06, but applied
+    # as a stream — three seq-ordered micro-batches merged one at a time
+    # into a stored snapshot via foreachBatch MERGE
+    # (streaming/pipelines.py:streaming_merge_upserts).  Batches are cut
+    # by repartitionByRange on the sequence columns, so each output file
+    # is a contiguous (ts, event_id) range and per-key arrival order is
+    # the sequence order — which is what a Kafka CDC topic guarantees,
+    # and why the sequential result equals the one-shot merge: the
+    # oracle twin IS c06's one-shot SQL, value-checking the equivalence.
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from realtimechurnpredictiondataengineering_spark.operators import cdc
+    from realtimechurnpredictiondataengineering_spark.streaming.pipelines import (
+        streaming_merge_upserts,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+    )
+    ch = e.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        round2(F.col("value")).alias("last_value"),
+        op.alias("_op"),
+        "ts",
+    )
+    old = ch.filter(F.col("last_event_id") % 4 != 0)
+    new = ch.filter(F.col("last_event_id") % 4 == 0)
+    target = cdc.latest_state(old, ["user_id"], ["ts", "last_event_id"]).select(
+        "user_id", "last_event_id", "last_value"
+    )
+
+    base = tempfile.mkdtemp(prefix="c07_merge_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    snap, feed, ck = f"{base}/snapshot", f"{base}/feed", f"{base}/ck"
+    target.write.parquet(snap)
+    new.repartitionByRange(3, "ts", "last_event_id").write.parquet(f"{base}/batches")
+    os.makedirs(feed)
+    # part-00000 holds the lowest (ts, event_id) range; feed the files in
+    # that order with strictly increasing mtimes (the file source orders
+    # by modification time) and one file per trigger
+    t0 = os.path.getmtime(snap)
+    for i, part in enumerate(sorted(glob.glob(f"{base}/batches/part-*.parquet"))):
+        dst = f"{feed}/batch-{i:03d}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    q = streaming_merge_upserts(
+        stream, snap, ck, keys=["user_id"], seq_cols=["ts", "last_event_id"]
+    )
+    q.awaitTermination()
+    return spark.read.parquet(snap)
+
+
 @register(
     "ll01_corpus_prep",
     f"""

@@ -27,6 +27,98 @@ def test_completeness_matrix_survives_hostile_column_names(spark):
     assert got[("b", hostile)] == 0.0
 
 
+def _merge_change_rows():
+    # keyed change log exercising every MERGE path across batch
+    # boundaries: plain upsert, update-then-update, upsert-then-delete,
+    # delete-then-reinsert, delete of an untouched target key
+    return [
+        # (id, val, _op, seq)   batch 1: seq 1-3, batch 2: seq 4-6
+        (1, 10.0, "u", 1),   # update existing key 1
+        (2, 20.0, "c", 2),   # insert new key 2
+        (3, None, "d", 3),   # delete existing key 3
+        (1, 11.0, "u", 4),   # second update of key 1 (later batch wins)
+        (2, None, "d", 5),   # delete the key inserted in batch 1
+        (3, 30.0, "c", 6),   # reinsert the key deleted in batch 1
+    ]
+
+
+def test_streaming_merge_matches_one_shot_merge(spark, tmp_path):
+    # sequential per-batch MERGE over seq-ordered batches == one-shot
+    # merge_frames over the concatenated change log
+    from realtimechurnpredictiondataengineering_spark.operators import cdc
+    from realtimechurnpredictiondataengineering_spark.streaming.pipelines import (
+        streaming_merge_upserts,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 1.0), (3, 3.0), (4, 4.0)], "id long, val double"
+    )
+    changes = spark.createDataFrame(
+        _merge_change_rows(), "id long, val double, _op string, seq long"
+    )
+    expected = {
+        (r["id"], r["val"])
+        for r in cdc.merge_frames(target, changes, ["id"], ["seq"]).collect()
+    }
+    assert expected == {(1, 11.0), (3, 30.0), (4, 4.0)}  # hand-checked
+
+    snap = str(tmp_path / "snap")
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    target.write.parquet(snap)
+    import os
+
+    for i, lohi in enumerate([(1, 3), (4, 6)]):
+        batch = changes.filter(
+            (F.col("seq") >= lohi[0]) & (F.col("seq") <= lohi[1])
+        )
+        bdir = str(tmp_path / f"b{i}")
+        batch.coalesce(1).write.parquet(bdir)
+        part = next(p for p in os.listdir(bdir) if p.startswith("part-"))
+        dst = str(feed / f"batch-{i}.parquet")
+        os.rename(f"{bdir}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed))
+    )
+    q = streaming_merge_upserts(
+        stream, snap, str(tmp_path / "ck"), keys=["id"], seq_cols=["seq"]
+    )
+    q.awaitTermination()
+    got = {(r["id"], r["val"]) for r in spark.read.parquet(snap).collect()}
+    assert got == expected
+
+
+def test_streaming_merge_bootstraps_absent_snapshot(spark, tmp_path):
+    # first batch against a missing snapshot dir becomes the snapshot
+    from realtimechurnpredictiondataengineering_spark.streaming.pipelines import (
+        streaming_merge_upserts,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, 10.0, "c", 1), (2, 20.0, "c", 2), (2, None, "d", 3)],
+        "id long, val double, _op string, seq long",
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    changes.coalesce(1).write.parquet(str(tmp_path / "b"))
+    import os
+
+    part = next(p for p in os.listdir(tmp_path / "b") if p.startswith("part-"))
+    os.rename(str(tmp_path / "b" / part), str(feed / "batch-0.parquet"))
+    stream = spark.readStream.schema(changes.schema).parquet(str(feed))
+    snap = str(tmp_path / "snap")
+    q = streaming_merge_upserts(
+        stream, snap, str(tmp_path / "ck"), keys=["id"], seq_cols=["seq"]
+    )
+    q.awaitTermination()
+    got = {(r["id"], r["val"]) for r in spark.read.parquet(snap).select("id", "val").collect()}
+    assert got == {(1, 10.0)}  # key 2's latest change is the delete
+
+
 def test_embedding_psi_dims_mismatch_fails_loudly(spark):
     # a dims/encoder mismatch must raise, not report psi = 0.0 "no drift"
     from realtimechurnpredictiondataengineering_spark.operators.profiling import (
