@@ -1019,6 +1019,178 @@ def kneser_ney_logprob(
     )
 
 
+def kneser_ney_trigram_logprob(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    top_v: int | None = None,
+) -> DataFrame:
+    """Score TARGET documents under an interpolated TRIGRAM Kneser-Ney
+    model (Chen & Goodman 1999's recursive recipe — the form SRILM-style
+    stacks actually ship) trained on CORPUS, completing the KN ladder
+    the way stupid backoff was completed (t24→t25: t26 is the bigram
+    rung, this is the trigram rung):
+
+    ``P(w3|w1w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
+                   + (D·N1+(w1w2·)/c(w1w2·)) · P2(w3|w2)``
+
+    where the MIDDLE order uses continuation counts, KN's defining move
+    (how many distinct contexts, not how many occurrences):
+
+    ``P2(w3|w2) = max(N1+(·w2w3) − D, 0)/N1+(·w2·)
+                  + (D·N1+(w2·)/N1+(·w2·)) · Pcont(w3)``
+
+    with ``N1+(·w2w3)`` = distinct w1 preceding the bigram (trigram
+    TYPES), ``N1+(·w2·)`` their per-w2 total, ``N1+(w2·)`` the distinct
+    continuations of w2 at the trigram level, and the SAME
+    Laplace-closed unigram floor as t26 (``Pcont(w) =
+    (N1+(·w)+1)/(N1+(··)+V+1)``, both from the bigram type table) so
+    the two KN rungs share one closure doctrine.  An unseen (w1,w2)
+    context backs off to P2; an unseen w2 context to Pcont.
+
+    Plan: one persisted tokenize scan; ONE trigram count shuffle — every
+    higher-order KN statistic then derives from that table's partials
+    (ctx3 = c(w1w2·) + N1+(w1w2·) in one grouped aggregate; the
+    continuation-bigram table N1+(·w2w3) is one more; its per-w2 roll-up
+    one more) — plus the bigram type table the unigram floor needs
+    (exactly t26's).  The target side explodes once into triples and
+    LEFT-joins the Zipf-bounded tables; pure ``when``/``greatest``
+    arithmetic, no UDF.
+
+    ``top_v`` is the t25/t26 valve verbatim: top-V trigram rows and
+    top-V continuation-bigram rows (count desc, key asc); out-of-top
+    keys fall to the next rung whose context tables stay exact but
+    semi-restricted to the kept keys' contexts, so every broadcast side
+    is ≤V rows at any corpus size, and capped == exact when V covers
+    the vocabularies (unit-tested).  Documents with fewer than 3 tokens
+    score 0.0.  Returns (id, n_tokens, mean_neg_log2p) rounded to 4.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
+
+    ctoks = (
+        corpus.filter(token_count(text_col) > 0)
+        .select(tokens(text_col).alias("__t"))
+        .transform(_persist)
+    )
+    pair_expr = F.expr(
+        "transform(sequence(2, size(__t)), i -> struct(__t[i-2] AS w2, __t[i-1] AS w3))"
+    )
+    cbig = (
+        ctoks.filter(F.size("__t") >= 2)
+        .select(F.explode(pair_expr).alias("__p"))
+        .select(F.col("__p.w2").alias("__w2"), F.col("__p.w3").alias("__w3"))
+        .groupBy("__w2", "__w3")
+        .agg(F.count("*").alias("__nb"))
+        .transform(_persist)
+    )
+    bwd = cbig.groupBy("__w3").agg(F.count("*").alias("__n1b"))
+    consts = F.broadcast(
+        cbig.agg(F.count("*").alias("__tt")).crossJoin(
+            ctoks.select(F.explode("__t").alias("__w"))
+            .agg(F.count_distinct("__w").alias("__v"))
+        )
+    )
+    tri_expr = F.expr(
+        "transform(sequence(3, size(__t)), i -> "
+        "struct(__t[i-3] AS w1, __t[i-2] AS w2, __t[i-1] AS w3))"
+    )
+    ctri = (
+        ctoks.filter(F.size("__t") >= 3)
+        .select(F.explode(tri_expr).alias("__p"))
+        .select(
+            F.col("__p.w1").alias("__w1"),
+            F.col("__p.w2").alias("__w2"),
+            F.col("__p.w3").alias("__w3"),
+        )
+        .groupBy("__w1", "__w2", "__w3")
+        .agg(F.count("*").alias("__nt"))
+        .transform(_persist)
+    )
+    # one aggregate each: trigram rows are distinct types, so count(*)
+    # per (w1,w2) IS N1+(w1w2·), per (w2,w3) IS N1+(·w2w3), and the
+    # mid table's per-w2 count(*) IS N1+(w2·) at the trigram level
+    ctx3 = ctri.groupBy("__w1", "__w2").agg(
+        F.sum("__nt").alias("__nc3"), F.count("*").alias("__n1f3")
+    )
+    mid = ctri.groupBy("__w2", "__w3").agg(F.count("*").alias("__cm"))
+    ctxm = mid.groupBy("__w2").agg(
+        F.sum("__cm").alias("__ncm"), F.count("*").alias("__n1fm")
+    )
+    ttoks = target.select(
+        F.col(id_col), token_count(text_col).alias("n_tokens"), tokens(text_col).alias("__t")
+    ).transform(_persist)
+    triples = (
+        ttoks.filter(F.col("n_tokens") >= 3)
+        .select(F.col(id_col), F.explode(tri_expr).alias("__p"))
+        .select(
+            F.col(id_col),
+            F.col("__p.w1").alias("__w1"),
+            F.col("__p.w2").alias("__w2"),
+            F.col("__p.w3").alias("__w3"),
+        )
+    )
+    if top_v is not None:
+        tri_j = F.broadcast(
+            ctri.orderBy(
+                F.desc("__nt"), F.asc("__w1"), F.asc("__w2"), F.asc("__w3")
+            ).limit(top_v).transform(_persist)
+        )
+        mid_j = F.broadcast(
+            mid.orderBy(F.desc("__cm"), F.asc("__w2"), F.asc("__w3"))
+            .limit(top_v).transform(_persist)
+        )
+        ctx3_j = F.broadcast(
+            ctx3.join(tri_j.select("__w1", "__w2").distinct(), ["__w1", "__w2"], "leftsemi")
+        )
+        ctxm_j = F.broadcast(
+            ctxm.join(mid_j.select("__w2").distinct(), "__w2", "leftsemi")
+        )
+        bwd_j = F.broadcast(bwd.orderBy(F.desc("__n1b"), F.asc("__w3")).limit(top_v))
+    else:
+        tri_j, mid_j, ctx3_j, ctxm_j, bwd_j = ctri, mid, ctx3, ctxm, bwd
+    # spelled identically to the DuckDB twin, term for term
+    pcont = (F.coalesce(F.col("__n1b"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("__tt") + F.col("__v") + F.lit(1.0)
+    )
+    p2 = F.when(
+        F.col("__ncm").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("__cm"), F.lit(0)) - F.lit(discount), F.lit(0.0)
+        )
+        / F.col("__ncm")
+        + (F.lit(discount) * F.col("__n1fm") / F.col("__ncm")) * pcont,
+    ).otherwise(pcont)
+    p = F.when(
+        F.col("__nc3").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("__nt"), F.lit(0)) - F.lit(discount), F.lit(0.0)
+        )
+        / F.col("__nc3")
+        + (F.lit(discount) * F.col("__n1f3") / F.col("__nc3")) * p2,
+    ).otherwise(p2)
+    scored = (
+        triples.join(tri_j, ["__w1", "__w2", "__w3"], "left")
+        .join(ctx3_j, ["__w1", "__w2"], "left")
+        .join(mid_j, ["__w2", "__w3"], "left")
+        .join(ctxm_j, "__w2", "left")
+        .join(bwd_j, "__w3", "left")
+        .crossJoin(consts)
+        .groupBy(id_col)
+        .agg(F.round(F.avg(-F.log2(p)), 4).alias("mean_neg_log2p"))
+    )
+    return (
+        ttoks.select(F.col(id_col), "n_tokens")
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.coalesce("mean_neg_log2p", F.lit(0.0)).alias("mean_neg_log2p"),
+        )
+    )
+
+
 def ccnet_buckets(
     df: DataFrame,
     id_col: str = "doc_id",

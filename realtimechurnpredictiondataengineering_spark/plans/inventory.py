@@ -6313,6 +6313,73 @@ def t26(spark, sf_dir):
     )
 
 
+_T28_SQL = f"""
+WITH ctoks AS (SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
+               WHERE doc_id % 10 != 0 AND length({SQL_NORM}) > 0),
+cuni AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM ctoks)),
+cpr AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+        FROM ctoks WHERE len(t) >= 2),
+cbig AS (SELECT p[1] AS w2, p[2] AS w3, count(*) AS nb FROM cpr GROUP BY 1, 2),
+bwd AS (SELECT w3, count(*) AS n1b FROM cbig GROUP BY 1),
+ctr AS (SELECT unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS p
+        FROM ctoks WHERE len(t) >= 3),
+ctri AS (SELECT p[1] AS w1, p[2] AS w2, p[3] AS w3, count(*) AS nt FROM ctr GROUP BY 1, 2, 3),
+ctx3 AS (SELECT w1, w2, sum(nt) AS nc3, count(*) AS n1f3 FROM ctri GROUP BY 1, 2),
+mid AS (SELECT w2, w3, count(*) AS cm FROM ctri GROUP BY 1, 2),
+ctxm AS (SELECT w2, sum(cm) AS ncm, count(*) AS n1fm FROM mid GROUP BY 1),
+consts AS (SELECT (SELECT count(*) FROM cbig) AS tt, (SELECT v FROM cuni) AS v),
+ttoks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+          WHERE doc_id % 10 = 0),
+tbase AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM ttoks),
+tr AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS p
+       FROM tbase WHERE n_tokens >= 3),
+triples AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM tr),
+s AS (SELECT doc_id,
+             round(avg(-log2(
+               CASE WHEN ctx3.nc3 IS NOT NULL
+                    THEN greatest(coalesce(ctri.nt, 0) - 0.75, 0.0) / ctx3.nc3
+                         + (0.75 * ctx3.n1f3 / ctx3.nc3)
+                           * (CASE WHEN ctxm.ncm IS NOT NULL
+                                   THEN greatest(coalesce(mid.cm, 0) - 0.75, 0.0) / ctxm.ncm
+                                        + (0.75 * ctxm.n1fm / ctxm.ncm)
+                                          * ((coalesce(bwd.n1b, 0) + 1.0) / (tt + v + 1.0))
+                                   ELSE (coalesce(bwd.n1b, 0) + 1.0) / (tt + v + 1.0) END)
+                    ELSE (CASE WHEN ctxm.ncm IS NOT NULL
+                               THEN greatest(coalesce(mid.cm, 0) - 0.75, 0.0) / ctxm.ncm
+                                    + (0.75 * ctxm.n1fm / ctxm.ncm)
+                                      * ((coalesce(bwd.n1b, 0) + 1.0) / (tt + v + 1.0))
+                               ELSE (coalesce(bwd.n1b, 0) + 1.0) / (tt + v + 1.0) END) END)), 4)
+               AS mean_neg_log2p
+      FROM triples
+      LEFT JOIN ctri USING (w1, w2, w3)
+      LEFT JOIN ctx3 USING (w1, w2)
+      LEFT JOIN mid USING (w2, w3)
+      LEFT JOIN ctxm USING (w2)
+      LEFT JOIN bwd USING (w3), consts
+      GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       coalesce(s.mean_neg_log2p, 0.0) AS mean_neg_log2p
+FROM tbase b LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("t28_kneser_ney_trigram", _T28_SQL)
+def t28(spark, sf_dir):
+    # Interpolated trigram Kneser-Ney over the t24/t26 split — the
+    # Chen & Goodman recursive form: discounted trigram mass, middle
+    # order on continuation counts (N1+ types, not occurrences), t26's
+    # Laplace-closed unigram floor; D=0.75 at every order
+    # (operators/corpus.py:kneser_ney_trigram_logprob).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    d = _td(spark, sf_dir)
+    return corpus.kneser_ney_trigram_logprob(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        discount=0.75,
+    )
+
+
 @register("t24_stupid_backoff", _T24_SQL)
 def t24(spark, sf_dir):
     # Stupid-backoff trigram scoring of the held-out bench split under

@@ -119,6 +119,77 @@ def test_streaming_merge_bootstraps_absent_snapshot(spark, tmp_path):
     assert got == {(1, 10.0)}  # key 2's latest change is the delete
 
 
+def _kn3_frames(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x b c")], ["doc_id", "text"]
+    )
+    target = spark.createDataFrame(
+        [(10, "a b c"), (11, "q b c"), (12, "a z c"), (13, "a b")],
+        ["doc_id", "text"],
+    )
+    return corpus, target
+
+
+def test_kn_trigram_all_paths_hand_checked(spark):
+    # corpus trigrams: (a,b,c):1 (a,b,d):1 (x,b,c):1
+    #   ctx3(a,b) = (nc3=2, n1f3=2); mid(b,c) = 2, mid(b,d) = 1;
+    #   ctxm(b) = (ncm=3, n1fm=2); bigram types tt=4; V=5;
+    #   bwd: b=2, c=1, d=1 → Pcont(c) = (1+1)/(4+5+1) = 0.2
+    # doc 10 "a b c": full trigram path
+    #   P2(c|b) = (2-.75)/3 + (.75*2/3)*0.2        = 0.5166667
+    #   P3      = (1-.75)/2 + (.75*2/2)*P2         = 0.5125
+    # doc 11 "q b c": (q,b) unseen → P2 alone      = 0.5166667
+    # doc 12 "a z c": (a,z) and z unseen → Pcont   = 0.2
+    # doc 13 "a b": fewer than 3 tokens → 0.0
+    from realtimechurnpredictiondataengineering_spark.operators.corpus import (
+        kneser_ney_trigram_logprob,
+    )
+
+    corpus, target = _kn3_frames(spark)
+    got = {
+        r["doc_id"]: r["mean_neg_log2p"]
+        for r in kneser_ney_trigram_logprob(corpus, target).collect()
+    }
+    assert got[10] == pytest.approx(0.9644, abs=1e-4)  # -log2(0.5125)
+    assert got[11] == pytest.approx(0.9527, abs=1e-4)  # -log2(0.5166667)
+    assert got[12] == pytest.approx(2.3219, abs=1e-4)  # -log2(0.2)
+    assert got[13] == 0.0
+
+
+def test_kn_trigram_cap_matches_exact_when_vocab_fits(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.corpus import (
+        kneser_ney_trigram_logprob,
+    )
+
+    corpus, target = _kn3_frames(spark)
+    exact = {
+        r["doc_id"]: r["mean_neg_log2p"]
+        for r in kneser_ney_trigram_logprob(corpus, target).collect()
+    }
+    capped = {
+        r["doc_id"]: r["mean_neg_log2p"]
+        for r in kneser_ney_trigram_logprob(corpus, target, top_v=100).collect()
+    }
+    assert capped == exact
+
+
+def test_kn_trigram_cap_is_live_at_small_v(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.corpus import (
+        kneser_ney_trigram_logprob,
+    )
+
+    corpus, target = _kn3_frames(spark)
+    exact = {
+        r["doc_id"]: r["mean_neg_log2p"]
+        for r in kneser_ney_trigram_logprob(corpus, target).collect()
+    }
+    capped = {
+        r["doc_id"]: r["mean_neg_log2p"]
+        for r in kneser_ney_trigram_logprob(corpus, target, top_v=1).collect()
+    }
+    assert capped != exact  # the valve actually drops tail n-grams
+
+
 def test_embedding_psi_dims_mismatch_fails_loudly(spark):
     # a dims/encoder mismatch must raise, not report psi = 0.0 "no drift"
     from realtimechurnpredictiondataengineering_spark.operators.profiling import (
