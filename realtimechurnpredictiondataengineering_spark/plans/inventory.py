@@ -6380,6 +6380,61 @@ def t28(spark, sf_dir):
     )
 
 
+def _t29_sql() -> str:
+    # unrolled-round twin (the v19 pattern): each training round is one
+    # pair-count CTE + one top-1 winner CTE + one replace CTE, spliced
+    # verbatim per round so the SQL replays the identical fixed-point
+    # sequence the operator runs
+    rounds = []
+    for i in (1, 2, 3):
+        prev = f"w{i - 1}"
+        rounds.append(
+            f"""p{i} AS (SELECT p[1] AS a, p[2] AS b, sum(freq) AS cnt
+       FROM (SELECT freq, unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+             FROM (SELECT freq, string_split(trim(sym), '  ') AS t FROM {prev}))
+       GROUP BY 1, 2),
+r{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""
+        )
+        if i < 3:
+            rounds.append(
+                f"""w{i} AS (SELECT w, freq, replace(sym,
+              ' ' || (SELECT a FROM r{i}) || '  ' || (SELECT b FROM r{i}) || ' ',
+              ' ' || (SELECT a FROM r{i}) || (SELECT b FROM r{i}) || ' ') AS sym FROM {prev})"""
+            )
+    body = ",\n".join(rounds)
+    arms = "\nUNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, a || b AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM r{i}"
+        for i in (1, 2, 3)
+    )
+    return f"""
+WITH toks AS (SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
+              WHERE doc_id % 10 != 0 AND length({SQL_NORM}) > 0),
+words AS (SELECT w, count(*) AS freq
+          FROM (SELECT unnest(t) AS w FROM toks)
+          WHERE length(w) > 0 AND length(w) <= 64 GROUP BY 1),
+w0 AS (SELECT w, freq,
+              '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS sym
+       FROM words),
+{body}
+{arms}
+"""
+
+
+@register("t29_bpe_merges", _t29_sql)
+def t29(spark, sf_dir):
+    # Distributed BPE vocabulary training on the train split: 3 rounds
+    # of freq-weighted pair counting (ONE vocab-bounded groupBy per
+    # round) → deterministic top-1 winner → scan-local double-space
+    # string-replace merge; corpus scanned exactly once for the word
+    # frequency table (operators/bpe.py:bpe_train).  The twin unrolls
+    # the identical rounds in SQL.
+    from realtimechurnpredictiondataengineering_spark.operators import bpe
+
+    d = _td(spark, sf_dir)
+    return bpe.bpe_train(d.filter(F.col("doc_id") % 10 != 0), n_merges=3)
+
+
 @register("t24_stupid_backoff", _T24_SQL)
 def t24(spark, sf_dir):
     # Stupid-backoff trigram scoring of the held-out bench split under

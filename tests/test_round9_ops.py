@@ -190,6 +190,80 @@ def test_kn_trigram_cap_is_live_at_small_v(spark):
     assert capped != exact  # the valve actually drops tail n-grams
 
 
+def _sequential_bpe(word_freqs: dict, n_merges: int):
+    # the textbook Sennrich trainer: greedy top pair per round over
+    # character sequences, ties by (left, right) ascending
+    seqs = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for seq, f in seqs.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, a + b, cnt))
+        new = {}
+        for seq, f in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        seqs = new
+    return merges
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lowest"),
+            (2, "new newer newest low"),
+            (3, "wide wider widest new new"),
+        ],
+        ["doc_id", "text"],
+    )
+    freqs = {}
+    for _, text in docs.collect():
+        for w in text.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    expected = _sequential_bpe(freqs, 5)
+    got = [
+        (r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=5).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_train_greedy_overlap_and_chaining(spark):
+    # "a a a a" chains into two merges of (a,a); "aaa" within one word
+    # merges greedily left-to-right: aa + a
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaaa aaa")], ["doc_id", "text"])
+    rows = bpe_train(docs, n_merges=2).orderBy("merge_rank").collect()
+    # round 1: pairs of chars within words: 'aaaa' has 3 (a,a), 'aaa' 2 → (a,a):5
+    assert (rows[0]["left_sym"], rows[0]["right_sym"], rows[0]["pair_count"]) == ("a", "a", 5)
+    # after merging: 'aaaa' → [aa, aa]; 'aaa' → [aa, a] (greedy, not [a, aa])
+    # round 2 pairs: (aa,aa):1 and (aa,a):1 → tie → lexicographic: (aa,a)
+    assert (rows[1]["left_sym"], rows[1]["right_sym"]) == ("aa", "a")
+
+
+def test_bpe_segment_replays_merges_in_order(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import bpe_segment
+
+    df = spark.createDataFrame([(1, "lower low")], ["doc_id", "text"])
+    out = bpe_segment(df, [("l", "o"), ("lo", "w")]).collect()[0]["bpe_tokens"]
+    assert out == ["low", "e", "r", "low"]
+
+
 def test_embedding_psi_dims_mismatch_fails_loudly(spark):
     # a dims/encoder mismatch must raise, not report psi = 0.0 "no drift"
     from realtimechurnpredictiondataengineering_spark.operators.profiling import (
