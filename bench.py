@@ -150,6 +150,11 @@ HEADLINE = (
     "ml04_feature_importance",
     "ml05_score_drift",
     "ll10_decontaminated_refinedweb",
+    # round-9 additions (baseline rows = their first green min-of-2, see
+    # BASELINE.md round-9 subsection)
+    "c07_streaming_merge_upserts",
+    "t28_kneser_ney_trigram",
+    "t29_bpe_merges",
 )
 
 

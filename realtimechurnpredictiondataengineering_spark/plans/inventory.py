@@ -7023,6 +7023,21 @@ def w09(spark, sf_dir):
 # deliberately KEPT in-window despite being double-green: its
 # backslash-escape fix this round makes it reshaped code, and reshaped
 # code must face the external gate.
+# Round-9 deltas: six rotated IN — the three NEW entries
+# (c07_streaming_merge_upserts, t28_kneser_ney_trigram, t29_bpe_merges)
+# and the three RESHAPED-but-out-of-window entries whose outputs gained
+# the signed-zero snap (c05_profile_drift mean/delta, t21_dsir_importance,
+# a14_stats_moments corr/covar); the other snap-touched entries (ml01,
+# ml02, ml04, w10, s10) and the n_tokens-carry pipelines (ll01, ll06,
+# ll08, ll10) were already in-window.  Rotated OUT to make room (each
+# driver-green in rounds 7 AND 8, code untouched in round 9, still
+# value-checked by tests/oracle_harness.py): v15_ivf_pq_rescore and
+# v13_ivf_pq_topk (the PQ/IVF machinery stays in-window via v18/v19),
+# t19_trigram_logprob (the ladder stays in-window via
+# t22/t23/t24/t25/t26/t28), d03_minhash_near_dup (the full MinHash-LSH
+# chain stays in-window inside ll08 and d06), d05_near_dedup_survivors
+# (survivor policy stays via d06/d13), d08_incremental_dedup (the
+# contamination/incremental family stays via d11/d15/ll09).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -7052,12 +7067,12 @@ PRIORITY: tuple[str, ...] = (
     "ll08_hybrid_dedup",
     "prof04_psi_drift",
     "prof05_embedding_drift",
-    "v15_ivf_pq_rescore",
-    "t19_trigram_logprob",
-    "d03_minhash_near_dup",
-    "d05_near_dedup_survivors",
+    "c07_streaming_merge_upserts",
+    "t28_kneser_ney_trigram",
+    "t29_bpe_merges",
+    "c05_profile_drift",
     "d06_dup_clusters",
-    "d08_incremental_dedup",
+    "t21_dsir_importance",
     "w10_ewma_activity",
     "v02_brute_force_topk",
     "prof03_expectations",
@@ -7070,7 +7085,7 @@ PRIORITY: tuple[str, ...] = (
     "ll06_refinedweb_pipeline",
     "ml03_calibration",
     "v19_kmeans_assign",
-    "v13_ivf_pq_topk",
+    "a14_stats_moments",
     "ml05_score_drift",
     "prof06_completeness",
     "ml04_feature_importance",
