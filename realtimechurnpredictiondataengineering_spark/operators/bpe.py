@@ -36,10 +36,16 @@ is ``stats_free_checkpoint``-ed (the iterative-loop discipline shared
 with connected components and k-means: localCheckpoint without the
 stats reset compounds join size estimates geometrically).
 
-Production extension (documented lead, not implemented): real trainers
-batch the top-K pairwise NON-INTERACTING merges per round to cut round
-count ~K×; the per-round plan is identical, only winner selection
-widens.
+``merges_per_round`` batches the top-K pairwise SYMBOL-DISJOINT merges
+per round (the production variant that cuts round count ~K×): a merge
+(a,b) cannot change the pair counts of any (c,d) with
+{c,d} ∩ {a,b} = ∅ — adjacency of untouched symbols is invariant under
+merging others — so disjoint merges commute and apply in one fold.
+A candidate sharing a symbol with any higher-ranked candidate is
+deferred to a later round (it would need a recount); this is the
+standard approximation — a brand-new merged symbol could in principle
+form a pair outranking a deferred candidate, which exact sequential
+BPE (K=1) would see.
 """
 
 from __future__ import annotations
@@ -104,53 +110,123 @@ def bpe_train(
     n_merges: int = 3,
     text_col: str = "text",
     max_word_len: int = 64,
+    merges_per_round: int = 1,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from ``corpus``; returns the merge
     table (merge_rank, left_sym, right_sym, merged, pair_count) in
     learned order — the frozen artifact a tokenizer serves from.
 
-    Deterministic end to end: winner per round is (count desc,
-    left asc, right asc); rerunning on the same corpus reproduces the
-    table on any partitioning/engine, which is what makes the
-    unrolled-round SQL twin (t29) value-checkable.  A round with no
-    remaining pairs contributes no row (the merge table just ends
-    early).  No end-of-word marker is appended: merges are learned over
-    in-word adjacency only — the marker variant is one extra literal in
+    ``merges_per_round=1`` is exact textbook BPE (parity-pinned against
+    a sequential reference); K>1 runs ``ceil(n_merges/K)`` rounds, each
+    taking the top-K candidates and keeping those symbol-disjoint from
+    every higher-ranked candidate in the batch (see module docstring
+    for why disjoint merges commute and what the approximation trades).
+
+    Deterministic end to end: candidates rank (count desc, left asc,
+    right asc); rerunning on the same corpus reproduces the table on
+    any partitioning/engine, which is what makes the unrolled-round SQL
+    twin (t29) value-checkable.  A round with no remaining pairs
+    contributes no row (the merge table just ends early).  No
+    end-of-word marker is appended: merges are learned over in-word
+    adjacency only — the marker variant is one extra literal in
     ``_init_symbols`` and changes no plan shape.
     """
+    from pyspark.sql import Window
+
+    k = int(merges_per_round)
     syms = stats_free_checkpoint(_init_symbols(word_frequencies(corpus, text_col, max_word_len)))
+    order = [F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")]
     winners: list[DataFrame] = []
-    for rank in range(1, n_merges + 1):
-        win = stats_free_checkpoint(
-            _pair_counts(syms)
-            .orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
-            .limit(1)
-        )
+    # k == 1 runs exactly n_merges fixed rounds (the oracle-replayable
+    # shape t29 unrolls); k > 1 loops until n_merges are learned —
+    # deferral makes per-round yield data-dependent, and counting the
+    # already-checkpointed ≤K-row winner frame is a trivial job, not a
+    # data collect (the CC-loop convergence-check discipline)
+    learned = 0
+    rnd = 0
+    while learned < n_merges:
+        rnd += 1
+        if k == 1:
+            win = stats_free_checkpoint(_pair_counts(syms).orderBy(*order).limit(1))
+            got = 1
+        else:
+            # top-K candidates (K rows after the distributed top-k), then
+            # defer any candidate sharing a symbol with a higher-ranked
+            # one — the K-row window/self-join is driver-free and trivial
+            cand = (
+                _pair_counts(syms)
+                .orderBy(*order)
+                .limit(min(k, n_merges - learned))
+                .withColumn("__r", F.row_number().over(Window.orderBy(*order)))
+            )
+            higher = cand.select(
+                F.col("__r").alias("__hr"),
+                F.col("left_sym").alias("__ha"),
+                F.col("right_sym").alias("__hb"),
+            )
+            interacts = (F.col("__hr") < F.col("__r")) & (
+                F.col("__ha").isin(F.col("left_sym"), F.col("right_sym"))
+                | F.col("__hb").isin(F.col("left_sym"), F.col("right_sym"))
+            )
+            win = stats_free_checkpoint(cand.join(higher, interacts, "left_anti"))
+            got = win.count()
+            if got == 0:
+                break
         winners.append(
             win.select(
-                F.lit(rank).alias("merge_rank"),
+                F.lit(rnd).alias("__round"),
+                (F.col("__r") if k > 1 else F.lit(1)).alias("__r"),
                 "left_sym",
                 "right_sym",
                 F.concat("left_sym", "right_sym").alias("merged"),
                 F.col("pair_count").cast("long").alias("pair_count"),
             )
         )
-        if rank < n_merges:
+        learned += got
+        if learned < n_merges:
+            # the selected batch rides ONE 1-row broadcast as an array of
+            # (a, b) structs; disjointness makes the fold order-free, but
+            # array_sort keeps it deterministic anyway
+            batch = win.agg(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("left_sym").alias("a"), F.col("right_sym").alias("b"))
+                    )
+                ).alias("__ms")
+            )
             syms = stats_free_checkpoint(
-                syms.crossJoin(F.broadcast(win)).select(
+                syms.crossJoin(F.broadcast(batch)).select(
                     "__w",
                     "__freq",
-                    F.expr(
-                        "replace(__sym,"
-                        " ' ' || left_sym || '  ' || right_sym || ' ',"
-                        " ' ' || left_sym || right_sym || ' ')"
+                    F.aggregate(
+                        "__ms",
+                        F.col("__sym"),
+                        lambda acc, m: F.replace(
+                            acc,
+                            F.concat(F.lit(" "), m.a, F.lit("  "), m.b, F.lit(" ")),
+                            F.concat(F.lit(" "), m.a, m.b, F.lit(" ")),
+                        ),
                     ).alias("__sym"),
                 )
             )
     out = winners[0]
     for w in winners[1:]:
         out = out.unionByName(w)
-    return out
+    if k == 1:
+        return out.select(
+            F.col("__round").alias("merge_rank"),
+            "left_sym",
+            "right_sym",
+            "merged",
+            "pair_count",
+        )
+    ranked = out.withColumn(
+        "merge_rank",
+        F.row_number().over(Window.orderBy(F.asc("__round"), F.asc("__r"))),
+    )
+    return ranked.filter(F.col("merge_rank") <= n_merges).select(
+        "merge_rank", "left_sym", "right_sym", "merged", "pair_count"
+    )
 
 
 def bpe_segment(

@@ -258,12 +258,19 @@ def embedding_psi(
             .agg(F.count("*").alias(f"__c_{side}"))
         )
 
+    from realtimechurnpredictiondataengineering_spark.cache import persist_tracked
+
+    # the binned frames persist (config-sized: ≤ dims × n_bins rows) so
+    # the dims-guard probe below reads the CACHED aggregates instead of
+    # re-running the posexplode scans — the guard costs zero extra scans
+    binned_ref = persist_tracked(binned(reference, "ref"))
+    binned_cur = persist_tracked(binned(current, "cur"))
     grid = spark.createDataFrame(
         [(d, b) for d in range(dims) for b in range(n_bins)], "dim int, bin int"
     )
     joined = (
-        grid.join(binned(reference, "ref"), ["dim", "bin"], "left")
-        .join(binned(current, "cur"), ["dim", "bin"], "left")
+        grid.join(binned_ref, ["dim", "bin"], "left")
+        .join(binned_cur, ["dim", "bin"], "left")
         .select(
             "dim",
             "bin",
@@ -280,17 +287,16 @@ def embedding_psi(
     # configured-dims guard: a dims/encoder mismatch must fail loudly, not
     # read as "no drift" (coordinates beyond the grid would silently
     # vanish; configured dims absent from the data would report psi = 0.0
-    # — both sides Laplace-smoothed from zero counts).  One max(size)
-    # probe per side (1-row result, broadcast into the config-sized term
-    # frame); assert_true raises at runtime, keeping the check
-    # distributed — no driver-side collect.
+    # — both sides Laplace-smoothed from zero counts).  posexplode emits
+    # every dim 0..size-1 of every vector, so max(dim)+1 over the CACHED
+    # binned aggregates IS the observed max vector size — a 1-row probe
+    # over config-sized frames, broadcast into the term frame;
+    # assert_true raises at runtime, keeping the check distributed — no
+    # driver-side collect, no extra table scan.
     probe = (
-        reference.filter(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("__sz"))
-        .unionByName(
-            current.filter(F.col(vec_col).isNotNull()).select(F.size(vec_col).alias("__sz"))
-        )
-        .agg(F.max("__sz").alias("__max_sz"))
+        binned_ref.select("dim")
+        .unionByName(binned_cur.select("dim"))
+        .agg((F.max("dim") + 1).alias("__max_sz"))
     )
     checked = (
         joined.join(F.broadcast(tot), "dim")

@@ -256,6 +256,36 @@ def test_bpe_train_greedy_overlap_and_chaining(spark):
     assert (rows[1]["left_sym"], rows[1]["right_sym"]) == ("aa", "a")
 
 
+def test_bpe_batched_rounds_equal_sequential_when_disjoint(spark):
+    # whole-word merges can't interact or mint hotter pairs, so one
+    # k=3 round must equal three k=1 rounds
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab ab cd cd cd cd ef ef ef")], ["doc_id", "text"]
+    )
+    seq = [tuple(r) for r in bpe_train(docs, n_merges=3).orderBy("merge_rank").collect()]
+    bat = [
+        tuple(r)
+        for r in bpe_train(docs, n_merges=3, merges_per_round=3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert bat == seq
+    assert [(r[1], r[2]) for r in seq] == [("a", "b"), ("c", "d"), ("e", "f")]
+
+
+def test_bpe_batched_defers_interacting_candidates(spark):
+    # 'abc': (a,b) and (b,c) share b — the lower-ranked one must be
+    # deferred, and the next round then merges (ab, c), matching exact
+    # sequential BPE
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame([(1, "abc abc abc")], ["doc_id", "text"])
+    rows = bpe_train(docs, n_merges=2, merges_per_round=2).orderBy("merge_rank").collect()
+    assert [(r["left_sym"], r["right_sym"]) for r in rows] == [("a", "b"), ("ab", "c")]
+
+
 def test_bpe_segment_replays_merges_in_order(spark):
     from realtimechurnpredictiondataengineering_spark.operators.bpe import bpe_segment
 
