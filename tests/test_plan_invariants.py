@@ -39,6 +39,15 @@ STAGE_ASSERTED_EXECUTES_ON_BUILD = {
     # round gate); running CC on build keeps it out of the whole-plan
     # fixture exactly like ll06.
     "ll10_decontaminated_refinedweb",
+    # c07 runs an AvailableNow streaming query at call time; its
+    # per-batch merge stage is EXACTLY c06's plan (cdc.merge_frames on
+    # the same frames), which the whole-plan fixture audits, and the
+    # foreachBatch body is parity-pinned in tests/test_round9_ops.py.
+    "c07_streaming_merge_upserts",
+    # t29 checkpoints every training round on build; its two lazy
+    # stages (pair counting, broadcast-batch merge application) are
+    # asserted by test_t29_bpe_stage_plan_shape.
+    "t29_bpe_merges",
 }
 
 # BNLJ builds that are bounded by DOMAIN, not by plan structure — the
@@ -304,6 +313,56 @@ def test_ml02_scoring_stage_plan_is_a_pure_projection(spark):
     assert "Join" not in text
     assert "Exchange" not in text
     assert _bad_joins("ml02:score", tree, text, allow_domain_bounded=False) == []
+
+
+def test_t29_bpe_stage_plan_shape(spark, sf_dir):
+    # t29 checkpoints every round at call time, so the whole-plan
+    # fixture never sees its real work; the two lazy stages are audited
+    # here.  Stage 1 (pair counting): one aggregate over the exploded
+    # symbol pairs — no join at all.  Stage 2 (merge application): the
+    # crossJoin's build side is the keyless collect_list aggregate
+    # (provably 1 row), and the application itself is a scan-local
+    # projection — no shuffle beyond the build's own.
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        _init_symbols,
+        _pair_counts,
+        word_frequencies,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    syms = _init_symbols(word_frequencies(docs))
+    counts = _pair_counts(syms)
+    tree, text = _plan_of(counts)
+    assert "CartesianProduct" not in text
+    assert "Join" not in text  # pure explode + aggregate
+    batch = (
+        counts.orderBy(F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym"))
+        .limit(1)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("left_sym").alias("a"), F.col("right_sym").alias("b"))
+                )
+            ).alias("__ms")
+        )
+    )
+    applied = syms.crossJoin(F.broadcast(batch)).select(
+        "__w",
+        "__freq",
+        F.aggregate(
+            "__ms",
+            F.col("__sym"),
+            lambda acc, m: F.replace(
+                acc,
+                F.concat(F.lit(" "), m.a, F.lit("  "), m.b, F.lit(" ")),
+                F.concat(F.lit(" "), m.a, m.b, F.lit(" ")),
+            ),
+        ).alias("__sym"),
+    )
+    tree, text = _plan_of(applied)
+    assert "CartesianProduct" not in text
+    assert _bad_joins("t29:apply", tree, text, allow_domain_bounded=False) == []
 
 
 def test_domain_bounded_list_is_live(plans):
