@@ -155,6 +155,7 @@ HEADLINE = (
     "c07_streaming_merge_upserts",
     "t28_kneser_ney_trigram",
     "t29_bpe_merges",
+    "t30_bpe_segment",
 )
 
 

@@ -229,6 +229,71 @@ def bpe_train(
     )
 
 
+def bpe_segment_frame(
+    df: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a ``bpe_train`` merge TABLE to a corpus — the serve path
+    when the vocabulary was just learned in the same session (no
+    driver round-trip: the merge table rides ONE 1-row broadcast as a
+    rank-ordered array, and each document replays the merges inside a
+    ``transform``/``aggregate`` fold — scan-local, no shuffle beyond
+    the broadcast's own, no UDF).
+
+    Output is driver-canonicalizable by design: the subword sequence
+    surfaces as a space-joined STRING plus its length, not an array
+    (array cells fail the external gate's pandas canonicalization —
+    the v06/m01 lesson).  Returns (original columns…, n_tokens,
+    n_bpe_tokens, bpe_text); empty documents yield (0, 0, '').
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
+
+    batch = merges_df.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("merge_rank").alias("r"),
+                    F.col("left_sym").alias("a"),
+                    F.col("right_sym").alias("b"),
+                )
+            )
+        ).alias("__ms")
+    )
+    toks = F.when(token_count(text_col) > 0, tokens(text_col)).otherwise(
+        F.array().cast("array<string>")
+    )
+    segmented = F.flatten(
+        F.transform(
+            toks,
+            lambda w: F.split(
+                F.trim(
+                    F.aggregate(
+                        "__ms",
+                        F.concat(
+                            F.lit("  "), F.array_join(F.split(w, ""), "  "), F.lit("  ")
+                        ),
+                        lambda acc, m: F.replace(
+                            acc,
+                            F.concat(F.lit(" "), m.a, F.lit("  "), m.b, F.lit(" ")),
+                            F.concat(F.lit(" "), m.a, m.b, F.lit(" ")),
+                        ),
+                    )
+                ),
+                "  ",
+            ),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(batch))
+        .withColumn("n_tokens", token_count(text_col))
+        .withColumn("__bt", segmented)
+        .withColumn("n_bpe_tokens", F.size("__bt").cast("int"))
+        .withColumn("bpe_text", F.array_join("__bt", " "))
+        .drop("__ms", "__bt")
+    )
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],

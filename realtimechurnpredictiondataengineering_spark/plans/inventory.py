@@ -6421,6 +6421,52 @@ w0 AS (SELECT w, freq,
 """
 
 
+def _t30_sql() -> str:
+    # reuse t29's unrolled training CTEs verbatim (one source of truth:
+    # the segmentation twin CANNOT drift from the training twin), then
+    # replay the three learned merges per target token as nested
+    # replaces — identical double-space semantics to the operator
+    train = _t29_sql()
+    body = train[: train.rindex("SELECT 1 AS merge_rank")].rstrip().rstrip(",")
+    rep = "'  ' || array_to_string(string_split(w, ''), '  ') || '  '"
+    for i in (1, 2, 3):
+        rep = (
+            f"replace({rep}, ' ' || r{i}.a || '  ' || r{i}.b || ' ',"
+            f" ' ' || r{i}.a || r{i}.b || ' ')"
+        )
+    return f"""{body},
+tb AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+       WHERE doc_id % 10 = 0),
+tbase AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM tb),
+seg AS (SELECT doc_id, n_tokens,
+               flatten(list_transform(CASE WHEN n_tokens = 0 THEN CAST([] AS VARCHAR[]) ELSE t END,
+                                      w -> string_split(trim({rep}), '  '))) AS bt
+        FROM tbase, r1, r2, r3)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(len(bt) AS INT) AS n_bpe_tokens,
+       array_to_string(bt, ' ') AS bpe_text
+FROM seg
+"""
+
+
+@register("t30_bpe_segment", _t30_sql)
+def t30(spark, sf_dir):
+    # The serve half of t29: train the 3-merge vocabulary on the train
+    # split, then segment the held-out bench split under it — the merge
+    # table rides one 1-row broadcast and each document replays the
+    # merges in learned order inside a transform/aggregate fold
+    # (operators/bpe.py:bpe_segment_frame).  Subwords surface as a
+    # joined string + count (arrays fail the external gate's pandas
+    # canonicalization).
+    from realtimechurnpredictiondataengineering_spark.operators import bpe
+
+    d = _td(spark, sf_dir)
+    merges = bpe.bpe_train(d.filter(F.col("doc_id") % 10 != 0), n_merges=3)
+    return bpe.bpe_segment_frame(d.filter(F.col("doc_id") % 10 == 0), merges).select(
+        "doc_id", "n_tokens", "n_bpe_tokens", "bpe_text"
+    )
+
+
 @register("t29_bpe_merges", _t29_sql)
 def t29(spark, sf_dir):
     # Distributed BPE vocabulary training on the train split: 3 rounds
@@ -7037,7 +7083,11 @@ def w09(spark, sf_dir):
 # t22/t23/t24/t25/t26/t28), d03_minhash_near_dup (the full MinHash-LSH
 # chain stays in-window inside ll08 and d06), d05_near_dedup_survivors
 # (survivor policy stays via d06/d13), d08_incremental_dedup (the
-# contamination/incremental family stays via d11/d15/ll09).
+# contamination/incremental family stays via d11/d15/ll09).  Late in
+# round 9 t30_bpe_segment (the serve half of t29) rotated IN;
+# v10_embedding_dup_clusters OUT for it (double-green r7/r8, untouched;
+# the embedding-dup family stays in-window via v16/v17 and ll08's
+# semantic half).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -7093,7 +7143,7 @@ PRIORITY: tuple[str, ...] = (
     "m01_media_features",
     "t27_ngram_novelty",
     "d11_exact_contamination",
-    "v10_embedding_dup_clusters",
+    "t30_bpe_segment",
     "ll09_decontaminate",
     "d12_duplicate_spans",
     "d13_cluster_representatives",

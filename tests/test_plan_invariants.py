@@ -48,6 +48,9 @@ STAGE_ASSERTED_EXECUTES_ON_BUILD = {
     # stages (pair counting, broadcast-batch merge application) are
     # asserted by test_t29_bpe_stage_plan_shape.
     "t29_bpe_merges",
+    # t30 trains (= t29's checkpoints) on build; its lazy segmentation
+    # stage is asserted by test_t30_segment_stage_plan_shape.
+    "t30_bpe_segment",
 }
 
 # BNLJ builds that are bounded by DOMAIN, not by plan structure — the
@@ -363,6 +366,26 @@ def test_t29_bpe_stage_plan_shape(spark, sf_dir):
     tree, text = _plan_of(applied)
     assert "CartesianProduct" not in text
     assert _bad_joins("t29:apply", tree, text, allow_domain_bounded=False) == []
+
+
+def test_t30_segment_stage_plan_shape(spark, sf_dir):
+    # t30's lazy half: segmentation under a merge table.  Fed a
+    # driver-local merges frame (nothing executes), the plan must be
+    # the broadcast of a keyless 1-row aggregate into a scan-local
+    # projection — no shuffle of the document side, no unbounded BNLJ.
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import bpe_segment_frame
+
+    merges = spark.createDataFrame(
+        [(1, "a", "b"), (2, "ab", "c")], "merge_rank int, left_sym string, right_sym string"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg = bpe_segment_frame(docs, merges).select("doc_id", "n_bpe_tokens", "bpe_text")
+    tree, text = _plan_of(seg)
+    assert "CartesianProduct" not in text
+    assert _bad_joins("t30:segment", tree, text, allow_domain_bounded=False) == []
+    # the document side must not shuffle: the only exchange is the
+    # 1-row broadcast (plus the keyless agg's own single-partition)
+    assert "Exchange hashpartitioning" not in text
 
 
 def test_domain_bounded_list_is_live(plans):

@@ -286,6 +286,30 @@ def test_bpe_batched_defers_interacting_candidates(spark):
     assert [(r["left_sym"], r["right_sym"]) for r in rows] == [("a", "b"), ("ab", "c")]
 
 
+def test_bpe_segment_frame_matches_literal_segmenter(spark):
+    # the frame-based serve path (merge TABLE on a broadcast) must equal
+    # the literal-list segmenter, and empty docs yield (0, 0, '')
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        bpe_segment,
+        bpe_segment_frame,
+    )
+
+    merges = spark.createDataFrame(
+        [(1, "l", "o"), (2, "lo", "w")],
+        "merge_rank int, left_sym string, right_sym string",
+    )
+    df = spark.createDataFrame([(1, "lower low"), (2, "")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"], r["bpe_text"])
+        for r in bpe_segment_frame(df, merges).collect()
+    }
+    assert got[1] == (2, 4, "low e r low")
+    assert got[2] == (0, 0, "")
+    lit = bpe_segment(df, [("l", "o"), ("lo", "w")]).collect()
+    lit_tokens = {r["doc_id"]: r["bpe_tokens"] for r in lit}
+    assert " ".join(lit_tokens[1]) == got[1][2]
+
+
 def test_bpe_segment_replays_merges_in_order(spark):
     from realtimechurnpredictiondataengineering_spark.operators.bpe import bpe_segment
 
