@@ -156,6 +156,7 @@ HEADLINE = (
     "t28_kneser_ney_trigram",
     "t29_bpe_merges",
     "t30_bpe_segment",
+    "t31_model_quality_filter",
 )
 
 

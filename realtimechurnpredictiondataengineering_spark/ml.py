@@ -201,6 +201,121 @@ MODEL_V1: dict = {
 }
 
 
+#: Document-quality classifier features, in training order — all
+#: engine-deterministic text expressions with existing DuckDB twins
+#: (functions/text.py; SQL fragments in plans/inventory.py).
+DOC_FEATURES: tuple[str, ...] = (
+    "n_chars",
+    "n_tokens",
+    "punct_ratio",
+    "stopword_ratio",
+    "mean_word_len",
+)
+
+
+def doc_feature_columns(text_col: str = "text") -> list[Column]:
+    """The quality model's input columns — raw (unrounded) doubles;
+    every expression is IEEE-identical in DuckDB, which is what lets a
+    literal-weighted sum over them replay bit-for-bit cross-engine."""
+    from realtimechurnpredictiondataengineering_spark.functions.text import (
+        mean_word_length,
+        punct_ratio,
+        stopword_ratio,
+        token_count,
+    )
+
+    return [
+        F.length(text_col).cast("double").alias("n_chars"),
+        token_count(text_col).cast("double").alias("n_tokens"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        mean_word_length(text_col).alias("mean_word_len"),
+    ]
+
+
+def train_doc_quality_model(docs: DataFrame, text_col: str = "text", seed: int = 7):
+    """Fit the model-based quality filter (the DCLM/FineWeb-Edu leg):
+    VectorAssembler → LogisticRegression over the text features, with
+    the heuristic quality gate (``quality_score >= 0.75``) as the
+    training label — the same doctrine as ``MODEL_V1``: the label is a
+    rule the pipeline can already compute, so the test suite can verify
+    the classifier demonstrably recovers a known decision surface; a
+    production run swaps in human/LLM labels and NOTHING else changes.
+    Returns the fitted PipelineModel."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    from realtimechurnpredictiondataengineering_spark.functions.text import quality_score
+
+    prepped = docs.select(
+        (quality_score(text_col) >= 0.75).cast("double").alias("label"),
+        *doc_feature_columns(text_col),
+    )
+    asm = VectorAssembler(inputCols=list(DOC_FEATURES), outputCol="__features")
+    lr = LogisticRegression(
+        featuresCol="__features",
+        labelCol="label",
+        maxIter=100,
+        regParam=1e-3,
+        standardization=True,
+    )
+    return Pipeline(stages=[asm, lr]).fit(prepped)
+
+
+def doc_quality_expression(coefficients: dict[str, float], intercept: float,
+                           text_col: str = "text") -> Column:
+    """The quality model compiled to a logit Column — literal-weighted
+    sum over the text feature expressions, left-associated in
+    DOC_FEATURES order (the ``score_expression`` discipline)."""
+    feats = dict(zip(DOC_FEATURES, doc_feature_columns(text_col)))
+    z: Column = F.lit(float(intercept))
+    for c in DOC_FEATURES:
+        z = z + F.lit(float(coefficients[c])) * feats[c]
+    return z
+
+
+def doc_quality_scores(
+    docs: DataFrame,
+    coefficients: dict[str, float],
+    intercept: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-based quality filtering at corpus scale: score every
+    document with the compiled classifier — zero Python, zero MLlib at
+    serve time, the whole projection runs inside whole-stage codegen on
+    the one text scan (the modern replacement for threshold heuristics:
+    DCLM/FineWeb-Edu rank and cut by a learned quality model).  The
+    logit snaps to the 1e-6 grid before the sigmoid (``churn_scores``
+    discipline); ``keep`` thresholds the logit at 0.  Returns
+    (id, quality_logit, quality_prob, keep)."""
+    z = snap(doc_quality_expression(coefficients, intercept, text_col), 6)
+    return docs.select(
+        F.col(id_col),
+        z.alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4).alias("quality_prob"),
+        (z > 0).cast("int").alias("keep"),
+    )
+
+
+#: Frozen offline training run of the document-quality classifier
+#: (seed 7, sf0.01 documents, label = quality_score >= 0.75; training
+#: AUC 1.0 — the rule is linearly separable in its own inputs, which is
+#: the point: the pipeline demonstrably recovers the decision surface).
+#: Regenerate with tools/train_quality.py.
+DOC_QUALITY_V1: dict = {
+    "coefficients": {
+        "n_chars": 0.015029440122572596,
+        "n_tokens": 0.08144981448435942,
+        "punct_ratio": 0.0,
+        "stopword_ratio": 118.96865426460678,
+        "mean_word_len": -1.8439797849969064,
+    },
+    "intercept": 2.3767967997364874,
+}
+
+
 def calibration_report(
     df: DataFrame,
     prob_col: str = "churn_prob",

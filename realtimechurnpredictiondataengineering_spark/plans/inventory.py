@@ -6467,6 +6467,50 @@ def t30(spark, sf_dir):
     )
 
 
+def _t31_sql() -> str:
+    from realtimechurnpredictiondataengineering_spark.ml import DOC_FEATURES, DOC_QUALITY_V1
+
+    # spell every feature exactly as the Spark expression computes it —
+    # raw (unrounded) doubles feeding the identical left-assoc sum
+    xs = {
+        "n_chars": "CAST(length(text) AS DOUBLE)",
+        "n_tokens": f"CAST({SQL_TOKEN_COUNT} AS DOUBLE)",
+        "punct_ratio": SQL_PUNCT_RATIO,
+        "stopword_ratio": SQL_STOPWORD_RATIO,
+        "mean_word_len": SQL_MEAN_WORD_LEN,
+    }
+    terms = " ".join(
+        f"+ {DOC_QUALITY_V1['coefficients'][c]!r} * ({xs[c]})" for c in DOC_FEATURES
+    )
+    return f"""
+WITH z AS (SELECT doc_id,
+                  round({DOC_QUALITY_V1['intercept']!r} {terms}, 6) + 0.0 AS quality_logit
+           FROM documents)
+SELECT doc_id, quality_logit,
+       round(1.0 / (1.0 + exp(-quality_logit)), 4) AS quality_prob,
+       CAST(quality_logit > 0 AS INT) AS keep
+FROM z
+"""
+
+
+@register("t31_model_quality_filter", _t31_sql)
+def t31(spark, sf_dir):
+    # Model-based quality filtering (the DCLM/FineWeb-Edu leg): the
+    # frozen DOC_QUALITY_V1 classifier compiled to a literal-weighted
+    # logit over five engine-deterministic text features — zero MLlib,
+    # zero Python at serve time, one text scan inside whole-stage
+    # codegen (ml.py:doc_quality_scores; trained offline by
+    # tools/train_quality.py, decision-surface recovery pinned in
+    # tests/test_ml.py).
+    from realtimechurnpredictiondataengineering_spark import ml
+
+    return ml.doc_quality_scores(
+        _td(spark, sf_dir),
+        ml.DOC_QUALITY_V1["coefficients"],
+        ml.DOC_QUALITY_V1["intercept"],
+    )
+
+
 @register("t29_bpe_merges", _t29_sql)
 def t29(spark, sf_dir):
     # Distributed BPE vocabulary training on the train split: 3 rounds
@@ -7087,7 +7131,10 @@ def w09(spark, sf_dir):
 # round 9 t30_bpe_segment (the serve half of t29) rotated IN;
 # v10_embedding_dup_clusters OUT for it (double-green r7/r8, untouched;
 # the embedding-dup family stays in-window via v16/v17 and ll08's
-# semantic half).
+# semantic half).  t31_model_quality_filter (classifier-based quality
+# filtering, new) rotated IN; d12_duplicate_spans OUT for it
+# (double-green r7/r8, untouched; span/contamination coverage stays
+# via d11/d15/ll09 in-window).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -7145,7 +7192,7 @@ PRIORITY: tuple[str, ...] = (
     "d11_exact_contamination",
     "t30_bpe_segment",
     "ll09_decontaminate",
-    "d12_duplicate_spans",
+    "t31_model_quality_filter",
     "d13_cluster_representatives",
     "v11_knn_label_accuracy",
     "t22_bigram_logprob_capped",

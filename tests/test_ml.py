@@ -65,6 +65,33 @@ def test_frozen_model_ranks_like_a_fresh_one(feats):
     assert pos[0] > neg[-1], "frozen model no longer separates the rule label"
 
 
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").persist()
+
+
+def test_doc_quality_training_separates_the_rule_label(docs):
+    # the quality gate is a deterministic rule of the model's own text
+    # features, so a converged linear model must separate it (AUC ~ 1)
+    model = ml.train_doc_quality_model(docs)
+    assert model.stages[-1].summary.areaUnderROC > 0.99
+
+
+def test_frozen_doc_quality_model_separates_the_gate(docs):
+    # DOC_QUALITY_V1 cannot silently rot: the frozen coefficients must
+    # still put every passing document's logit above every failing one
+    from realtimechurnpredictiondataengineering_spark.functions.text import quality_score
+
+    scored = ml.doc_quality_scores(
+        docs, ml.DOC_QUALITY_V1["coefficients"], ml.DOC_QUALITY_V1["intercept"]
+    ).join(docs.select("doc_id", (quality_score("text") >= 0.75).alias("label")), "doc_id")
+    rows = scored.select("quality_logit", "label").collect()
+    pos = sorted(r["quality_logit"] for r in rows if r["label"])
+    neg = sorted(r["quality_logit"] for r in rows if not r["label"])
+    assert pos and neg
+    assert pos[0] > neg[-1], "frozen quality model no longer separates the gate"
+
+
 def test_streaming_scores_equal_batch(spark, feats, tmp_path):
     # the compiled expression is a stateless projection, so it must run
     # unchanged on a stream and emit EXACTLY the batch scores
