@@ -157,6 +157,7 @@ HEADLINE = (
     "t29_bpe_merges",
     "t30_bpe_segment",
     "t31_model_quality_filter",
+    "v20_cluster_quality",
 )
 
 

@@ -915,3 +915,45 @@ def kmeans_lloyd(
     return assign(centroids).select(
         F.col(id_col), F.col("cluster").cast("int").alias("cluster")
     )
+
+
+def cluster_quality_report(
+    vecs: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster assignment-quality report for a trained quantizer
+    (the eval that closes the clustering leg: v19 trains, v05/v13 probe,
+    this says whether the partition is any good): for every vector the
+    scan-local centroid scoring (the v16 machinery) yields its best dot
+    (cohesion — how close the cluster center sits) and its margin over
+    the second-best centroid (assignment confidence — a near-zero
+    margin means the vector is on a cluster boundary and IVF ``nprobe``
+    must cover the neighbor).  Needs >= 2 centroids.
+
+    Scale shape: everything per-vector is a scan-local expression over
+    the literal centroid array (no join, no shuffle to assign); the
+    only shuffle is the final groupBy onto k rows.  Means round to the
+    1e-6 grid with the signed-zero snap (cohesion CAN be negative for
+    a cluster of far-flung vectors).  Returns
+    (cluster_id, n, mean_cohesion, mean_margin), one row per non-empty
+    cluster.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.scalar import snap
+
+    if len(centroids) < 2:
+        raise ValueError("cluster_quality_report needs >= 2 centroids")
+    cents = lit_matrix(centroids)
+    dots = F.transform(cents, lambda c: dot(F.col(vec_col), c))
+    best = F.array_max(dots)
+    second = F.element_at(F.sort_array(dots, asc=False), 2)
+    assigned = fan_out(vecs).select(
+        (F.array_position(dots, best) - 1).cast("int").alias("cluster_id"),
+        best.alias("__b"),
+        (best - second).alias("__m"),
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("int").alias("n"),
+        snap(F.avg("__b"), 6).alias("mean_cohesion"),
+        snap(F.avg("__m"), 6).alias("mean_margin"),
+    )

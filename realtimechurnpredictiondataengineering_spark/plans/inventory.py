@@ -1473,6 +1473,39 @@ def v19(spark, sf_dir):
     return similarity.kmeans_lloyd(e, k=8, rounds=3)
 
 
+def _v20_sql() -> str:
+    rows = ",\n".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])" for i, c in enumerate(_ivf_centroids())
+    )
+    return f"""
+WITH cents(cid, cv) AS (VALUES {rows}),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ranked AS (SELECT c.vec_id, ct.cid, list_dot_product(c.v, ct.cv) AS d,
+                  row_number() OVER (PARTITION BY c.vec_id
+                                     ORDER BY list_dot_product(c.v, ct.cv) DESC, ct.cid ASC) AS rn
+           FROM c, cents ct),
+own AS (SELECT vec_id, cid, d FROM ranked WHERE rn = 1),
+sec AS (SELECT vec_id, d AS d2 FROM ranked WHERE rn = 2)
+SELECT own.cid AS cluster_id, CAST(count(*) AS INT) AS n,
+       round(avg(own.d), 6) + 0.0 AS mean_cohesion,
+       round(avg(own.d - sec.d2), 6) + 0.0 AS mean_margin
+FROM own JOIN sec USING (vec_id)
+GROUP BY 1
+"""
+
+
+@register("v20_cluster_quality", _v20_sql)  # lazy: building the twin trains the quantizer
+def v20(spark, sf_dir):
+    # Assignment-quality report for the frozen IVF quantizer: per
+    # cluster, size, mean best-dot (cohesion) and mean margin over the
+    # second-best centroid (boundary vectors have near-zero margin —
+    # the signal that nprobe must cover neighbors).  Scan-local scoring
+    # against the centroid literals, ONE k-row groupBy
+    # (operators/similarity.py:cluster_quality_report).
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    return similarity.cluster_quality_report(e, _ivf_centroids())
+
+
 _V18_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -7134,7 +7167,10 @@ def w09(spark, sf_dir):
 # semantic half).  t31_model_quality_filter (classifier-based quality
 # filtering, new) rotated IN; d12_duplicate_spans OUT for it
 # (double-green r7/r8, untouched; span/contamination coverage stays
-# via d11/d15/ll09 in-window).
+# via d11/d15/ll09 in-window).  v20_cluster_quality (quantizer
+# assignment-quality report, new) rotated IN; v11_knn_label_accuracy
+# OUT for it (double-green r7/r8, untouched; the eval family stays
+# in-window via v18's recall report).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -7194,7 +7230,7 @@ PRIORITY: tuple[str, ...] = (
     "ll09_decontaminate",
     "t31_model_quality_filter",
     "d13_cluster_representatives",
-    "v11_knn_label_accuracy",
+    "v20_cluster_quality",
     "t22_bigram_logprob_capped",
     "t23_trigram_logprob_capped",
     "t24_stupid_backoff",

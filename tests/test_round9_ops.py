@@ -92,6 +92,28 @@ def test_streaming_merge_matches_one_shot_merge(spark, tmp_path):
     assert got == expected
 
 
+def test_merge_snapshot_batch_replay_is_idempotent(spark, tmp_path):
+    # the crash-recovery contract: foreachBatch may redeliver a batch
+    # (checkpoint committed after the sink ran) — re-applying the same
+    # change batch to the already-merged snapshot must be a no-op
+    from realtimechurnpredictiondataengineering_spark.operators import cdc
+
+    target = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, val double")
+    tdir = str(tmp_path / "snap")
+    target.write.parquet(tdir)
+    batch = spark.createDataFrame(
+        [(1, 10.0, "u", 5), (2, None, "d", 6), (3, 30.0, "c", 7)],
+        "id long, val double, _op string, seq long",
+    )
+    once = cdc.merge_snapshot(spark, tdir, batch, ["id"], ["seq"])
+    s2 = str(tmp_path / "snap2")
+    once.write.parquet(s2)
+    twice = cdc.merge_snapshot(spark, s2, batch, ["id"], ["seq"])
+    assert {(r["id"], r["val"]) for r in twice.collect()} == {
+        (r["id"], r["val"]) for r in spark.read.parquet(s2).collect()
+    } == {(1, 10.0), (3, 30.0)}
+
+
 def test_streaming_merge_bootstraps_absent_snapshot(spark, tmp_path):
     # first batch against a missing snapshot dir becomes the snapshot
     from realtimechurnpredictiondataengineering_spark.streaming.pipelines import (
@@ -316,6 +338,30 @@ def test_bpe_segment_replays_merges_in_order(spark):
     df = spark.createDataFrame([(1, "lower low")], ["doc_id", "text"])
     out = bpe_segment(df, [("l", "o"), ("lo", "w")]).collect()[0]["bpe_tokens"]
     assert out == ["low", "e", "r", "low"]
+
+
+def test_cluster_quality_report_hand_checked(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        cluster_quality_report,
+    )
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),   # cluster 0: cohesion 1.0, margin 1.0
+            (2, [0.8, 0.2]),   # cluster 0: cohesion 0.8, margin 0.6
+            (3, [0.1, 0.9]),   # cluster 1: cohesion 0.9, margin 0.8
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["cluster_id"]: (r["n"], r["mean_cohesion"], r["mean_margin"])
+        for r in cluster_quality_report(vecs, cents).collect()
+    }
+    assert got[0] == (2, pytest.approx(0.9), pytest.approx(0.8))
+    assert got[1] == (1, pytest.approx(0.9), pytest.approx(0.8))
+    with pytest.raises(ValueError, match=">= 2 centroids"):
+        cluster_quality_report(vecs, [[1.0, 0.0]])
 
 
 def test_embedding_psi_dims_mismatch_fails_loudly(spark):
