@@ -158,6 +158,7 @@ HEADLINE = (
     "t30_bpe_segment",
     "t31_model_quality_filter",
     "v20_cluster_quality",
+    "ll11_model_filtered_refinedweb",
 )
 
 

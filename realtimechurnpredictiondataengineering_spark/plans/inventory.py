@@ -6691,6 +6691,62 @@ def _ll10_sql() -> str:
     return body.replace("WITH RECURSIVE\n", header, 1)
 
 
+def _ll11_sql() -> str:
+    """The ll06 twin with the model-based quality gate spliced in front:
+    every base-table reference rebinds to ``model_kept`` (documents the
+    frozen DOC_QUALITY_V1 classifier keeps) — the t31 logit expression
+    verbatim, so the filter and its composition share one source of
+    truth (the _ll10_sql rebinding trick)."""
+    from realtimechurnpredictiondataengineering_spark.ml import DOC_FEATURES, DOC_QUALITY_V1
+
+    xs = {
+        "n_chars": "CAST(length(text) AS DOUBLE)",
+        "n_tokens": f"CAST({SQL_TOKEN_COUNT} AS DOUBLE)",
+        "punct_ratio": SQL_PUNCT_RATIO,
+        "stopword_ratio": SQL_STOPWORD_RATIO,
+        "mean_word_len": SQL_MEAN_WORD_LEN,
+    }
+    terms = " ".join(
+        f"+ {DOC_QUALITY_V1['coefficients'][c]!r} * ({xs[c]})" for c in DOC_FEATURES
+    )
+    body = _LL06_SQL.replace("FROM documents", "FROM model_kept")
+    header = (
+        "WITH RECURSIVE\n"
+        "model_kept AS (SELECT d.* FROM documents d\n"
+        f"  WHERE round({DOC_QUALITY_V1['intercept']!r} {terms}, 6) + 0.0 > 0),\n"
+    )
+    return body.replace("WITH RECURSIVE\n", header, 1)
+
+
+@register("ll11_model_filtered_refinedweb", _ll11_sql)
+def ll11(spark, sf_dir):
+    # The FineWeb-Edu composition: the frozen classifier gates FIRST
+    # (a scan-local compiled-logit filter — same scan price as a
+    # heuristic gate, learned decision surface), then the full
+    # RefinedWeb chain (gates -> exact dedup -> MinHash-LSH -> CC ->
+    # representatives -> budget) on the kept documents.  Cost-ordered
+    # like ll10: the cheapest per-row prune runs before anything pays a
+    # shuffle.
+    from realtimechurnpredictiondataengineering_spark import ml
+    from realtimechurnpredictiondataengineering_spark.functions.scalar import snap
+    from realtimechurnpredictiondataengineering_spark.plans.corpus_prep import (
+        refinedweb_pipeline,
+    )
+
+    kept = _td(spark, sf_dir).filter(
+        snap(
+            ml.doc_quality_expression(
+                ml.DOC_QUALITY_V1["coefficients"], ml.DOC_QUALITY_V1["intercept"]
+            ),
+            6,
+        )
+        > 0
+    )
+    return refinedweb_pipeline(
+        kept, budget=20_000, repetition_max=0.6, portable_hash=True
+    )
+
+
 @register("ll10_decontaminated_refinedweb", _ll10_sql)
 def ll10(spark, sf_dir):
     # The production pipeline order end-to-end: benchmark
@@ -7170,7 +7226,10 @@ def w09(spark, sf_dir):
 # via d11/d15/ll09 in-window).  v20_cluster_quality (quantizer
 # assignment-quality report, new) rotated IN; v11_knn_label_accuracy
 # OUT for it (double-green r7/r8, untouched; the eval family stays
-# in-window via v18's recall report).
+# in-window via v18's recall report).  ll11_model_filtered_refinedweb
+# (the FineWeb-Edu composition, new) rotated IN; ll02_sequence_packing
+# OUT for it (double-green r7/r8, untouched; the packing family stays
+# in-window via ll07's zigzag pack).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -7213,7 +7272,7 @@ PRIORITY: tuple[str, ...] = (
     "v18_truncated_recall",
     "d15_ngram_contamination",
     "ll01_corpus_prep",
-    "ll02_sequence_packing",
+    "ll11_model_filtered_refinedweb",
     "ll10_decontaminated_refinedweb",
     "ll06_refinedweb_pipeline",
     "ml03_calibration",

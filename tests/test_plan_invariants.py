@@ -51,6 +51,11 @@ STAGE_ASSERTED_EXECUTES_ON_BUILD = {
     # t30 trains (= t29's checkpoints) on build; its lazy segmentation
     # stage is asserted by test_t30_segment_stage_plan_shape.
     "t30_bpe_segment",
+    # ll11 = a scan-local compiled-logit filter (t31's expression, in
+    # the whole-plan fixture via t31) + the ll06 chain, whose stages
+    # are covered by test_ll06_post_cc_plan_shape and the CC round
+    # gate; running CC on build keeps it out of the fixture like ll06.
+    "ll11_model_filtered_refinedweb",
 }
 
 # BNLJ builds that are bounded by DOMAIN, not by plan structure — the
