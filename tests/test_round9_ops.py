@@ -340,6 +340,37 @@ def test_bpe_segment_replays_merges_in_order(spark):
     assert out == ["low", "e", "r", "low"]
 
 
+def test_ll11_gate_equals_t31_keep_flag(spark, sf_dir):
+    # composition consistency: the documents ll11's inline gate keeps
+    # must be exactly the doc_ids t31 scores keep = 1
+    from realtimechurnpredictiondataengineering_spark import ml
+    from realtimechurnpredictiondataengineering_spark.functions.scalar import snap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gate_kept = {
+        r["doc_id"]
+        for r in docs.filter(
+            snap(
+                ml.doc_quality_expression(
+                    ml.DOC_QUALITY_V1["coefficients"], ml.DOC_QUALITY_V1["intercept"]
+                ),
+                6,
+            )
+            > 0
+        ).select("doc_id").collect()
+    }
+    score_kept = {
+        r["doc_id"]
+        for r in ml.doc_quality_scores(
+            docs, ml.DOC_QUALITY_V1["coefficients"], ml.DOC_QUALITY_V1["intercept"]
+        )
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+        .collect()
+    }
+    assert gate_kept == score_kept and gate_kept
+
+
 def test_cluster_quality_report_hand_checked(spark):
     from realtimechurnpredictiondataengineering_spark.operators.similarity import (
         cluster_quality_report,
