@@ -159,6 +159,7 @@ HEADLINE = (
     "t31_model_quality_filter",
     "v20_cluster_quality",
     "ll11_model_filtered_refinedweb",
+    "t32_streaming_quality_scores",
 )
 
 

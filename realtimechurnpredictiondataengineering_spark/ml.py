@@ -183,6 +183,38 @@ def streaming_churn_scores(
     return spark.read.parquet(out_dir)
 
 
+def streaming_doc_quality_scores(
+    spark,
+    docs_path: str,
+    coefficients: dict[str, float],
+    intercept: float,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """The model-based quality filter on a live document feed — the
+    crawl-ingest twin of ``doc_quality_scores`` (the
+    ``streaming_churn_scores`` mechanics verbatim): a file-stream of
+    (doc_id, text) rows → the compiled classifier projection →
+    ``AvailableNow`` append sink with a checkpoint.  Stateless — no
+    watermark, no state store; each micro-batch scores inside
+    whole-stage codegen, so a crawl frontier can gate documents at
+    ingest time instead of re-scanning the corpus later.  Drains
+    everything available, then returns the materialized scores."""
+    from pyspark.sql import types as T
+
+    from realtimechurnpredictiondataengineering_spark.sources.sinks import delta_stream_sink
+    from realtimechurnpredictiondataengineering_spark.sources.streaming import file_stream
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+    )
+    stream = file_stream(spark, docs_path, schema, fmt="parquet")
+    scored = doc_quality_scores(stream, coefficients, intercept)
+    q = delta_stream_sink(scored, out_dir, checkpoint_dir)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 #: Frozen offline training run: seed 7, sf0.01 Gold features,
 #: label = the rule flag (training AUC 1.0 — the rule is linearly
 #: separable in its own inputs, which is the point: the pipeline

@@ -6544,6 +6544,39 @@ def t31(spark, sf_dir):
     )
 
 
+@register("t32_streaming_quality_scores", _t31_sql)
+def t32(spark, sf_dir):
+    # The real-time leg of the model-based filter: a file-stream of the
+    # documents table (the crawl-feed stand-in — same wire contract)
+    # scored by the compiled DOC_QUALITY_V1 projection and drained
+    # AvailableNow into a checkpointed sink
+    # (ml.py:streaming_doc_quality_scores).  Streaming output == batch
+    # output because the projection is stateless, which is exactly what
+    # the oracle twin checks: it is t31's batch SQL verbatim.
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from realtimechurnpredictiondataengineering_spark import ml
+
+    base = tempfile.mkdtemp(prefix="t32_quality_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    feed = f"{base}/feed"
+    os.makedirs(feed)
+    for i, part in enumerate(sorted(glob.glob(f"{sf_dir}/documents.parquet"))):
+        shutil.copy(part, f"{feed}/docs-{i:03d}.parquet")
+    return ml.streaming_doc_quality_scores(
+        spark,
+        feed,
+        ml.DOC_QUALITY_V1["coefficients"],
+        ml.DOC_QUALITY_V1["intercept"],
+        out_dir=f"{base}/out",
+        checkpoint_dir=f"{base}/ck",
+    )
+
+
 @register("t29_bpe_merges", _t29_sql)
 def t29(spark, sf_dir):
     # Distributed BPE vocabulary training on the train split: 3 rounds
@@ -7229,7 +7262,10 @@ def w09(spark, sf_dir):
 # in-window via v18's recall report).  ll11_model_filtered_refinedweb
 # (the FineWeb-Edu composition, new) rotated IN; ll02_sequence_packing
 # OUT for it (double-green r7/r8, untouched; the packing family stays
-# in-window via ll07's zigzag pack).
+# in-window via ll07's zigzag pack).  t32_streaming_quality_scores
+# (the real-time model-filter leg, new) rotated IN; t20_ccnet_buckets
+# OUT for it (double-green r7/r8, untouched; the LM-quality family
+# keeps seven in-window entries t22-t31).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -7268,7 +7304,7 @@ PRIORITY: tuple[str, ...] = (
     "w10_ewma_activity",
     "v02_brute_force_topk",
     "prof03_expectations",
-    "t20_ccnet_buckets",
+    "t32_streaming_quality_scores",
     "v18_truncated_recall",
     "d15_ngram_contamination",
     "ll01_corpus_prep",

@@ -56,6 +56,10 @@ STAGE_ASSERTED_EXECUTES_ON_BUILD = {
     # are covered by test_ll06_post_cc_plan_shape and the CC round
     # gate; running CC on build keeps it out of the fixture like ll06.
     "ll11_model_filtered_refinedweb",
+    # t32 runs an AvailableNow streaming query at call time (the ml02
+    # shape); its one plannable stage is asserted by
+    # test_t32_scoring_stage_plan_is_a_pure_projection.
+    "t32_streaming_quality_scores",
 }
 
 # BNLJ builds that are bounded by DOMAIN, not by plan structure — the
@@ -371,6 +375,25 @@ def test_t29_bpe_stage_plan_shape(spark, sf_dir):
     tree, text = _plan_of(applied)
     assert "CartesianProduct" not in text
     assert _bad_joins("t29:apply", tree, text, allow_domain_bounded=False) == []
+
+
+def test_t32_scoring_stage_plan_is_a_pure_projection(spark, sf_dir):
+    # t32's plannable stage is the compiled quality-scoring projection
+    # over the document source — shuffle-free, join-free whole-stage
+    # arithmetic (the ml02 doctrine: that property IS why streaming
+    # scoring equals batch scoring).
+    from realtimechurnpredictiondataengineering_spark import ml
+
+    df = ml.doc_quality_scores(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        ml.DOC_QUALITY_V1["coefficients"],
+        ml.DOC_QUALITY_V1["intercept"],
+    )
+    tree, text = _plan_of(df)
+    assert "CartesianProduct" not in text
+    assert "Join" not in text
+    assert "Exchange" not in text
+    assert _bad_joins("t32:score", tree, text, allow_domain_bounded=False) == []
 
 
 def test_t30_segment_stage_plan_shape(spark, sf_dir):
