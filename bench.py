@@ -160,6 +160,7 @@ HEADLINE = (
     "v20_cluster_quality",
     "ll11_model_filtered_refinedweb",
     "t32_streaming_quality_scores",
+    "ll12_dclm_ranked_select",
 )
 
 

@@ -107,6 +107,7 @@ def refinedweb_pipeline(
     jaccard_threshold: float = 0.5,
     repetition_max: float = 0.3,
     portable_hash: bool = False,
+    quality_expr: F.Column | None = None,
 ) -> DataFrame:
     """RefinedWeb-style corpus construction (Penedo et al. 2023), the
     full cost-ordered composition:
@@ -147,8 +148,15 @@ def refinedweb_pipeline(
         & F.coalesce(tx.repetition_ratio("text") <= repetition_max, F.lit(False))
         & rules["dup_gram_ok"]
     )
+    # the ranking signal is pluggable: the default is the heuristic
+    # composite; pass a model probability (ml.doc_quality_scores'
+    # expression) for the DCLM shape — representatives and the budget
+    # prefix then rank by the LEARNED score while the gates stay
+    # heuristic (the cheap scan-local prune runs first either way)
     gated = (
-        docs.withColumn("quality", tx.quality_score("text"))
+        docs.withColumn(
+            "quality", quality_expr if quality_expr is not None else tx.quality_score("text")
+        )
         .filter(keep)
         # n_tokens rides the persisted frame (4 bytes/row) so the budget
         # pass reads a column instead of re-running normalize+split over

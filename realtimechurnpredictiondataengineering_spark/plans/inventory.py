@@ -6780,6 +6780,63 @@ def ll11(spark, sf_dir):
     )
 
 
+def _ll12_sql() -> str:
+    """The ll06 twin with the RANKING signal swapped: ``quality``
+    becomes the frozen classifier's probability (t31's prob expression
+    verbatim), so representatives and the budget prefix select by the
+    learned score — the DCLM top-k-by-classifier composition.  One
+    string substitution of the expanded SQL_QUALITY fragment keeps a
+    single SQL source of truth."""
+    from realtimechurnpredictiondataengineering_spark.ml import DOC_FEATURES, DOC_QUALITY_V1
+
+    xs = {
+        "n_chars": "CAST(length(text) AS DOUBLE)",
+        "n_tokens": f"CAST({SQL_TOKEN_COUNT} AS DOUBLE)",
+        "punct_ratio": SQL_PUNCT_RATIO,
+        "stopword_ratio": SQL_STOPWORD_RATIO,
+        "mean_word_len": SQL_MEAN_WORD_LEN,
+    }
+    terms = " ".join(
+        f"+ {DOC_QUALITY_V1['coefficients'][c]!r} * ({xs[c]})" for c in DOC_FEATURES
+    )
+    prob = (
+        f"round(1.0 / (1.0 + exp(-(round({DOC_QUALITY_V1['intercept']!r} {terms}, 6) + 0.0))), 4)"
+    )
+    assert _LL06_SQL.count(f"{SQL_QUALITY} AS quality") == 1
+    return _LL06_SQL.replace(f"{SQL_QUALITY} AS quality", f"{prob} AS quality")
+
+
+@register("ll12_dclm_ranked_select", _ll12_sql)
+def ll12(spark, sf_dir):
+    # The DCLM composition proper: heuristic gates and dedup unchanged,
+    # but representatives and the token-budget prefix rank by the
+    # FROZEN CLASSIFIER's probability instead of the heuristic
+    # composite — "take the best B tokens as the model judges best",
+    # the top-k-by-classifier cut DCLM ships.  Pairs with ll11 (the
+    # FineWeb-Edu threshold gate): same machinery, two production
+    # policies.
+    from realtimechurnpredictiondataengineering_spark import ml
+    from realtimechurnpredictiondataengineering_spark.functions.scalar import snap
+    from realtimechurnpredictiondataengineering_spark.plans.corpus_prep import (
+        refinedweb_pipeline,
+    )
+
+    z = snap(
+        ml.doc_quality_expression(
+            ml.DOC_QUALITY_V1["coefficients"], ml.DOC_QUALITY_V1["intercept"]
+        ),
+        6,
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 4)
+    return refinedweb_pipeline(
+        _td(spark, sf_dir),
+        budget=20_000,
+        repetition_max=0.6,
+        portable_hash=True,
+        quality_expr=prob,
+    )
+
+
 @register("ll10_decontaminated_refinedweb", _ll10_sql)
 def ll10(spark, sf_dir):
     # The production pipeline order end-to-end: benchmark
@@ -7265,7 +7322,11 @@ def w09(spark, sf_dir):
 # in-window via ll07's zigzag pack).  t32_streaming_quality_scores
 # (the real-time model-filter leg, new) rotated IN; t20_ccnet_buckets
 # OUT for it (double-green r7/r8, untouched; the LM-quality family
-# keeps seven in-window entries t22-t31).
+# keeps seven in-window entries t22-t31).  ll12_dclm_ranked_select
+# (rank-by-classifier budget, new) rotated IN;
+# d13_cluster_representatives OUT for it (green since r5, untouched;
+# cluster_representatives runs in-window inside ll06/ll08/ll10/ll11/
+# ll12, all of which exercise the same representative pick).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -7324,7 +7385,7 @@ PRIORITY: tuple[str, ...] = (
     "t30_bpe_segment",
     "ll09_decontaminate",
     "t31_model_quality_filter",
-    "d13_cluster_representatives",
+    "ll12_dclm_ranked_select",
     "v20_cluster_quality",
     "t22_bigram_logprob_capped",
     "t23_trigram_logprob_capped",

@@ -60,6 +60,10 @@ STAGE_ASSERTED_EXECUTES_ON_BUILD = {
     # shape); its one plannable stage is asserted by
     # test_t32_scoring_stage_plan_is_a_pure_projection.
     "t32_streaming_quality_scores",
+    # ll12 is ll06 with the ranking expression swapped (t31's prob, in
+    # the whole-plan fixture via t31); every stage that shuffles is
+    # ll06's, covered by test_ll06_post_cc_plan_shape + the CC gate.
+    "ll12_dclm_ranked_select",
 }
 
 # BNLJ builds that are bounded by DOMAIN, not by plan structure — the
