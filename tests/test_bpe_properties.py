@@ -1,4 +1,8 @@
-"""Property-based tests for the BPE trainer (SURVEY §5.3 doctrine): the
+"""Property-based tests for the round-9 flagship operators (SURVEY
+§5.3 doctrine): each distributed implementation must agree with an
+independent sequential model on arbitrary generated inputs.
+
+BPE trainer: the
 distributed trainer must agree with an independent sequential textbook
 implementation on arbitrary generated corpora — including repeated
 characters (overlap greedy-ness), tie-heavy frequency tables
@@ -48,3 +52,50 @@ def test_bpe_train_matches_sequential_on_random_corpora(spark, words):
     # the distributed trainer may learn FEWER merges only when the
     # sequential one also ran dry (no pairs left)
     assert got == expected
+
+
+# --- streaming MERGE: sequential per-batch == one-shot -------------------
+
+CHANGES = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),            # key
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+        st.sampled_from(["c", "u", "d"]),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(changes=CHANGES, cuts=st.sets(st.integers(min_value=1, max_value=11), max_size=3))
+def test_sequential_merge_equals_one_shot_on_random_logs(spark, changes, cuts):
+    # ANY split of a seq-ordered change log into ordered batches must
+    # produce the same final state as one one-shot MERGE — the property
+    # the streaming foreachBatch loop (c07) rests on
+    from realtimechurnpredictiondataengineering_spark.operators import cdc
+
+    target = spark.createDataFrame([(1, 0.0), (3, 0.0)], "id long, val double")
+    rows = [(k, v, op, seq) for seq, (k, v, op) in enumerate(changes, start=1)]
+    log = spark.createDataFrame(rows, "id long, val double, _op string, seq long")
+    one_shot = {
+        (r["id"], r["val"])
+        for r in cdc.merge_frames(target, log, ["id"], ["seq"]).collect()
+    }
+    bounds = sorted(c for c in cuts if c < len(rows))
+    spans = list(zip([0, *bounds], [*bounds, len(rows)]))
+    state = target
+    for lo, hi in spans:
+        if lo == hi:
+            continue
+        batch = spark.createDataFrame(
+            rows[lo:hi], "id long, val double, _op string, seq long"
+        )
+        state = cdc.merge_frames(state, batch, ["id"], ["seq"]).localCheckpoint()
+    sequential = {(r["id"], r["val"]) for r in state.collect()}
+    assert sequential == one_shot
