@@ -134,11 +134,18 @@ def bpe_train(
     from pyspark.sql import Window
 
     k = int(merges_per_round)
+    empty = corpus.sparkSession.createDataFrame(
+        [],
+        "merge_rank int, left_sym string, right_sym string, merged string, pair_count long",
+    )
+    if n_merges <= 0:
+        return empty
     syms = stats_free_checkpoint(_init_symbols(word_frequencies(corpus, text_col, max_word_len)))
     order = [F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")]
     winners: list[DataFrame] = []
-    # k == 1 runs exactly n_merges fixed rounds (the oracle-replayable
-    # shape t29 unrolls); k > 1 loops until n_merges are learned —
+    # k == 1 runs up to n_merges fixed rounds (the oracle-replayable
+    # shape t29 unrolls), ending early on an exhausted corpus; k > 1
+    # loops until n_merges are learned —
     # deferral makes per-round yield data-dependent, and counting the
     # already-checkpointed ≤K-row winner frame is a trivial job, not a
     # data collect (the CC-loop convergence-check discipline)
@@ -148,7 +155,14 @@ def bpe_train(
         rnd += 1
         if k == 1:
             win = stats_free_checkpoint(_pair_counts(syms).orderBy(*order).limit(1))
-            got = 1
+            # an exhausted corpus (every word a single symbol) yields an
+            # empty winner frame — break, mirroring the k>1 got==0 exit,
+            # instead of burning one full pair-count job per remaining
+            # round; counting the already-checkpointed ≤1-row frame is a
+            # trivial job, not a data collect
+            got = win.count()
+            if got == 0:
+                break
         else:
             # top-K candidates (K rows after the distributed top-k), then
             # defer any candidate sharing a symbol with a higher-ranked
@@ -209,6 +223,8 @@ def bpe_train(
                     ).alias("__sym"),
                 )
             )
+    if not winners:
+        return empty
     out = winners[0]
     for w in winners[1:]:
         out = out.unionByName(w)
@@ -304,16 +320,48 @@ def bpe_segment(
     each token to characters, replay the merges IN LEARNED ORDER (the
     BPE inference rule), return the flattened subword sequence per row.
     Pure scan-local string work — the merge list is a frozen artifact
-    compiled into the projection as literals; no join, no shuffle, no
-    UDF (``transform`` over the token array, ``replace`` per merge)."""
+    compiled into the projection as ONE literal array of (a, b) structs
+    folded at RUNTIME by ``aggregate``; no join, no shuffle, no UDF.
+
+    The fold, not nested ``replace`` calls, is what makes this serve at
+    production vocabulary sizes: one Replace expression per merge
+    compiles a tree whose DEPTH grows with the merge count —
+    StackOverflowError inside Catalyst at ≈512 merges, far below a real
+    32k-merge vocabulary — while the literal array grows the plan in
+    WIDTH only (two string literals per merge) and the analyzed tree
+    stays constant-size (regression-pinned at ≥512 merges).  Per-row
+    cost is unchanged: the same O(merges) replace passes, now as a
+    runtime loop instead of a compiled expression spine."""
     from realtimechurnpredictiondataengineering_spark.functions.text import tokens
 
+    ms = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in merges
+        ]
+    )
+
     def segment_word(w):
-        sym = F.concat(F.lit("  "), F.array_join(F.split(w, ""), "  "), F.lit("  "))
-        for a, b in merges:
-            sym = F.replace(sym, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        sym = F.aggregate(
+            ms,
+            F.concat(F.lit("  "), F.array_join(F.split(w, ""), "  "), F.lit("  ")),
+            lambda acc, m: F.replace(
+                acc,
+                F.concat(F.lit(" "), m["a"], F.lit("  "), m["b"], F.lit(" ")),
+                F.concat(F.lit(" "), m["a"], m["b"], F.lit(" ")),
+            ),
+        )
         return F.split(F.trim(sym), "  ")
 
+    if not merges:
+        # aggregate() needs a non-empty literal array type; zero merges
+        # is just character segmentation
+        return df.withColumn(
+            out_col,
+            F.flatten(
+                F.transform(tokens(text_col), lambda w: F.split(w, ""))
+            ),
+        )
     return df.withColumn(
         out_col,
         F.flatten(F.transform(tokens(text_col), segment_word)),

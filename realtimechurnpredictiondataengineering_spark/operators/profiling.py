@@ -260,9 +260,9 @@ def embedding_psi(
 
     from realtimechurnpredictiondataengineering_spark.cache import persist_tracked
 
-    # the binned frames persist (config-sized: ≤ dims × n_bins rows) so
-    # the dims-guard probe below reads the CACHED aggregates instead of
-    # re-running the posexplode scans — the guard costs zero extra scans
+    # the binned frames persist (config-sized: ≤ dims × n_bins rows) —
+    # each side feeds both the grid join and the per-dim totals, so the
+    # posexplode scans run once per side, not twice
     binned_ref = persist_tracked(binned(reference, "ref"))
     binned_cur = persist_tracked(binned(current, "cur"))
     grid = spark.createDataFrame(
@@ -287,16 +287,20 @@ def embedding_psi(
     # configured-dims guard: a dims/encoder mismatch must fail loudly, not
     # read as "no drift" (coordinates beyond the grid would silently
     # vanish; configured dims absent from the data would report psi = 0.0
-    # — both sides Laplace-smoothed from zero counts).  posexplode emits
-    # every dim 0..size-1 of every vector, so max(dim)+1 over the CACHED
-    # binned aggregates IS the observed max vector size — a 1-row probe
-    # over config-sized frames, broadcast into the term frame;
-    # assert_true raises at runtime, keeping the check distributed — no
-    # driver-side collect, no extra table scan.
+    # — both sides Laplace-smoothed from zero counts).  The probe reads
+    # max(size(vec)) from the VECTORS, before any null-value filtering —
+    # deriving it from the binned aggregates under-reported when a
+    # coordinate was NULL in every vector (those (dim, NULL) pairs never
+    # reach the groupBy) and returned NULL on empty inputs.  The probe
+    # scan is column-pruned to the vector column and its 1-row result
+    # broadcasts into the term frame; assert_true raises at runtime,
+    # keeping the check distributed — no driver-side collect.  On
+    # empty/all-NULL inputs __max_sz is NULL, the == comparison is NULL,
+    # and assert_true still fires — with a readable coalesced message.
     probe = (
-        binned_ref.select("dim")
-        .unionByName(binned_cur.select("dim"))
-        .agg((F.max("dim") + 1).alias("__max_sz"))
+        reference.select(F.size(F.col(vec_col)).alias("__sz"))
+        .unionByName(current.select(F.size(F.col(vec_col)).alias("__sz")))
+        .agg(F.max("__sz").alias("__max_sz"))
     )
     checked = (
         joined.join(F.broadcast(tot), "dim")
@@ -306,7 +310,10 @@ def embedding_psi(
                 F.col("__max_sz") == dims,
                 F.concat(
                     F.lit(f"embedding_psi: configured dims={dims} but observed vector size "),
-                    F.col("__max_sz").cast("string"),
+                    F.coalesce(
+                        F.col("__max_sz").cast("string"),
+                        F.lit("NULL (empty or all-NULL input)"),
+                    ),
                 ),
             ).isNull()
         )

@@ -3093,28 +3093,30 @@ def c07(spark, sf_dir):
 
     base = tempfile.mkdtemp(prefix="c07_merge_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    snap, feed, ck = f"{base}/snapshot", f"{base}/feed", f"{base}/ck"
-    target.write.parquet(snap)
+    # snap_dir, not snap: the module-level scalar `snap` (signed-zero
+    # normalizer) is imported in this file and must stay unshadowed
+    snap_dir, feed_dir, ck_dir = f"{base}/snapshot", f"{base}/feed", f"{base}/ck"
+    target.write.parquet(snap_dir)
     new.repartitionByRange(3, "ts", "last_event_id").write.parquet(f"{base}/batches")
-    os.makedirs(feed)
+    os.makedirs(feed_dir)
     # part-00000 holds the lowest (ts, event_id) range; feed the files in
     # that order with strictly increasing mtimes (the file source orders
     # by modification time) and one file per trigger
-    t0 = os.path.getmtime(snap)
+    t0 = os.path.getmtime(snap_dir)
     for i, part in enumerate(sorted(glob.glob(f"{base}/batches/part-*.parquet"))):
-        dst = f"{feed}/batch-{i:03d}.parquet"
+        dst = f"{feed_dir}/batch-{i:03d}.parquet"
         shutil.move(part, dst)
         os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
     stream = (
         spark.readStream.schema(new.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(feed)
+        .parquet(feed_dir)
     )
     q = streaming_merge_upserts(
-        stream, snap, ck, keys=["user_id"], seq_cols=["ts", "last_event_id"]
+        stream, snap_dir, ck_dir, keys=["user_id"], seq_cols=["ts", "last_event_id"]
     )
     q.awaitTermination()
-    return spark.read.parquet(snap)
+    return spark.read.parquet(snap_dir)
 
 
 @register(

@@ -460,6 +460,18 @@ def streaming_merge_upserts(
     change-batch schema; callers wanting a narrower snapshot schema
     pre-seed ``snapshot_dir``.
 
+    The swap itself is crash-RECOVERABLE, not just replay-idempotent:
+    write to the ``.merging`` sibling, rename the live snapshot to a
+    ``.old`` sibling, promote ``.merging``, delete ``.old`` (two
+    renames, never a window with zero copies on disk).  Recovery runs
+    at start and before every merge: a ``.old`` left by a crash proves
+    a completed staged write, so the swap is finished (or, absent the
+    staged dir, the old snapshot restored); a staged dir WITHOUT a
+    ``.old`` is an incomplete write and is discarded.  The previous
+    delete-then-move protocol had a window where a crash left NO
+    snapshot and the replayed batch silently re-bootstrapped from the
+    batch alone, dropping every previously-merged key.
+
     Scale: per-batch cost is one snapshot scan + one batch-sized window
     + the anti-join — no streaming state store at all (state lives in
     the table, which is the point of MERGE); a backfill-sized batch
@@ -467,23 +479,48 @@ def streaming_merge_upserts(
     hint (see ``merge_frames``).  Returns the started query; callers
     ``awaitTermination`` then read ``snapshot_dir``.
     """
+    import os
     import shutil
 
     from realtimechurnpredictiondataengineering_spark.operators import cdc
 
     spark = changes_stream.sparkSession
-    staged = snapshot_dir.rstrip("/") + ".merging"
+    live = snapshot_dir.rstrip("/")
+    staged = live + ".merging"
+    old = live + ".old"
+
+    def recover() -> None:
+        # A ``.old`` sibling exists only between steps 2 and 4 of the
+        # swap, i.e. AFTER the staged write completed — so if the live
+        # snapshot is gone, promoting the staged dir (or restoring
+        # ``.old`` when staged is also gone) is always safe; the
+        # checkpoint replays the interrupted batch and the merge is
+        # idempotent.  A staged dir with NO ``.old`` is an interrupted
+        # write — discard it.
+        if os.path.isdir(old):
+            if not os.path.isdir(live):
+                if os.path.isdir(staged):
+                    shutil.move(staged, live)
+                else:
+                    shutil.move(old, live)
+            shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(staged):
+            shutil.rmtree(staged, ignore_errors=True)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        recover()
         if batch_df.isEmpty():
             return
         merged = cdc.merge_snapshot(
             spark, snapshot_dir, batch_df, keys, seq_cols, op_col=op_col
         )
-        merged.write.mode("overwrite").parquet(staged)
-        shutil.rmtree(snapshot_dir, ignore_errors=True)
-        shutil.move(staged, snapshot_dir)
+        merged.write.mode("overwrite").parquet(staged)  # 1. stage
+        if os.path.isdir(live):
+            os.rename(live, old)                        # 2. retire live
+        os.rename(staged, live)                         # 3. promote
+        shutil.rmtree(old, ignore_errors=True)          # 4. drop retired
 
+    recover()
     return (
         changes_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
