@@ -77,14 +77,27 @@ def word_frequencies(
     )
 
 
-def _init_symbols(words: DataFrame) -> DataFrame:
+#: Sennrich et al. 2016's end-of-word symbol: a distinct token appended
+#: after the final character so merges can learn word-final units
+#: ("est·" vs mid-word "est").  Space-free, so the double-space replace
+#: machinery treats it like any other symbol; a real tokenizer escapes
+#: raw "<"/">" in input text before training — over natural text the
+#: collision (chars "<", "/", "w", ">" merging into this exact string)
+#: does not arise.
+EOW_MARKER = "</w>"
+
+
+def _init_symbols(words: DataFrame, end_of_word: bool = False) -> DataFrame:
     """Character-level start state: every word becomes its double-space
-    joined character sequence with boundary padding."""
+    joined character sequence with boundary padding — plus the
+    ``EOW_MARKER`` symbol after the last character when
+    ``end_of_word`` is set (the documented one-literal variant)."""
+    tail = f"  {EOW_MARKER}  " if end_of_word else "  "
     return words.select(
         "__w",
         "__freq",
         F.concat(
-            F.lit("  "), F.array_join(F.split("__w", ""), "  "), F.lit("  ")
+            F.lit("  "), F.array_join(F.split("__w", ""), "  "), F.lit(tail)
         ).alias("__sym"),
     )
 
@@ -111,6 +124,7 @@ def bpe_train(
     text_col: str = "text",
     max_word_len: int = 64,
     merges_per_round: int = 1,
+    end_of_word: bool = False,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges from ``corpus``; returns the merge
     table (merge_rank, left_sym, right_sym, merged, pair_count) in
@@ -126,10 +140,14 @@ def bpe_train(
     right asc); rerunning on the same corpus reproduces the table on
     any partitioning/engine, which is what makes the unrolled-round SQL
     twin (t29) value-checkable.  A round with no remaining pairs
-    contributes no row (the merge table just ends early).  No
-    end-of-word marker is appended: merges are learned over in-word
-    adjacency only — the marker variant is one extra literal in
-    ``_init_symbols`` and changes no plan shape.
+    contributes no row (the merge table just ends early).
+
+    ``end_of_word`` appends the ``EOW_MARKER`` symbol after each word's
+    final character (Sennrich et al. 2016's formulation), letting the
+    trainer learn word-FINAL units as distinct merges ("est·" vs
+    mid-word "est") — one extra literal in ``_init_symbols``, no plan
+    shape change, t34's oracle-checked variant.  Default False keeps
+    the t29 in-word-adjacency semantics.
     """
     from pyspark.sql import Window
 
@@ -140,7 +158,9 @@ def bpe_train(
     )
     if n_merges <= 0:
         return empty
-    syms = stats_free_checkpoint(_init_symbols(word_frequencies(corpus, text_col, max_word_len)))
+    syms = stats_free_checkpoint(
+        _init_symbols(word_frequencies(corpus, text_col, max_word_len), end_of_word)
+    )
     order = [F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")]
     winners: list[DataFrame] = []
     # k == 1 runs up to n_merges fixed rounds (the oracle-replayable
@@ -242,6 +262,65 @@ def bpe_train(
     )
     return ranked.filter(F.col("merge_rank") <= n_merges).select(
         "merge_rank", "left_sym", "right_sym", "merged", "pair_count"
+    )
+
+
+def bpe_vocab(
+    corpus: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    max_word_len: int = 64,
+    end_of_word: bool = False,
+) -> DataFrame:
+    """The second frozen artifact a trained tokenizer ships: the final
+    SYMBOL INVENTORY — every subword that survives after replaying the
+    learned merge table over the training corpus, with its
+    freq-weighted occurrence count.  (The merge table drives
+    segmentation; the vocabulary drives id assignment, coverage audits,
+    and the longest-match serve variant.)
+
+    Plan: the one word-frequency scan (Zipf-bounded output), the merge
+    table riding ONE 1-row broadcast as a rank-ordered array replayed
+    by a runtime ``aggregate`` fold (constant plan depth at any
+    vocabulary size — the ``bpe_segment`` discipline), one explode of
+    the final symbol sequences, ONE groupBy.  ``end_of_word`` must
+    match the flag the merge table was trained with — the marker is
+    part of the start state, not of the merges.  Returns
+    (symbol, n_occurrences), deterministic for a deterministic merge
+    table.
+    """
+    batch = merges_df.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("merge_rank").alias("r"),
+                    F.col("left_sym").alias("a"),
+                    F.col("right_sym").alias("b"),
+                )
+            )
+        ).alias("__ms")
+    )
+    syms = _init_symbols(
+        word_frequencies(corpus, text_col, max_word_len), end_of_word
+    )
+    folded = syms.crossJoin(F.broadcast(batch)).select(
+        "__freq",
+        F.aggregate(
+            "__ms",
+            F.col("__sym"),
+            lambda acc, m: F.replace(
+                acc,
+                F.concat(F.lit(" "), m["a"], F.lit("  "), m["b"], F.lit(" ")),
+                F.concat(F.lit(" "), m["a"], m["b"], F.lit(" ")),
+            ),
+        ).alias("__sym"),
+    )
+    return (
+        folded.select(
+            "__freq", F.explode(F.split(F.trim("__sym"), "  ")).alias("symbol")
+        )
+        .groupBy("symbol")
+        .agg(F.sum("__freq").cast("long").alias("n_occurrences"))
     )
 
 

@@ -6415,11 +6415,94 @@ def t28(spark, sf_dir):
     )
 
 
-def _t29_sql() -> str:
+_T33_SQL = f"""
+WITH ctoks AS (SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
+               WHERE doc_id % 10 != 0 AND length({SQL_NORM}) > 0),
+cuni AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM ctoks)),
+cpr AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p
+        FROM ctoks WHERE len(t) >= 2),
+cbig AS (SELECT p[1] AS w2, p[2] AS w3, count(*) AS nb FROM cpr GROUP BY 1, 2),
+bwd AS (SELECT w3, count(*) AS n1b FROM cbig GROUP BY 1),
+ctr AS (SELECT unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS p
+        FROM ctoks WHERE len(t) >= 3),
+ctri AS (SELECT p[1] AS w1, p[2] AS w2, p[3] AS w3, count(*) AS nt FROM ctr GROUP BY 1, 2, 3),
+ctx3 AS (SELECT w1, w2, sum(nt) AS nc3, count(*) AS n1f3 FROM ctri GROUP BY 1, 2),
+mid AS (SELECT w2, w3, count(*) AS cm FROM ctri GROUP BY 1, 2),
+ctxm AS (SELECT w2, sum(cm) AS ncm, count(*) AS n1fm FROM mid GROUP BY 1),
+topt AS (SELECT w1, w2, w3, nt FROM ctri ORDER BY nt DESC, w1 ASC, w2 ASC, w3 ASC LIMIT 256),
+ctx3c AS (SELECT ctx3.* FROM ctx3
+          SEMI JOIN (SELECT DISTINCT w1, w2 FROM topt) tc
+          ON ctx3.w1 = tc.w1 AND ctx3.w2 = tc.w2),
+topm AS (SELECT w2, w3, cm FROM mid ORDER BY cm DESC, w2 ASC, w3 ASC LIMIT 256),
+ctxmc AS (SELECT ctxm.* FROM ctxm
+          SEMI JOIN (SELECT DISTINCT w2 FROM topm) mc ON ctxm.w2 = mc.w2),
+topb AS (SELECT w3, n1b FROM bwd ORDER BY n1b DESC, w3 ASC LIMIT 256),
+consts AS (SELECT (SELECT count(*) FROM cbig) AS tt, (SELECT v FROM cuni) AS v),
+ttoks AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+          WHERE doc_id % 10 = 0),
+tbase AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM ttoks),
+tr AS (SELECT doc_id, unnest(list_zip(t[1:len(t)-2], t[2:len(t)-1], t[3:len(t)])) AS p
+       FROM tbase WHERE n_tokens >= 3),
+triples AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM tr),
+s AS (SELECT doc_id,
+             round(avg(-log2(
+               CASE WHEN ctx3c.nc3 IS NOT NULL
+                    THEN greatest(coalesce(topt.nt, 0) - 0.75, 0.0) / ctx3c.nc3
+                         + (0.75 * ctx3c.n1f3 / ctx3c.nc3)
+                           * (CASE WHEN ctxmc.ncm IS NOT NULL
+                                   THEN greatest(coalesce(topm.cm, 0) - 0.75, 0.0) / ctxmc.ncm
+                                        + (0.75 * ctxmc.n1fm / ctxmc.ncm)
+                                          * ((coalesce(topb.n1b, 0) + 1.0) / (tt + v + 1.0))
+                                   ELSE (coalesce(topb.n1b, 0) + 1.0) / (tt + v + 1.0) END)
+                    ELSE (CASE WHEN ctxmc.ncm IS NOT NULL
+                               THEN greatest(coalesce(topm.cm, 0) - 0.75, 0.0) / ctxmc.ncm
+                                    + (0.75 * ctxmc.n1fm / ctxmc.ncm)
+                                      * ((coalesce(topb.n1b, 0) + 1.0) / (tt + v + 1.0))
+                               ELSE (coalesce(topb.n1b, 0) + 1.0) / (tt + v + 1.0) END) END)), 4)
+               AS mean_neg_log2p
+      FROM triples
+      LEFT JOIN topt USING (w1, w2, w3)
+      LEFT JOIN ctx3c USING (w1, w2)
+      LEFT JOIN topm USING (w2, w3)
+      LEFT JOIN ctxmc USING (w2)
+      LEFT JOIN topb USING (w3), consts
+      GROUP BY doc_id)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       coalesce(s.mean_neg_log2p, 0.0) AS mean_neg_log2p
+FROM tbase b LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("t33_kneser_ney_trigram_capped", _T33_SQL)
+def t33(spark, sf_dir):
+    # The top-V valve on t28, value-checked the way t25 value-checks
+    # t24's valve: top-256 trigram rows and top-256 continuation-bigram
+    # rows (count desc, key asc — a total order), context tables exact
+    # but semi-restricted to the kept keys' contexts, top-256 backward
+    # type counts for the unigram floor.  An out-of-top trigram falls to
+    # the continuation rung, an out-of-top continuation bigram to the
+    # Laplace floor — V=256 is far below the train-split vocabularies so
+    # every fall-through is genuinely exercised; every broadcast side is
+    # ≤V rows at any corpus size, and capped == exact when V covers
+    # (unit-tested) (operators/corpus.py:kneser_ney_trigram_logprob
+    # top_v).
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    d = _td(spark, sf_dir)
+    return corpus.kneser_ney_trigram_logprob(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        discount=0.75,
+        top_v=256,
+    )
+
+
+def _t29_sql(eow: bool = False) -> str:
     # unrolled-round twin (the v19 pattern): each training round is one
     # pair-count CTE + one top-1 winner CTE + one replace CTE, spliced
     # verbatim per round so the SQL replays the identical fixed-point
-    # sequence the operator runs
+    # sequence the operator runs; ``eow`` appends the Sennrich
+    # end-of-word marker symbol in the start state (the t34 variant)
     rounds = []
     for i in (1, 2, 3):
         prev = f"w{i - 1}"
@@ -6442,6 +6525,7 @@ r{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""
         f"CAST(cnt AS BIGINT) AS pair_count FROM r{i}"
         for i in (1, 2, 3)
     )
+    tail = "  </w>  " if eow else "  "
     return f"""
 WITH toks AS (SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
               WHERE doc_id % 10 != 0 AND length({SQL_NORM}) > 0),
@@ -6449,7 +6533,7 @@ words AS (SELECT w, count(*) AS freq
           FROM (SELECT unnest(t) AS w FROM toks)
           WHERE length(w) > 0 AND length(w) <= 64 GROUP BY 1),
 w0 AS (SELECT w, freq,
-              '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS sym
+              '  ' || array_to_string(string_split(w, ''), '  ') || '{tail}' AS sym
        FROM words),
 {body}
 {arms}
@@ -6591,6 +6675,40 @@ def t29(spark, sf_dir):
 
     d = _td(spark, sf_dir)
     return bpe.bpe_train(d.filter(F.col("doc_id") % 10 != 0), n_merges=3)
+
+
+def _t34_sql() -> str:
+    # t29's unrolled training CTEs with the end-of-word marker switched
+    # on (one source of truth — the vocab twin cannot drift from the
+    # training twin), then the final round's replace applied and the
+    # surviving symbols unnested into the freq-weighted inventory
+    train = _t29_sql(eow=True)
+    body = train[: train.rindex("SELECT 1 AS merge_rank")].rstrip().rstrip(",")
+    return f"""{body},
+w3 AS (SELECT w, freq, replace(sym,
+              ' ' || (SELECT a FROM r3) || '  ' || (SELECT b FROM r3) || ' ',
+              ' ' || (SELECT a FROM r3) || (SELECT b FROM r3) || ' ') AS sym FROM w2)
+SELECT sym_tok AS symbol, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM (SELECT freq, unnest(string_split(trim(sym), '  ')) AS sym_tok FROM w3)
+GROUP BY 1
+"""
+
+
+@register("t34_bpe_vocab", _t34_sql)
+def t34(spark, sf_dir):
+    # The end-of-word-marker training variant (Sennrich et al. 2016's
+    # formulation: a distinct symbol after each word's final character,
+    # so word-FINAL units become learnable merges) plus the second
+    # frozen tokenizer artifact: the final symbol inventory after
+    # replaying the learned table over the training corpus — replayed
+    # by the constant-depth runtime fold, one explode, ONE groupBy
+    # (operators/bpe.py:bpe_train end_of_word, bpe_vocab).
+    from realtimechurnpredictiondataengineering_spark.operators import bpe
+
+    d = _td(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    merges = bpe.bpe_train(train, n_merges=3, end_of_word=True)
+    return bpe.bpe_vocab(train, merges, end_of_word=True)
 
 
 @register("t24_stupid_backoff", _T24_SQL)

@@ -212,10 +212,13 @@ def test_kn_trigram_cap_is_live_at_small_v(spark):
     assert capped != exact  # the valve actually drops tail n-grams
 
 
-def _sequential_bpe(word_freqs: dict, n_merges: int):
+def _sequential_bpe(word_freqs: dict, n_merges: int, eow: bool = False):
     # the textbook Sennrich trainer: greedy top pair per round over
-    # character sequences, ties by (left, right) ascending
-    seqs = {tuple(w): f for w, f in word_freqs.items()}
+    # character sequences, ties by (left, right) ascending; ``eow``
+    # appends the end-of-word marker symbol (the t34 variant)
+    seqs = {
+        tuple(w) + (("</w>",) if eow else ()): f for w, f in word_freqs.items()
+    }
     merges = []
     for _ in range(n_merges):
         counts = {}
