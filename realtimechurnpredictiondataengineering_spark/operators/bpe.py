@@ -80,10 +80,13 @@ def word_frequencies(
 #: Sennrich et al. 2016's end-of-word symbol: a distinct token appended
 #: after the final character so merges can learn word-final units
 #: ("est·" vs mid-word "est").  Space-free, so the double-space replace
-#: machinery treats it like any other symbol; a real tokenizer escapes
-#: raw "<"/">" in input text before training — over natural text the
-#: collision (chars "<", "/", "w", ">" merging into this exact string)
-#: does not arise.
+#: machinery treats it like any other symbol.  The collision (a corpus
+#: word whose characters "<", "/", "w", ">" could merge into this exact
+#: string and be conflated with the boundary marker) is ENFORCED away,
+#: not just documented: ``_init_symbols`` drops words containing
+#: '<' or '>' from the eow training state (the standard escape-or-drop
+#: preprocessing policy, made explicit), and the t34 twin applies the
+#: identical predicate.
 EOW_MARKER = "</w>"
 
 
@@ -91,7 +94,14 @@ def _init_symbols(words: DataFrame, end_of_word: bool = False) -> DataFrame:
     """Character-level start state: every word becomes its double-space
     joined character sequence with boundary padding — plus the
     ``EOW_MARKER`` symbol after the last character when
-    ``end_of_word`` is set (the documented one-literal variant)."""
+    ``end_of_word`` is set (the documented one-literal variant).
+    With the marker on, words containing '<' or '>' are dropped so no
+    corpus word can merge into the literal marker string (see
+    ``EOW_MARKER``)."""
+    if end_of_word:
+        words = words.filter(
+            ~F.col("__w").contains("<") & ~F.col("__w").contains(">")
+        )
     tail = f"  {EOW_MARKER}  " if end_of_word else "  "
     return words.select(
         "__w",
@@ -289,17 +299,7 @@ def bpe_vocab(
     (symbol, n_occurrences), deterministic for a deterministic merge
     table.
     """
-    batch = merges_df.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("merge_rank").alias("r"),
-                    F.col("left_sym").alias("a"),
-                    F.col("right_sym").alias("b"),
-                )
-            )
-        ).alias("__ms")
-    )
+    batch = _merge_batch(merges_df, end_of_word, "bpe_vocab")
     syms = _init_symbols(
         word_frequencies(corpus, text_col, max_word_len), end_of_word
     )
@@ -324,26 +324,15 @@ def bpe_vocab(
     )
 
 
-def bpe_segment_frame(
-    df: DataFrame,
-    merges_df: DataFrame,
-    text_col: str = "text",
-) -> DataFrame:
-    """Apply a ``bpe_train`` merge TABLE to a corpus — the serve path
-    when the vocabulary was just learned in the same session (no
-    driver round-trip: the merge table rides ONE 1-row broadcast as a
-    rank-ordered array, and each document replays the merges inside a
-    ``transform``/``aggregate`` fold — scan-local, no shuffle beyond
-    the broadcast's own, no UDF).
-
-    Output is driver-canonicalizable by design: the subword sequence
-    surfaces as a space-joined STRING plus its length, not an array
-    (array cells fail the external gate's pandas canonicalization —
-    the v06/m01 lesson).  Returns (original columns…, n_tokens,
-    n_bpe_tokens, bpe_text); empty documents yield (0, 0, '').
-    """
-    from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
-
+def _merge_batch(merges_df: DataFrame, end_of_word: bool, caller: str) -> DataFrame:
+    """The 1-row broadcast side every frame-based serve path rides: the
+    merge table as a rank-ordered array of (r, a, b) structs.  When
+    ``end_of_word`` is OFF the batch carries a runtime guard: a merge
+    table trained WITH the marker has ``EOW_MARKER`` inside its symbols,
+    and replaying it over a marker-less start state silently never
+    applies those merges (wrong segmentation, no error) — so the
+    mismatch fails loudly via ``assert_true`` on the 1-row frame
+    (distributed, no collect) instead of degrading."""
     batch = merges_df.agg(
         F.array_sort(
             F.collect_list(
@@ -353,8 +342,57 @@ def bpe_segment_frame(
                     F.col("right_sym").alias("b"),
                 )
             )
-        ).alias("__ms")
+        ).alias("__ms"),
+        F.max(
+            F.col("left_sym").contains(EOW_MARKER)
+            | F.col("right_sym").contains(EOW_MARKER)
+        ).alias("__has_eow"),
     )
+    if not end_of_word:
+        batch = batch.filter(
+            F.assert_true(
+                ~F.coalesce(F.col("__has_eow"), F.lit(False)),
+                F.lit(
+                    f"{caller}: merge table contains {EOW_MARKER} symbols "
+                    "(trained with end_of_word=True) but the serve start "
+                    "state has no marker — pass end_of_word=True"
+                ),
+            ).isNull()
+        )
+    return batch.select("__ms")
+
+
+def bpe_segment_frame(
+    df: DataFrame,
+    merges_df: DataFrame,
+    text_col: str = "text",
+    end_of_word: bool = False,
+) -> DataFrame:
+    """Apply a ``bpe_train`` merge TABLE to a corpus — the serve path
+    when the vocabulary was just learned in the same session (no
+    driver round-trip: the merge table rides ONE 1-row broadcast as a
+    rank-ordered array, and each document replays the merges inside a
+    ``transform``/``aggregate`` fold — scan-local, no shuffle beyond
+    the broadcast's own, no UDF).
+
+    ``end_of_word`` MUST match the flag the merge table was trained
+    with: it appends ``EOW_MARKER`` to each word's start state (so
+    word-final merges learned under the marker actually apply; the
+    marker survives into ``bpe_text`` attached to whatever word-final
+    subword it merged into, Sennrich's serving form).  The mismatch is
+    guarded, not silent: serving an eow-trained table with the flag off
+    raises at runtime (see ``_merge_batch``).
+
+    Output is driver-canonicalizable by design: the subword sequence
+    surfaces as a space-joined STRING plus its length, not an array
+    (array cells fail the external gate's pandas canonicalization —
+    the v06/m01 lesson).  Returns (original columns…, n_tokens,
+    n_bpe_tokens, bpe_text); empty documents yield (0, 0, '').
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
+
+    batch = _merge_batch(merges_df, end_of_word, "bpe_segment_frame")
+    tail = f"  {EOW_MARKER}  " if end_of_word else "  "
     toks = F.when(token_count(text_col) > 0, tokens(text_col)).otherwise(
         F.array().cast("array<string>")
     )
@@ -366,7 +404,7 @@ def bpe_segment_frame(
                     F.aggregate(
                         "__ms",
                         F.concat(
-                            F.lit("  "), F.array_join(F.split(w, ""), "  "), F.lit("  ")
+                            F.lit("  "), F.array_join(F.split(w, ""), "  "), F.lit(tail)
                         ),
                         lambda acc, m: F.replace(
                             acc,
@@ -394,6 +432,7 @@ def bpe_segment(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    end_of_word: bool = False,
 ) -> DataFrame:
     """Apply a learned merge list to text: whitespace-tokenize, expand
     each token to characters, replay the merges IN LEARNED ORDER (the
@@ -401,6 +440,11 @@ def bpe_segment(
     Pure scan-local string work — the merge list is a frozen artifact
     compiled into the projection as ONE literal array of (a, b) structs
     folded at RUNTIME by ``aggregate``; no join, no shuffle, no UDF.
+
+    ``end_of_word`` must match the training flag (appends ``EOW_MARKER``
+    to each word's start state); the merge list is driver-local here, so
+    the mismatch check is a plain ``ValueError`` at build time rather
+    than the frame path's runtime assert.
 
     The fold, not nested ``replace`` calls, is what makes this serve at
     production vocabulary sizes: one Replace expression per merge
@@ -413,6 +457,15 @@ def bpe_segment(
     runtime loop instead of a compiled expression spine."""
     from realtimechurnpredictiondataengineering_spark.functions.text import tokens
 
+    if not end_of_word and any(
+        EOW_MARKER in a or EOW_MARKER in b for a, b in merges
+    ):
+        raise ValueError(
+            f"bpe_segment: merge list contains {EOW_MARKER} symbols "
+            "(trained with end_of_word=True) but the serve start state "
+            "has no marker — pass end_of_word=True"
+        )
+    tail = f"  {EOW_MARKER}  " if end_of_word else "  "
     ms = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -423,7 +476,7 @@ def bpe_segment(
     def segment_word(w):
         sym = F.aggregate(
             ms,
-            F.concat(F.lit("  "), F.array_join(F.split(w, ""), "  "), F.lit("  ")),
+            F.concat(F.lit("  "), F.array_join(F.split(w, ""), "  "), F.lit(tail)),
             lambda acc, m: F.replace(
                 acc,
                 F.concat(F.lit(" "), m["a"], F.lit("  "), m["b"], F.lit(" ")),
@@ -434,12 +487,15 @@ def bpe_segment(
 
     if not merges:
         # aggregate() needs a non-empty literal array type; zero merges
-        # is just character segmentation
+        # is just character segmentation (plus the marker symbol when on)
+        chars = (
+            (lambda w: F.concat(F.split(w, ""), F.array(F.lit(EOW_MARKER))))
+            if end_of_word
+            else (lambda w: F.split(w, ""))
+        )
         return df.withColumn(
             out_col,
-            F.flatten(
-                F.transform(tokens(text_col), lambda w: F.split(w, ""))
-            ),
+            F.flatten(F.transform(tokens(text_col), chars)),
         )
     return df.withColumn(
         out_col,

@@ -248,14 +248,26 @@ def embedding_psi(
         ex = df.filter(F.col(vec_col).isNotNull()).select(
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "__v")
         )
-        b = F.least(
-            F.greatest(F.floor((F.col("__v") - F.lit(lo)) / F.lit(width)), F.lit(0)),
-            F.lit(n_bins - 1),
-        ).cast("int")
-        return (
-            ex.filter(F.col("__v").isNotNull())
-            .groupBy(F.col("dim"), b.alias("bin"))
-            .agg(F.count("*").alias(f"__c_{side}"))
+        # NULL coordinates keep their (dim, NULL-bin) group instead of
+        # being filtered before the aggregate: posexplode emits every
+        # position, so the persisted histogram then witnesses EVERY
+        # observed dimension — which is what lets the dims-guard probe
+        # below read max(dim) from the config-sized persisted frames
+        # instead of re-scanning the vectors (an all-NULL coordinate
+        # used to vanish here and under-report the observed width).
+        # The grid join only matches real bins 0..n_bins-1, so NULL-bin
+        # rows never reach the PSI terms or the per-dim totals.
+        b = F.when(
+            F.col("__v").isNotNull(),
+            F.least(
+                F.greatest(
+                    F.floor((F.col("__v") - F.lit(lo)) / F.lit(width)), F.lit(0)
+                ),
+                F.lit(n_bins - 1),
+            ).cast("int"),
+        )
+        return ex.groupBy(F.col("dim"), b.alias("bin")).agg(
+            F.count("*").alias(f"__c_{side}")
         )
 
     from realtimechurnpredictiondataengineering_spark.cache import persist_tracked
@@ -288,19 +300,20 @@ def embedding_psi(
     # read as "no drift" (coordinates beyond the grid would silently
     # vanish; configured dims absent from the data would report psi = 0.0
     # — both sides Laplace-smoothed from zero counts).  The probe reads
-    # max(size(vec)) from the VECTORS, before any null-value filtering —
-    # deriving it from the binned aggregates under-reported when a
-    # coordinate was NULL in every vector (those (dim, NULL) pairs never
-    # reach the groupBy) and returned NULL on empty inputs.  The probe
-    # scan is column-pruned to the vector column and its 1-row result
-    # broadcasts into the term frame; assert_true raises at runtime,
-    # keeping the check distributed — no driver-side collect.  On
-    # empty/all-NULL inputs __max_sz is NULL, the == comparison is NULL,
-    # and assert_true still fires — with a readable coalesced message.
+    # max(dim)+1 from the PERSISTED binned frames — scan-free, because
+    # ``binned`` now keeps (dim, NULL-bin) groups for NULL coordinates,
+    # so every observed dimension (including one that is NULL in every
+    # vector) reaches the histogram; a fresh max(size(vec)) pass over
+    # the raw vectors would cost one full extra scan of both inputs per
+    # evaluation.  The 1-row result broadcasts into the term frame;
+    # assert_true raises at runtime, keeping the check distributed — no
+    # driver-side collect.  On empty/all-NULL-VECTOR inputs the binned
+    # frames are empty, __max_sz is NULL, the == comparison is NULL, and
+    # assert_true still fires — with a readable coalesced message.
     probe = (
-        reference.select(F.size(F.col(vec_col)).alias("__sz"))
-        .unionByName(current.select(F.size(F.col(vec_col)).alias("__sz")))
-        .agg(F.max("__sz").alias("__max_sz"))
+        binned_ref.select("dim")
+        .unionByName(binned_cur.select("dim"))
+        .agg((F.max("dim") + 1).alias("__max_sz"))
     )
     checked = (
         joined.join(F.broadcast(tot), "dim")

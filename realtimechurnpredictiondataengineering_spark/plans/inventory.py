@@ -6526,12 +6526,16 @@ r{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)"""
         for i in (1, 2, 3)
     )
     tail = "  </w>  " if eow else "  "
+    # eow drops words containing '<' or '>' — the engine-side collision
+    # guard in _init_symbols (no corpus word may merge into the literal
+    # marker string); identical predicate, so train/vocab twins match
+    guard = " AND NOT contains(w, '<') AND NOT contains(w, '>')" if eow else ""
     return f"""
 WITH toks AS (SELECT string_split({SQL_NORM}, ' ') AS t FROM documents
               WHERE doc_id % 10 != 0 AND length({SQL_NORM}) > 0),
 words AS (SELECT w, count(*) AS freq
           FROM (SELECT unnest(t) AS w FROM toks)
-          WHERE length(w) > 0 AND length(w) <= 64 GROUP BY 1),
+          WHERE length(w) > 0 AND length(w) <= 64{guard} GROUP BY 1),
 w0 AS (SELECT w, freq,
               '  ' || array_to_string(string_split(w, ''), '  ') || '{tail}' AS sym
        FROM words),

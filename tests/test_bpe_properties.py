@@ -54,6 +54,34 @@ def test_bpe_train_matches_sequential_on_random_corpora(spark, words):
     assert got == expected
 
 
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=WORDS)
+def test_bpe_train_eow_matches_sequential_on_random_corpora(spark, words):
+    # the end-of-word variant under the same adversarial generator: the
+    # marker symbol competes in every pair count and word-final merges
+    # chain across rounds (alphabet a-c never collides with the marker,
+    # so the '<'/'>' drop guard is a no-op here by construction)
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    freqs: dict[str, int] = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    expected = _sequential_bpe(freqs, 4, eow=True)
+    got = [
+        (r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_train(docs, n_merges=4, end_of_word=True)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+
+
 # --- streaming MERGE: sequential per-batch == one-shot -------------------
 
 CHANGES = st.lists(
