@@ -427,6 +427,131 @@ def bpe_segment_frame(
     )
 
 
+def bpe_segment_vocab(
+    df: DataFrame,
+    vocab_df: DataFrame,
+    text_col: str = "text",
+    end_of_word: bool = False,
+) -> DataFrame:
+    """Greedy longest-match segmentation against a ``bpe_vocab`` symbol
+    INVENTORY — the production serve path whose per-word cost is
+    independent of the merge count (the WordPiece serving rule over a
+    BPE-trained vocabulary).
+
+    Why this exists next to ``bpe_segment_frame``: the merge-replay fold
+    is the exact-replay reference, but it pays one full replace pass
+    over the word's symbol string PER LEARNED MERGE — at a production
+    32k-merge vocabulary that is ~32k scans per word, ~1000× the work of
+    matching the final vocabulary directly.  Here each word is consumed
+    left-to-right: at every position the longest vocabulary symbol that
+    prefixes the remainder is taken (ties are impossible — equal-length
+    matches are the same string), falling back to the single character
+    when nothing matches (out-of-alphabet serve input).  Per-word cost
+    is O(len · bucket) with bucket = the vocabulary symbols sharing the
+    position's first character — flat in the merge count.
+
+    Note the semantics: longest-match against a BPE vocabulary is NOT
+    guaranteed token-for-token identical to merge-order replay (the
+    known BPE/WordPiece serving divergence — replay can prefer an
+    earlier-learned SHORTER merge whose pieces longest-match consumes
+    differently).  Both produce vocabulary-only segmentations that
+    concatenate back to the word (property-tested); on the trained
+    tables this repo ships they agree (parity-tested) — pick replay for
+    bit-compatibility with training, longest-match for serve cost.
+
+    Plan shape: the vocabulary rides ONE 1-row broadcast as a
+    first-character-bucketed map (each bucket sorted longest-first);
+    each document segments inside a scan-local ``aggregate`` fold over
+    at most ``length(word)`` steps (each step consumes ≥1 character).
+    No join, no shuffle beyond the broadcast's own, no UDF.  Output
+    mirrors ``bpe_segment_frame``: (original columns…, n_tokens,
+    n_bpe_tokens, bpe_text); empty documents yield (0, 0, '').
+
+    ``end_of_word`` must match the flag the vocabulary was trained
+    with: it appends ``EOW_MARKER`` to the match string so word-final
+    symbols ("ow</w>") can match; the mismatch is guarded exactly like
+    the merge-table paths.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.text import token_count, tokens
+
+    buckets = vocab_df.groupBy(
+        F.substring("symbol", 1, 1).alias("__c")
+    ).agg(
+        # longest-first within the bucket: sort (length, symbol) asc,
+        # reverse — filter() preserves order, so element 1 of the
+        # surviving matches IS the longest
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.length("symbol").alias("l"), F.col("symbol").alias("s"))
+                )
+            )
+        ).alias("__b"),
+    )
+    vm = buckets.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct("__c", F.transform("__b", lambda e: e["s"]))
+            )
+        ).alias("__vm"),
+        F.max(F.exists("__b", lambda e: e["s"].contains(EOW_MARKER))).alias(
+            "__has_eow"
+        ),
+    )
+    if not end_of_word:
+        vm = vm.filter(
+            F.assert_true(
+                ~F.coalesce(F.col("__has_eow"), F.lit(False)),
+                F.lit(
+                    f"bpe_segment_vocab: vocabulary contains {EOW_MARKER} "
+                    "symbols (trained with end_of_word=True) but the serve "
+                    "match string has no marker — pass end_of_word=True"
+                ),
+            ).isNull()
+        )
+    vm = vm.select("__vm")
+
+    def segment_word(w):
+        s = F.concat(w, F.lit(EOW_MARKER)) if end_of_word else w
+        n = F.length(s)
+
+        def step(acc, _):
+            pos = acc["pos"]
+            cand = F.element_at("__vm", F.substr(s, pos, F.lit(1)))
+            matches = F.filter(
+                cand, lambda sym: F.substr(s, pos, F.length(sym)) == sym
+            )
+            tok = F.coalesce(F.element_at(matches, 1), F.substr(s, pos, F.lit(1)))
+            return F.when(pos > n, acc).otherwise(
+                F.struct(
+                    (pos + F.length(tok)).alias("pos"),
+                    F.concat(acc["toks"], F.array(tok)).alias("toks"),
+                )
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), n),
+            F.struct(
+                F.lit(1).alias("pos"), F.array().cast("array<string>").alias("toks")
+            ),
+            step,
+            lambda acc: acc["toks"],
+        )
+
+    toks = F.when(token_count(text_col) > 0, tokens(text_col)).otherwise(
+        F.array().cast("array<string>")
+    )
+    segmented = F.flatten(F.transform(toks, segment_word))
+    return (
+        df.crossJoin(F.broadcast(vm))
+        .withColumn("n_tokens", token_count(text_col))
+        .withColumn("__bt", segmented)
+        .withColumn("n_bpe_tokens", F.size("__bt").cast("int"))
+        .withColumn("bpe_text", F.array_join("__bt", " "))
+        .drop("__vm", "__bt")
+    )
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],

@@ -855,6 +855,50 @@ def kmeans_lloyd(
     and oracle-checkable.  Returns the final assignment
     (id, cluster: int).
     """
+    vecs, centroids = _lloyd_train(df, k, rounds, id_col, vec_col)
+    return _lloyd_assign(vecs, centroids, id_col).select(
+        F.col(id_col), F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+def _lloyd_dist() -> F.Column:
+    """Squared L2 between the scan row's ``__v`` and the broadcast
+    centroid's ``__c``, snapped to the 1e-9 grid (the tie/determinism
+    discipline the v19 twin replays)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with("__v", "__c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+
+
+def _lloyd_assign(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """One assignment pass: vectors × broadcast k-row centroid frame,
+    ``min_by`` argmin with the cluster-index tie-break — no window, no
+    shuffle of the vector table."""
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col("__v"),
+        F.col("cluster"),
+        _lloyd_dist().alias("__d"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by("cluster", F.struct("__d", "cluster")).alias("cluster"),
+        F.first("__v").alias("__v"),
+    )
+
+
+def _lloyd_train(
+    df: DataFrame, k: int, rounds: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The shared Lloyd's training loop behind ``kmeans_lloyd`` (which
+    returns the final assignment) and ``kmeans_centroids`` (which
+    returns the trained centroids themselves).  Returns the persisted
+    vector frame and the final checkpointed k-row centroid frame
+    (cluster, __c)."""
     from realtimechurnpredictiondataengineering_spark.cache import (
         persist_tracked as _persist,
         stats_free_checkpoint,
@@ -872,29 +916,8 @@ def kmeans_lloyd(
             F.col("__v").alias("__c"),
         )
     )
-    dist = F.round(
-        F.aggregate(
-            F.zip_with("__v", "__c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        9,
-    )
-
-    def assign(cents: DataFrame) -> DataFrame:
-        scored = vecs.crossJoin(F.broadcast(cents)).select(
-            F.col(id_col),
-            F.col("__v"),
-            F.col("cluster"),
-            dist.alias("__d"),
-        )
-        return scored.groupBy(id_col).agg(
-            F.min_by("cluster", F.struct("__d", "cluster")).alias("cluster"),
-            F.first("__v").alias("__v"),
-        )
-
     for _ in range(rounds):
-        assigned = assign(centroids)
+        assigned = _lloyd_assign(vecs, centroids, id_col)
         means = (
             assigned.select("cluster", F.posexplode("__v").alias("dim", "__x"))
             .groupBy("cluster", "dim")
@@ -912,8 +935,29 @@ def kmeans_lloyd(
                 "cluster", F.coalesce("__new", "__c").alias("__c")
             )
         )
-    return assign(centroids).select(
-        F.col(id_col), F.col("cluster").cast("int").alias("cluster")
+    return vecs, centroids
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train ``kmeans_lloyd``'s quantizer and return the CENTROIDS
+    rather than the assignment — the artifact every downstream consumer
+    of a trained quantizer actually wants (IVF coarse lists, the
+    cluster-quality evaluation, semantic-dedup bucketing).  Identical
+    training loop, determinism contract, and per-round plan shape as
+    ``kmeans_lloyd`` (one broadcast-assignment scan + one re-estimation
+    shuffle per round; see its docstring); the k-row result is already
+    checkpointed, so consumers compose it without replanning the
+    rounds.  Returns (cluster: int, centroid: array<double>)."""
+    _, centroids = _lloyd_train(df, k, rounds, id_col, vec_col)
+    return centroids.select(
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("__c").alias("centroid"),
     )
 
 
@@ -949,6 +993,61 @@ def cluster_quality_report(
     second = F.element_at(F.sort_array(dots, asc=False), 2)
     assigned = fan_out(vecs).select(
         (F.array_position(dots, best) - 1).cast("int").alias("cluster_id"),
+        best.alias("__b"),
+        (best - second).alias("__m"),
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").cast("int").alias("n"),
+        snap(F.avg("__b"), 6).alias("mean_cohesion"),
+        snap(F.avg("__m"), 6).alias("mean_margin"),
+    )
+
+
+def cluster_quality_frame(
+    vecs: DataFrame,
+    centroids_df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``cluster_quality_report`` over a TRAINED centroid FRAME (the
+    ``kmeans_centroids`` output) instead of frozen literals — the
+    composition that closes the clustering leg end to end: train →
+    assign → evaluate, with no driver round-trip between training and
+    evaluation (the k-row frame never leaves the cluster).
+
+    Same scoring and report semantics as the literal variant: per
+    vector the best dot (cohesion) and its margin over the second-best
+    centroid, ties broken toward the smaller cluster id, means snapped
+    to the 1e-6 grid.  Plan shape: the centroid frame collapses onto
+    ONE 1-row broadcast as a cluster-ordered array (a keyless
+    aggregate, provably bounded — the bpe-serve discipline), scoring is
+    a scan-local fold over that array, and the only shuffle is the
+    final groupBy onto k rows.  The >=2-centroid requirement is a
+    runtime ``assert_true`` on the 1-row frame (k lives in data here,
+    not in the caller's config).  Returns
+    (cluster_id, n, mean_cohesion, mean_margin) for non-empty clusters.
+    """
+    from realtimechurnpredictiondataengineering_spark.functions.scalar import snap
+
+    cents = centroids_df.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cluster"), F.col("centroid").alias("c"))
+            )
+        ).alias("__cs")
+    )
+    cents = cents.filter(
+        F.assert_true(
+            F.size("__cs") >= 2,
+            F.lit("cluster_quality_frame needs >= 2 centroids"),
+        ).isNull()
+    )
+    dots = F.transform("__cs", lambda s: dot(F.col(vec_col), s["c"]))
+    best = F.array_max(dots)
+    second = F.element_at(F.sort_array(dots, asc=False), 2)
+    assigned = fan_out(vecs).crossJoin(F.broadcast(cents)).select(
+        F.element_at("__cs", F.array_position(dots, best).cast("int"))[
+            "cluster"
+        ].alias("cluster_id"),
         best.alias("__b"),
         (best - second).alias("__m"),
     )

@@ -1506,6 +1506,44 @@ def v20(spark, sf_dir):
     return similarity.cluster_quality_report(e, _ivf_centroids())
 
 
+def _v21_sql(k: int = 8, rounds: int = 3) -> str:
+    # v19's unrolled training rounds verbatim up through the final
+    # centroid table c{rounds} (one source of truth — the evaluation
+    # twin cannot drift from the training twin; the t30 slicing trick),
+    # then v20's quality report re-pointed at those TRAINED centroids
+    base = _v19_sql(k, rounds)
+    prefix = base[: base.rindex(",\naf AS")]
+    return f"""{prefix},
+ranked AS (SELECT v.vec_id, ct.cluster AS cid, list_dot_product(v.x, ct.c) AS d,
+                  row_number() OVER (PARTITION BY v.vec_id
+                                     ORDER BY list_dot_product(v.x, ct.c) DESC, ct.cluster ASC) AS rn
+           FROM v, c{rounds} ct),
+own AS (SELECT vec_id, cid, d FROM ranked WHERE rn = 1),
+sec AS (SELECT vec_id, d AS d2 FROM ranked WHERE rn = 2)
+SELECT CAST(own.cid AS INT) AS cluster_id, CAST(count(*) AS INT) AS n,
+       round(avg(own.d), 6) + 0.0 AS mean_cohesion,
+       round(avg(own.d - sec.d2), 6) + 0.0 AS mean_margin
+FROM own JOIN sec USING (vec_id)
+GROUP BY 1
+"""
+
+
+@register("v21_trained_cluster_quality", _v21_sql)
+def v21(spark, sf_dir):
+    # The train→assign→EVALUATE loop closed over v19's own quantizer:
+    # kmeans_centroids trains the same 3 fixed Lloyd rounds as v19 and
+    # hands the k-row TRAINED centroid frame straight to the quality
+    # report (v20 evaluates the frozen _ivf_centroids literals; this
+    # evaluates what the cluster just learned).  The centroid frame
+    # collapses onto one 1-row broadcast (keyless aggregate — shape-
+    # bounded), scoring is a scan-local fold, one k-row groupBy
+    # (operators/similarity.py:kmeans_centroids, cluster_quality_frame).
+    e = _te(spark, sf_dir)
+    cents = similarity.kmeans_centroids(e, k=8, rounds=3)
+    ev = e.select("vec_id", _as_double("embedding").alias("embedding"))
+    return similarity.cluster_quality_frame(ev, cents)
+
+
 _V18_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -6713,6 +6751,79 @@ def t34(spark, sf_dir):
     train = d.filter(F.col("doc_id") % 10 != 0)
     merges = bpe.bpe_train(train, n_merges=3, end_of_word=True)
     return bpe.bpe_vocab(train, merges, end_of_word=True)
+
+
+def _t35_sql() -> str:
+    # greedy longest-match is a path walk through a jump table: the
+    # twin first computes, for EVERY position of every distinct bench
+    # word (with the eow marker appended), the longest vocabulary
+    # symbol prefixing the remainder (a plain join + row_number — ties
+    # are impossible: equal-length prefix matches are the same string),
+    # then walks each word from position 1 via a recursive CTE, one
+    # token per step, falling back to the single character when no
+    # symbol matches.  The vocabulary CTE is _t34_sql verbatim (one
+    # source of truth: the serve twin cannot drift from the vocab twin).
+    vocab_q = _t34_sql()
+    return f"""
+WITH RECURSIVE vocab AS ({vocab_q}),
+tb AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS t FROM documents
+       WHERE doc_id % 10 = 0),
+tbase AS (SELECT doc_id, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM tb),
+dwords AS (SELECT doc_id, w, i FROM (
+             SELECT doc_id, unnest(t) AS w, unnest(range(1, len(t) + 1)) AS i
+             FROM tbase WHERE n_tokens > 0)
+           WHERE length(w) > 0),
+wm AS (SELECT w, w || '</w>' AS s FROM (SELECT DISTINCT w FROM dwords)),
+pos AS (SELECT w, s, unnest(range(1, length(s) + 1)) AS p FROM wm),
+best AS (SELECT w, p, symbol, l FROM (
+           SELECT pos.w, pos.p, v.symbol, length(v.symbol) AS l,
+                  row_number() OVER (PARTITION BY pos.w, pos.p
+                                     ORDER BY length(v.symbol) DESC) AS rn
+           FROM pos JOIN vocab v
+             ON substr(pos.s, pos.p, length(v.symbol)) = v.symbol)
+         WHERE rn = 1),
+nxt AS (SELECT p.w, p.p,
+               coalesce(b.symbol, substr(p.s, p.p, 1)) AS tok,
+               p.p + coalesce(b.l, 1) AS np
+        FROM pos p LEFT JOIN best b ON b.w = p.w AND b.p = p.p),
+walk AS (SELECT w, 1 AS p, 0 AS step, CAST(NULL AS VARCHAR) AS tok FROM wm
+         UNION ALL
+         SELECT n.w, n.np, walk.step + 1, n.tok
+         FROM walk JOIN nxt n ON n.w = walk.w AND n.p = walk.p),
+wtoks AS (SELECT w, CAST(count(*) AS INT) AS n_sub,
+                 string_agg(tok, ' ' ORDER BY step) AS seg
+          FROM walk WHERE step > 0 GROUP BY w)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       CAST(coalesce(s.nb, 0) AS INT) AS n_bpe_tokens,
+       coalesce(s.btext, '') AS bpe_text
+FROM tbase b LEFT JOIN (
+  SELECT d.doc_id, sum(wt.n_sub) AS nb,
+         string_agg(wt.seg, ' ' ORDER BY d.i) AS btext
+  FROM dwords d JOIN wtoks wt USING (w)
+  GROUP BY d.doc_id) s USING (doc_id)
+"""
+
+
+@register("t35_bpe_longest_match", _t35_sql)
+def t35(spark, sf_dir):
+    # The production-cost serve path: train the eow merge table, build
+    # the t34 vocabulary artifact, then segment the held-out bench split
+    # by greedy longest-match against the vocabulary — per-word cost is
+    # O(len · first-char bucket), INDEPENDENT of the merge count, where
+    # the t30 merge-replay fold pays one replace pass per learned merge
+    # (~1000× more work at a 32k-merge production vocabulary).  The
+    # vocabulary rides one 1-row broadcast as a first-char-bucketed map;
+    # segmentation is a scan-local aggregate fold, ≤len(word) steps,
+    # each consuming ≥1 character (operators/bpe.py:bpe_segment_vocab).
+    from realtimechurnpredictiondataengineering_spark.operators import bpe
+
+    d = _td(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    merges = bpe.bpe_train(train, n_merges=3, end_of_word=True)
+    vocab = bpe.bpe_vocab(train, merges, end_of_word=True)
+    return bpe.bpe_segment_vocab(
+        d.filter(F.col("doc_id") % 10 == 0), vocab, end_of_word=True
+    ).select("doc_id", "n_tokens", "n_bpe_tokens", "bpe_text")
 
 
 @register("t24_stupid_backoff", _T24_SQL)

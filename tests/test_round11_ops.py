@@ -123,6 +123,234 @@ def test_bpe_serve_flag_mismatch_fails_loudly(spark):
         bpe_vocab(df, merges).collect()
 
 
+# --- trained-centroid cluster quality (v21) --------------------------------
+
+
+def test_kmeans_centroids_consistent_with_assignment(spark):
+    # the exposed centroid frame must be the SAME artifact kmeans_lloyd
+    # assigns against: re-assigning every vector to its nearest trained
+    # centroid reproduces kmeans_lloyd's assignment exactly
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        kmeans_centroids,
+        kmeans_lloyd,
+    )
+
+    rows = [
+        (i, [float((i * 7) % 5), float((i * 3) % 4)]) for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assign = {
+        r["vec_id"]: r["cluster"] for r in kmeans_lloyd(df, k=3, rounds=2).collect()
+    }
+    cents = {
+        r["cluster"]: r["centroid"]
+        for r in kmeans_centroids(df, k=3, rounds=2).collect()
+    }
+    assert sorted(cents) == [0, 1, 2]
+    for vid, vec in rows:
+        dists = {
+            c: round(sum((a - b) ** 2 for a, b in zip(vec, cv)), 9)
+            for c, cv in cents.items()
+        }
+        best = min(dists.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        assert assign[vid] == best, (vid, dists, assign[vid])
+
+
+def test_cluster_quality_frame_matches_literal_report(spark):
+    # fed the same centroids, the frame-based report must equal the
+    # literal-based one row for row
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        cluster_quality_frame,
+        cluster_quality_report,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0 * (i % 3), 0.5 * ((i + 1) % 4), 0.25]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.5, 0.5, 0.5]]
+    lit = sorted(map(tuple, cluster_quality_report(vecs, cents).collect()))
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    )
+    framed = sorted(map(tuple, cluster_quality_frame(vecs, cdf).collect()))
+    assert framed == lit
+
+
+def test_cluster_quality_frame_needs_two_centroids(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        cluster_quality_frame,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    one = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cluster int, centroid array<double>"
+    )
+    with pytest.raises(Exception, match="2 centroids"):
+        cluster_quality_frame(vecs, one).collect()
+
+
+# --- greedy longest-match serve (bpe_segment_vocab, t35) -------------------
+
+
+def _greedy_longest_match(word: str, vocab: set[str], eow: bool = False) -> list[str]:
+    # sequential reference: at each position take the longest vocabulary
+    # symbol prefixing the remainder, falling back to the single char
+    s = word + "</w>" if eow else word
+    out, i = [], 0
+    while i < len(s):
+        best = s[i]
+        for l in range(min(len(s) - i, max(map(len, vocab), default=1)), 0, -1):
+            if s[i : i + l] in vocab:
+                best = s[i : i + l]
+                break
+        out.append(best)
+        i += len(best)
+    return out
+
+
+def test_bpe_segment_vocab_matches_sequential_greedy(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        bpe_segment_vocab,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lowest"),
+            (2, "new newer newest low"),
+            (3, "wide wider widest new new"),
+        ],
+        ["doc_id", "text"],
+    )
+    for eow in (False, True):
+        merges = bpe_train(docs, n_merges=6, end_of_word=eow)
+        vocab_df = bpe_vocab(docs, merges, end_of_word=eow)
+        vocab = {r["symbol"] for r in vocab_df.collect()}
+        got = {
+            r["doc_id"]: r["bpe_text"]
+            for r in bpe_segment_vocab(docs, vocab_df, end_of_word=eow).collect()
+        }
+        for doc_id, text in [(1, "low low low lower lowest"),
+                             (2, "new newer newest low"),
+                             (3, "wide wider widest new new")]:
+            expected = " ".join(
+                t for w in text.split() for t in _greedy_longest_match(w, vocab, eow)
+            )
+            assert got[doc_id] == expected, (eow, doc_id)
+
+
+def test_bpe_segment_vocab_agrees_with_replay_on_trained_fixture(spark):
+    # on THIS trained table the two serve semantics coincide — the
+    # agreement t35 leans on for cross-checking; they are NOT equal in
+    # general (next test pins a counterexample)
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        bpe_segment_frame,
+        bpe_segment_vocab,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lowest"), (2, "new newer newest low")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(docs, n_merges=6, end_of_word=True)
+    vocab_df = bpe_vocab(docs, merges, end_of_word=True)
+    lm = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["bpe_text"])
+        for r in bpe_segment_vocab(docs, vocab_df, end_of_word=True).collect()
+    }
+    rep = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["bpe_text"])
+        for r in bpe_segment_frame(docs, merges, end_of_word=True).collect()
+    }
+    assert lm == rep
+
+
+def test_bpe_longest_match_vs_replay_divergence_is_real(spark):
+    # the documented BPE/WordPiece serving divergence, pinned with a
+    # found counterexample: on 'bcaca' the trained vocabulary contains
+    # both 'bc' and 'ca', and merge-ORDER replay applies the earlier
+    # merge first ('... c a' tail) while longest-match greedily eats
+    # 'ca' at a position replay never forms.  Divergence is expected;
+    # what BOTH serve paths must preserve: (a) tokens concatenate back
+    # to the input, (b) every token is a vocabulary symbol or a
+    # single-character fallback.
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        bpe_segment_frame,
+        bpe_segment_vocab,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa caccab aa abc cb cba c bcc bcaca")], ["doc_id", "text"]
+    )
+    merges = bpe_train(docs, n_merges=4)
+    vocab_df = bpe_vocab(docs, merges)
+    vocab = {r["symbol"] for r in vocab_df.collect()}
+    lm = bpe_segment_vocab(docs, vocab_df).collect()[0]["bpe_text"]
+    rep = bpe_segment_frame(docs, merges).collect()[0]["bpe_text"]
+    assert lm != rep  # the divergence is real on this corpus
+    # shared invariants: reconstruction + vocabulary-only tokens
+    for out in (lm, rep):
+        assert out.replace(" ", "") == "aacaccabaaabccbcbacbccbcaca"
+        assert all(t in vocab or len(t) == 1 for t in out.split())
+
+
+def test_bpe_segment_vocab_fallback_and_empty_docs(spark):
+    # serve input with characters the vocabulary never saw falls back
+    # to single-character tokens; empty documents yield (0, 0, '')
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        bpe_segment_vocab,
+    )
+
+    vocab_df = spark.createDataFrame(
+        [("ab", 3), ("a", 5), ("b", 4)], "symbol string, n_occurrences long"
+    )
+    df = spark.createDataFrame([(1, "abxy ab"), (2, "")], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_bpe_tokens"], r["bpe_text"])
+        for r in bpe_segment_vocab(df, vocab_df).collect()
+    }
+    assert got[1] == (2, 4, "ab x y ab")
+    assert got[2] == (0, 0, "")
+
+
+def test_bpe_segment_vocab_eow_guard_and_plan_width(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        bpe_segment_vocab,
+    )
+
+    eow_vocab = spark.createDataFrame(
+        [("ow</w>", 3), ("l", 5)], "symbol string, n_occurrences long"
+    )
+    df = spark.createDataFrame([(1, "low")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="end_of_word"):
+        bpe_segment_vocab(df, eow_vocab).collect()
+    assert (
+        bpe_segment_vocab(df, eow_vocab, end_of_word=True).collect()[0]["bpe_text"]
+        == "l ow</w>"
+    )
+    # the vocabulary rides the broadcast as DATA, not as literals: the
+    # analyzed plan must not grow with vocabulary size (the fold path's
+    # round-10 lesson, inherited by construction here)
+    import string
+
+    big = spark.createDataFrame(
+        [(a + b, 1) for a in string.ascii_lowercase for b in string.ascii_lowercase],
+        "symbol string, n_occurrences long",
+    )
+    seg = bpe_segment_vocab(df, big)
+    tree = seg._jdf.queryExecution().analyzed().treeString()
+    assert len(tree) < 10_000, f"plan grew with vocab size: {len(tree)} chars"
+
+
 def test_bpe_segment_eow_literal_path(spark):
     from realtimechurnpredictiondataengineering_spark.operators.bpe import bpe_segment
 
