@@ -68,6 +68,98 @@ def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     )
 
 
+#: Bounded JPEG segment-walk budget for ``media_header_dims``: each step
+#: consumes one marker segment, and a real camera/encoder header carries
+#: well under this many before the frame header (APPn thumbnails, COM,
+#: DQT/DHT tables all count).  A file whose SOF hides deeper reports
+#: NULL dims rather than scanning entropy data.
+_JPEG_WALK_STEPS = 24
+
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+_SOF_MARKERS = ("FFC0", "FFC1", "FFC2", "FFC3")
+
+
+def media_header_dims(media: DataFrame) -> DataFrame:
+    """REAL image-dimension decode from header BYTES — no codec, no
+    Python, no UDF: pure scan-local byte arithmetic over the hex view
+    of the payload, so the whole parse stays inside whole-stage codegen
+    and scales like any other projection.
+
+    - PNG: the spec fixes IHDR as the first chunk, so width/height sit
+      at byte offsets 17-20/21-24 (big-endian) — two ``conv`` calls.
+    - JPEG: the frame header (SOF0-SOF3) floats behind a variable
+      number of APPn/COM/DQT/DHT segments, so the parser WALKS the
+      segment chain: a bounded ``aggregate`` fold steps marker →
+      length → next marker (byte-aligned — no substring scanning, so
+      entropy bytes can never false-match a marker), stopping at SOF
+      (dims read), SOS/EOI, a non-marker byte, or end of payload.
+    - anything else: format 'unknown', NULL dims.
+
+    This replaces the ``_fake_decode`` stand-in for the header leg of
+    the multimodal stack (feature EXTRACTION below still stubs its
+    pixel decode — that genuinely needs a codec; header geometry does
+    not).  Returns (media_id, fmt, width, height, n_bytes).
+    """
+    h = F.hex("payload")
+    hexlen = F.length(h)
+    is_png = F.substring(h, 1, 16) == F.lit(_PNG_SIG_HEX)
+    is_jpeg = F.substring(h, 1, 4) == F.lit("FFD8")
+    png_w = F.conv(F.substring(h, 33, 8), 16, 10).cast("int")
+    png_h = F.conv(F.substring(h, 41, 8), 16, 10).cast("int")
+
+    def hex_at(p: F.Column, n_bytes: int) -> F.Column:
+        # byte position p (1-based) → its hex substring (byte-aligned)
+        return F.substr(h, p * 2 - 1, F.lit(2 * n_bytes))
+
+    def walk_step(acc, _):
+        p = acc["p"]
+        marker = hex_at(p, 2)
+        is_sof = marker.isin(*_SOF_MARKERS)
+        done = (
+            acc["ww"].isNotNull()
+            | (p * 2 + 3 > hexlen)
+            | (hex_at(p, 1) != F.lit("FF"))
+            | marker.isin("FFDA", "FFD9")
+        )
+        seglen = F.conv(hex_at(p + 2, 2), 16, 10).cast("int")
+        return F.when(done, acc).otherwise(
+            F.when(
+                is_sof,
+                F.struct(
+                    p.alias("p"),
+                    F.conv(hex_at(p + 5, 2), 16, 10).cast("int").alias("hh"),
+                    F.conv(hex_at(p + 7, 2), 16, 10).cast("int").alias("ww"),
+                ),
+            ).otherwise(
+                F.struct(
+                    (p + 2 + seglen).alias("p"),
+                    acc["hh"].alias("hh"),
+                    acc["ww"].alias("ww"),
+                )
+            )
+        )
+
+    jpeg = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_WALK_STEPS)),
+        F.struct(
+            F.lit(3).alias("p"),
+            F.lit(None).cast("int").alias("hh"),
+            F.lit(None).cast("int").alias("ww"),
+        ),
+        walk_step,
+    )
+    return media.select(
+        "media_id",
+        F.when(is_png, F.lit("png"))
+        .when(is_jpeg, F.lit("jpeg"))
+        .otherwise(F.lit("unknown"))
+        .alias("fmt"),
+        F.when(is_png, png_w).when(is_jpeg, jpeg["ww"]).alias("width"),
+        F.when(is_png, png_h).when(is_jpeg, jpeg["hh"]).alias("height"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB decode — deterministic fake standing in for PIL/ffmpeg.
 

@@ -2160,6 +2160,74 @@ def m02(spark, sf_dir):
     return frames.withColumn("frame", F.hex("frame"))
 
 
+def _media_fixture_path() -> str:
+    import os
+
+    from realtimechurnpredictiondataengineering_spark.plans.silver import FEED_FIXTURE
+
+    return os.path.join(
+        os.path.dirname(FEED_FIXTURE), "media_headers.parquet"
+    ).replace("'", "''")
+
+
+_M03_SOF = "('FFC0','FFC1','FFC2','FFC3')"
+
+_M03_SQL = lambda: f"""
+WITH RECURSIVE m AS (SELECT media_id, hex(payload) AS h,
+                            octet_length(payload) AS n_bytes
+                     FROM read_parquet('{_media_fixture_path()}')),
+walk AS (SELECT media_id, h, 3 AS p,
+                CAST(NULL AS INT) AS hh, CAST(NULL AS INT) AS ww
+         FROM m WHERE substr(h, 1, 4) = 'FFD8'
+         UNION ALL
+         SELECT media_id, h,
+                CASE WHEN substr(h, p*2-1, 4) IN {_M03_SOF} THEN p
+                     ELSE p + 2 + CAST('0x' || substr(h, (p+2)*2-1, 4) AS INT) END,
+                CASE WHEN substr(h, p*2-1, 4) IN {_M03_SOF}
+                     THEN CAST('0x' || substr(h, (p+5)*2-1, 4) AS INT) END,
+                CASE WHEN substr(h, p*2-1, 4) IN {_M03_SOF}
+                     THEN CAST('0x' || substr(h, (p+7)*2-1, 4) AS INT) END
+         FROM walk
+         WHERE ww IS NULL AND p*2+3 <= length(h)
+               AND substr(h, p*2-1, 2) = 'FF'
+               AND substr(h, p*2-1, 4) NOT IN ('FFDA', 'FFD9')),
+jdims AS (SELECT media_id, hh, ww FROM walk WHERE ww IS NOT NULL)
+SELECT m.media_id,
+       CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+            WHEN substr(h, 1, 4) = 'FFD8' THEN 'jpeg'
+            ELSE 'unknown' END AS fmt,
+       CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+            THEN CAST(CAST('0x' || substr(h, 33, 8) AS BIGINT) AS INT)
+            ELSE j.ww END AS width,
+       CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+            THEN CAST(CAST('0x' || substr(h, 41, 8) AS BIGINT) AS INT)
+            ELSE j.hh END AS height,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM m LEFT JOIN jdims j USING (media_id)
+"""
+
+
+@register("m03_media_header_dims", _M03_SQL)
+def m03(spark, sf_dir):
+    # The first REAL multimodal kernel (the header leg of §2.10,
+    # stubbed behind _fake_decode since round 3): image dimensions
+    # recovered from the payload BYTES — PNG IHDR at its spec-fixed
+    # offsets, JPEG SOF0-SOF3 found by a byte-aligned bounded segment
+    # WALK (marker → length → next marker, stopping at SOF/SOS/EOI) —
+    # all scan-local conv/substr arithmetic inside whole-stage codegen,
+    # zero Python, zero codec (operators/multimodal.py:
+    # media_header_dims).  Input is the committed 400-row fixture of
+    # structurally-valid PNG/JFIF streams (variable-length COM/APP1
+    # segments make the SOF offset row-dependent, so the walk is
+    # genuinely exercised; truncated and non-image rows pin the NULL /
+    # 'unknown' edges).  The twin replays the identical walk as a
+    # recursive CTE over the same bytes.
+    from realtimechurnpredictiondataengineering_spark.operators import multimodal
+
+    media = spark.read.parquet(_media_fixture_path().replace("''", "'"))
+    return multimodal.media_header_dims(media)
+
+
 # ---------------------------------------------------------------------------
 # Percentiles, skew-safe aggregation, extended window surface
 # ---------------------------------------------------------------------------

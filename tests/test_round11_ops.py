@@ -123,6 +123,62 @@ def test_bpe_serve_flag_mismatch_fails_loudly(spark):
         bpe_vocab(df, merges).collect()
 
 
+# --- real image-header kernel (m03) ----------------------------------------
+
+
+def test_media_header_dims_parses_real_headers(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.gen_media_fixture import jpeg_bytes, png_bytes
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        media_header_dims,
+    )
+
+    rows = [
+        (1, png_bytes(640, 480, pad=10)),
+        (2, jpeg_bytes(1920, 1080, "hello", app1=True)),
+        (3, b"\xff\xd8\xff\xd9"),  # truncated: SOI+EOI, no frame header
+        (4, b"plain text, not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in media_header_dims(df).collect()}
+    assert (got[1]["fmt"], got[1]["width"], got[1]["height"]) == ("png", 640, 480)
+    assert (got[2]["fmt"], got[2]["width"], got[2]["height"]) == ("jpeg", 1920, 1080)
+    assert (got[3]["fmt"], got[3]["width"], got[3]["height"]) == ("jpeg", None, None)
+    assert (got[4]["fmt"], got[4]["width"]) == ("unknown", None)
+    assert got[2]["n_bytes"] == len(rows[1][1])
+
+
+def test_media_header_walk_is_byte_aligned_not_a_scan(spark):
+    # a COM segment whose PAYLOAD contains the literal bytes FF C0 (a
+    # fake SOF marker) must not fool the parser: the walk jumps marker
+    # -> declared length -> next marker, it never substring-scans, so
+    # embedded marker bytes inside a segment body are never visited
+    import struct
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        media_header_dims,
+    )
+
+    fake = b"\xff\xc0" + struct.pack(">H", 17) + bytes([8]) + struct.pack(
+        ">HH", 99, 77
+    )  # decoy SOF claiming 77x99
+    com = b"\xff\xfe" + struct.pack(">H", len(fake) + 2) + fake
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", 600, 800)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    payload = b"\xff\xd8" + com + sof0 + b"\xff\xd9"
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    r = media_header_dims(df).collect()[0]
+    assert (r["fmt"], r["width"], r["height"]) == ("jpeg", 800, 600)
+
+
 # --- trained-centroid cluster quality (v21) --------------------------------
 
 

@@ -1,0 +1,151 @@
+"""Materialize the committed media-header fixture: real PNG and JPEG
+byte streams (valid signatures, chunk/segment structure, CRCs) whose
+dimensions the m03 header kernel must recover from the BYTES — plus a
+handful of adversarial rows (non-image payload, truncated JPEG, JPEG
+with extra APP/COM segments pushing SOF0 to a variable offset).
+
+Deterministic (dimensions and segment paddings derive from media_id
+arithmetic, no RNG), written as ONE sorted parquet file so both engines
+read identical bytes and git diffs stay stable:
+
+    PYTHONPATH=. python tools/gen_media_fixture.py
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures",
+    "media_headers.parquet",
+)
+
+N_ROWS = 400
+
+
+def png_bytes(width: int, height: int, pad: int) -> bytes:
+    """Minimal structurally-valid PNG: signature, IHDR (always the
+    first chunk, per spec — fixed offsets 17-20/21-24 for w/h), a
+    deterministic IDAT payload, IEND.  Real CRCs."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr_data = struct.pack(">II", width, height) + bytes([8, 2, 0, 0, 0])
+    ihdr = (
+        struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr_data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data))
+    )
+    idat_data = bytes((i * 37 + pad) % 251 for i in range(pad))
+    idat = (
+        struct.pack(">I", len(idat_data))
+        + b"IDAT"
+        + idat_data
+        + struct.pack(">I", zlib.crc32(b"IDAT" + idat_data))
+    )
+    iend = struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND"))
+    return sig + ihdr + idat + iend
+
+
+def jpeg_bytes(width: int, height: int, comment: str, app1: bool = False) -> bytes:
+    """Minimal structurally-valid JFIF stream: SOI, APP0, an optional
+    APP1 (EXIF-shaped filler), a variable-length COM segment (so SOF0
+    sits at a DIFFERENT offset per row — the parser must genuinely walk
+    segments), SOF0 carrying height/width, EOI.  Segment payloads are
+    ASCII/fixed bytes, so no 0xFFC0 false marker can occur."""
+    soi = b"\xff\xd8"
+    app0 = (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00"
+        + bytes([1, 1, 0])
+        + struct.pack(">HH", 1, 1)
+        + bytes([0, 0])
+    )
+    extra = b""
+    if app1:
+        body = b"Exif\x00\x00" + b"MM" + struct.pack(">H", 42) + b"pad-bytes-ascii"
+        extra = b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+    com_data = comment.encode("ascii")
+    com = b"\xff\xfe" + struct.pack(">H", len(com_data) + 2) + com_data
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    return soi + app0 + extra + com + sof0 + b"\xff\xd9"
+
+
+def jpeg_with_decoy(width: int, height: int, dw: int, dh: int) -> bytes:
+    """JPEG whose COM payload embeds a byte-exact FAKE SOF0 marker
+    claiming different dimensions — a substring-scanning parser reports
+    the decoy; the byte-aligned segment walk jumps over the COM body
+    and reads the real frame header."""
+    fake = b"\xff\xc0" + struct.pack(">H", 17) + bytes([8]) + struct.pack(">HH", dh, dw)
+    com = b"\xff\xfe" + struct.pack(">H", len(fake) + 2) + fake
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    return b"\xff\xd8" + com + sof0 + b"\xff\xd9"
+
+
+def build_rows() -> list[tuple[int, bytes, str]]:
+    rows: list[tuple[int, bytes, str]] = []
+    for i in range(N_ROWS):
+        if i % 20 == 19:
+            # non-image payload: the parser must report 'unknown'
+            rows.append((i, f"not-an-image-{i}".encode("ascii") * 3, "raw"))
+        elif i % 20 == 9:
+            # truncated JPEG (SOI only): jpeg format, no dims
+            rows.append((i, b"\xff\xd8\xff\xd9", "jpeg"))
+        elif i % 2 == 0:
+            w, h = 16 + (i * 7) % 500, 16 + (i * 13) % 400
+            rows.append((i, png_bytes(w, h, pad=32 + i % 97), "png"))
+        else:
+            w, h = 16 + (i * 11) % 800, 16 + (i * 5) % 600
+            comment = "c" * (5 + i % 40) + f"-{i}"
+            rows.append((i, jpeg_bytes(w, h, comment, app1=(i % 6 == 3)), "jpeg"))
+    for i in range(N_ROWS, N_ROWS + 10):
+        # decoy block: embedded fake SOF inside a COM segment
+        rows.append((i, jpeg_with_decoy(100 + i, 50 + i, dw=7, dh=9), "jpeg"))
+    return rows
+
+
+def main() -> None:
+    rows = build_rows()
+    table = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "payload": pa.array([r[1] for r in rows], pa.binary()),
+            "meta": pa.array(
+                [
+                    {"kind": "image", "format": r[2], "n_bytes": len(r[1])}
+                    for r in rows
+                ],
+                pa.struct(
+                    [
+                        ("kind", pa.string()),
+                        ("format", pa.string()),
+                        ("n_bytes", pa.int64()),
+                    ]
+                ),
+            ),
+        }
+    )
+    pq.write_table(table, OUT, compression="snappy")
+    print(f"wrote {table.num_rows} rows to {OUT}")
+
+
+if __name__ == "__main__":
+    main()
