@@ -359,26 +359,44 @@ def streaming_corpus_ingest(
     text_col: str = "text",
     ts_col: str = "ts",
     watermark: str = "10 minutes",
+    segmentation_merges: DataFrame | None = None,
+    end_of_word: bool = False,
 ) -> DataFrame:
     """The full streaming crawl-ingest shape: Gopher quality gates, then
-    incremental dedup — the production pipeline a crawl feed runs before
-    anything reaches the training corpus.
+    incremental dedup, then (optionally) tokenizer segmentation — the
+    production pipeline a crawl feed runs before anything reaches the
+    training corpus.
 
     Gate order is the cost order (same principle as the batch
     ``plans.corpus_prep`` chain): the quality rules are stateless
     scan-local expressions, so they prune junk BEFORE the dedup stage
-    pays fingerprint state and the per-batch corpus anti-join for it.
-    Both stages are streaming-safe: the gates add no state at all, and
-    dedup state stays bounded by the watermark horizon
-    (``streaming_incremental_dedup``).  Emits the surviving documents
-    with their original columns unchanged.
+    pays fingerprint state and the per-batch corpus anti-join for it,
+    and segmentation — the most expensive per-byte step — runs LAST,
+    only on admitted documents.  All stages are streaming-safe: the
+    gates add no state at all, dedup state stays bounded by the
+    watermark horizon (``streaming_incremental_dedup``), and the
+    segmentation stage is a stateless scan-local fold under a frozen
+    merge table riding a 1-row static broadcast (stream-static join —
+    the t32 doctrine: a stateless stage makes streaming == batch by
+    construction, which is exactly what the parity test replays).
+
+    With ``segmentation_merges`` (a ``bpe_train`` merge table; pass the
+    matching ``end_of_word``) the admitted documents additionally carry
+    (n_tokens, n_bpe_tokens, bpe_text); otherwise original columns
+    unchanged.
     """
     from realtimechurnpredictiondataengineering_spark.functions.text import gopher_rules
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        bpe_segment_frame,
+    )
 
     gated = docs_stream.filter(gopher_rules(text_col)["keep"])
-    return streaming_incremental_dedup(
+    admitted = streaming_incremental_dedup(
         gated, corpus_fingerprints, id_col, text_col, ts_col, watermark
     )
+    if segmentation_merges is None:
+        return admitted
+    return bpe_segment_frame(admitted, segmentation_merges, text_col, end_of_word)
 
 
 def streaming_hybrid_ingest(

@@ -379,6 +379,67 @@ def test_streaming_corpus_ingest_gates_then_dedups(spark, tmp_path):
     assert len([d for d in kept if d in (2, 3)]) == 1
 
 
+def test_streaming_ingest_segmentation_matches_batch(spark, tmp_path):
+    # the optional tokenizer stage: admitted documents are segmented
+    # under a frozen bpe_train merge table riding a 1-row static
+    # broadcast — stateless and scan-local, so the streaming output
+    # must equal the batch serve path applied to the same survivors
+    # (the t32 stateless-stage doctrine), which is what this replays
+    from realtimechurnpredictiondataengineering_spark.functions.text import (
+        fingerprint_md5,
+    )
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        bpe_segment_frame,
+        bpe_train,
+    )
+
+    good = "the quick brown fox jumps over and beside certain lazy dogs " + " ".join(
+        f"word{i:02d}x" for i in range(53)
+    )
+    good2 = good.replace("word00x", "fresh00x")
+    feed = str(tmp_path / "seg_feed")
+    spark.createDataFrame(
+        [
+            (1, good, "2024-01-01 00:00:00"),        # corpus dup → dropped
+            (2, good2, "2024-01-01 00:00:10"),       # fresh, kept + segmented
+            (4, "junk doc", "2024-01-01 00:00:30"),  # gated out
+        ],
+        "doc_id long, text string, ts string",
+    ).selectExpr("doc_id", "text", "CAST(ts AS TIMESTAMP) AS ts").coalesce(1).write.json(feed)
+
+    corpus = spark.createDataFrame([(good,)], "text string").select(
+        fingerprint_md5("text").alias("fingerprint")
+    )
+    merges = bpe_train(
+        spark.createDataFrame([(good,)], ["text"]), n_merges=4, end_of_word=True
+    )
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").json(feed)
+    q = memory_sink(
+        pipelines.streaming_corpus_ingest(
+            stream, corpus, segmentation_merges=merges, end_of_word=True
+        ),
+        "seg_ingest",
+    )
+    _drain(q)
+    got = spark.sql(
+        "SELECT doc_id, n_tokens, n_bpe_tokens, bpe_text FROM seg_ingest"
+    ).collect()
+    assert [r["doc_id"] for r in got] == [2]
+    expected = (
+        bpe_segment_frame(
+            spark.createDataFrame([(2, good2)], ["doc_id", "text"]),
+            merges,
+            end_of_word=True,
+        )
+        .select("doc_id", "n_tokens", "n_bpe_tokens", "bpe_text")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in expected]
+    # the segmentation genuinely applied at least one learned merge:
+    # some emitted subword is longer than a single character
+    assert any(len(t.replace("</w>", "x")) > 1 for t in got[0]["bpe_text"].split())
+
+
 def test_delta_stream_sink_restart_recovers_exactly_once(spark, tmp_path):
     # ST4 beyond single-run: drain batch A through a checkpointed sink,
     # terminate the query, add batch B to the source, restart a NEW query
