@@ -161,6 +161,13 @@ HEADLINE = (
     "ll11_model_filtered_refinedweb",
     "t32_streaming_quality_scores",
     "ll12_dclm_ranked_select",
+    # round-10/11 additions (baseline rows = their first green min-of-2,
+    # see BASELINE.md round-11 subsection)
+    "t33_kneser_ney_trigram_capped",
+    "t34_bpe_vocab",
+    "t35_bpe_longest_match",
+    "v21_trained_cluster_quality",
+    "m03_media_header_dims",
 )
 
 

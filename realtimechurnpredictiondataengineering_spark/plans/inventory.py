@@ -7631,6 +7631,20 @@ def w09(spark, sf_dir):
 # cluster_representatives runs in-window inside ll06/ll08/ll10/ll11/
 # ll12, all of which exercise the same representative pick).
 #
+# Round-11 rotation (the round-10 window shipped un-rotated — the
+# driver re-validated round 9's identical 50, so this one rotates BOTH
+# rounds' additions in): t33_kneser_ney_trigram_capped and
+# t34_bpe_vocab (round 10's entries, never driver-checked) IN;
+# t35_bpe_longest_match (the production-cost longest-match serve, new),
+# v21_trained_cluster_quality (train→assign→evaluate closed over v19's
+# quantizer, new), and m03_media_header_dims (the first REAL multimodal
+# kernel, new) IN.  OUT, each double-green r9+r10 and untouched this
+# round: t22_bigram_logprob_capped, t23_trigram_logprob_capped,
+# t24_stupid_backoff (the capped-LM family keeps t25/t26/t28/t33
+# in-window), v02_brute_force_topk (similarity keeps v16-v21),
+# m01_media_features (multimodal is now represented by the real-decode
+# m03; m01's Arrow plumbing stays pytest- and harness-checked).
+#
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
 # v01_vector_norms, c02_scd2_history, ll03_document_chunking,
@@ -7666,7 +7680,7 @@ PRIORITY: tuple[str, ...] = (
     "d06_dup_clusters",
     "t21_dsir_importance",
     "w10_ewma_activity",
-    "v02_brute_force_topk",
+    "v21_trained_cluster_quality",
     "prof03_expectations",
     "t32_streaming_quality_scores",
     "v18_truncated_recall",
@@ -7682,7 +7696,7 @@ PRIORITY: tuple[str, ...] = (
     "prof06_completeness",
     "ml04_feature_importance",
     "c06_merge_upserts",
-    "m01_media_features",
+    "m03_media_header_dims",
     "t27_ngram_novelty",
     "d11_exact_contamination",
     "t30_bpe_segment",
@@ -7690,9 +7704,9 @@ PRIORITY: tuple[str, ...] = (
     "t31_model_quality_filter",
     "ll12_dclm_ranked_select",
     "v20_cluster_quality",
-    "t22_bigram_logprob_capped",
-    "t23_trigram_logprob_capped",
-    "t24_stupid_backoff",
+    "t33_kneser_ney_trigram_capped",
+    "t34_bpe_vocab",
+    "t35_bpe_longest_match",
     "sv01_silver_profiles",
     "sv02_silver_transactions",
     "sv03_silver_usage",
