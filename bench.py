@@ -168,6 +168,7 @@ HEADLINE = (
     "t35_bpe_longest_match",
     "v21_trained_cluster_quality",
     "m03_media_header_dims",
+    "ll13_tokenized_pack",
 )
 
 

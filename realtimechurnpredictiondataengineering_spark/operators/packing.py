@@ -106,14 +106,25 @@ def pack_sequences(
     budget: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a training sequence: documents are
     concatenated in ``id_col`` order and a document belongs to the
     sequence containing its START token offset (token-level chunking of
     stragglers happens downstream at tensorization).  Returns the input
     plus ``n_tokens``, ``start_offset``, ``seq_id``.
+
+    ``count_col`` packs by a PRECOMPUTED per-document token count
+    (e.g. the real tokenizer's ``n_bpe_tokens`` from the BPE serve
+    paths) instead of the whitespace heuristic — the production budget
+    is model tokens, not words; the column is standardized to
+    ``n_tokens`` in the output so every downstream consumer
+    (``sequence_stats``, the budget cut) is count-source-agnostic.
     """
-    with_tc = docs.withColumn("n_tokens", tx.token_count(text_col))
+    if count_col is not None:
+        with_tc = docs.withColumn("n_tokens", F.col(count_col).cast("int"))
+    else:
+        with_tc = docs.withColumn("n_tokens", tx.token_count(text_col))
     cum = global_prefix_sum(with_tc, [id_col], "n_tokens", out_col="_cum")
     return (
         cum.withColumn("start_offset", (F.col("_cum") - F.col("n_tokens")).cast("long"))

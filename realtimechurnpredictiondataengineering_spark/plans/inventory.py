@@ -6894,6 +6894,52 @@ def t35(spark, sf_dir):
     ).select("doc_id", "n_tokens", "n_bpe_tokens", "bpe_text")
 
 
+def _ll13_sql() -> str:
+    # the t35 serve twin verbatim as a CTE (one source of truth — the
+    # packing twin cannot drift from the segmentation twin), then ll02's
+    # prefix-sum packing re-pointed at the REAL token counts
+    seg_q = _t35_sql()
+    return f"""
+WITH seg AS ({seg_q}),
+off AS (
+  SELECT doc_id, n_bpe_tokens,
+         CAST(coalesce(sum(n_bpe_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+  FROM seg
+)
+SELECT CAST(floor(start_offset / 512.0) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bpe_tokens) AS BIGINT) AS seq_tokens
+FROM off GROUP BY 1
+"""
+
+
+@register("ll13_tokenized_pack", _ll13_sql)
+def ll13(spark, sf_dir):
+    # The end-to-end pretraining data flow over REAL tokenizer output:
+    # train the eow BPE table (t34), longest-match segment the bench
+    # split against its vocabulary (t35), then pack sequences by the
+    # resulting n_bpe_tokens — the production budget is MODEL tokens,
+    # not whitespace words (ll02 packs by the heuristic count; a 512-
+    # model-token budget mis-sized by the word count overflows every
+    # sequence).  Packing reuses the range-partitioned two-phase prefix
+    # sum (no single-task global window); the only additions over t35's
+    # cost are one prefix-sum pass and a seq_id groupBy.
+    from realtimechurnpredictiondataengineering_spark.operators import bpe, packing
+
+    d = _td(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    merges = bpe.bpe_train(train, n_merges=3, end_of_word=True)
+    vocab = bpe.bpe_vocab(train, merges, end_of_word=True)
+    seg = bpe.bpe_segment_vocab(
+        d.filter(F.col("doc_id") % 10 == 0), vocab, end_of_word=True
+    ).select("doc_id", "n_bpe_tokens")
+    packed = packing.pack_sequences(
+        seg, budget=512, count_col="n_bpe_tokens"
+    )
+    return packing.sequence_stats(packed)
+
+
 @register("t24_stupid_backoff", _T24_SQL)
 def t24(spark, sf_dir):
     # Stupid-backoff trigram scoring of the held-out bench split under
@@ -7644,6 +7690,9 @@ def w09(spark, sf_dir):
 # in-window), v02_brute_force_topk (similarity keeps v16-v21),
 # m01_media_features (multimodal is now represented by the real-decode
 # m03; m01's Arrow plumbing stays pytest- and harness-checked).
+# ll13_tokenized_pack (the train→segment→pack-by-model-tokens flow,
+# new) rotated IN; t21_dsir_importance OUT for it (double-green r9+r10,
+# untouched; importance stays in-window via ml04).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -7678,7 +7727,7 @@ PRIORITY: tuple[str, ...] = (
     "t29_bpe_merges",
     "c05_profile_drift",
     "d06_dup_clusters",
-    "t21_dsir_importance",
+    "ll13_tokenized_pack",
     "w10_ewma_activity",
     "v21_trained_cluster_quality",
     "prof03_expectations",

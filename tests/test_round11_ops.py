@@ -123,6 +123,38 @@ def test_bpe_serve_flag_mismatch_fails_loudly(spark):
         bpe_vocab(df, merges).collect()
 
 
+# --- packing by precomputed token counts (ll13) -----------------------------
+
+
+def test_pack_sequences_counted_matches_manual_prefix_sum(spark):
+    # count_col packs by a PRECOMPUTED per-doc count (the real
+    # tokenizer's), standardized to n_tokens; offsets/seq assignment
+    # must equal the sequential prefix-sum reference
+    from realtimechurnpredictiondataengineering_spark.operators.packing import (
+        pack_sequences,
+        sequence_stats,
+    )
+
+    counts = [(1, 300), (2, 150), (3, 200), (4, 60), (5, 500)]
+    df = spark.createDataFrame(counts, "doc_id long, n_bpe_tokens int")
+    packed = {
+        r["doc_id"]: (r["n_tokens"], r["start_offset"], r["seq_id"])
+        for r in pack_sequences(df, budget=512, count_col="n_bpe_tokens").collect()
+    }
+    off = 0
+    for doc_id, n in counts:
+        assert packed[doc_id] == (n, off, off // 512), doc_id
+        off += n
+    stats = {
+        r["seq_id"]: (r["n_docs"], r["seq_tokens"])
+        for r in sequence_stats(
+            pack_sequences(df, budget=512, count_col="n_bpe_tokens")
+        ).collect()
+    }
+    # offsets 0,300,450,650,710 → seq 0: docs 1,2,3; seq 1: docs 4,5
+    assert stats == {0: (3, 650), 1: (2, 560)}
+
+
 # --- real image-header kernel (m03) ----------------------------------------
 
 
