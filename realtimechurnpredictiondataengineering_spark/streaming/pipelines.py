@@ -488,7 +488,12 @@ def streaming_merge_upserts(
     ``.old`` is an incomplete write and is discarded.  The previous
     delete-then-move protocol had a window where a crash left NO
     snapshot and the replayed batch silently re-bootstrapped from the
-    batch alone, dropping every previously-merged key.
+    batch alone, dropping every previously-merged key.  The protocol's
+    atomicity leans on POSIX ``os.rename``; object stores have no
+    atomic directory rename, so a real deployment delegates the swap to
+    the table format's transactional commit (Delta/Iceberg MERGE — the
+    branch this sandbox body stands in for) rather than porting the
+    rename dance to S3 semantics.
 
     Scale: per-batch cost is one snapshot scan + one batch-sized window
     + the anti-join — no streaming state store at all (state lives in
