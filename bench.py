@@ -169,6 +169,7 @@ HEADLINE = (
     "v21_trained_cluster_quality",
     "m03_media_header_dims",
     "ll13_tokenized_pack",
+    "v22_trained_ivf_topk",
 )
 
 

@@ -211,6 +211,81 @@ def ivf_topk(
     return topk_reduce(scored, query_id_col, id_col, "cos_sim", k)
 
 
+def ivf_topk_frame(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """``ivf_topk`` with the coarse quantizer as a TRAINED centroid
+    FRAME (the ``kmeans_centroids`` output) instead of frozen literals —
+    the serve half of the closed training loop: v19 trains at cluster
+    scale, v21 judges the partition, this SEARCHES under it, and no
+    centroid ever round-trips through the driver.
+
+    Identical binning/probing/verify semantics to the literal variant
+    (max-dot assignment, first index wins ties; per-query nprobe probe
+    list sorted dot desc then centroid id desc; exact cosine + top-k
+    verify on the probed lists).  Plan shape: the k-row centroid frame
+    collapses onto ONE 1-row broadcast as a cluster-ordered array (a
+    keyless aggregate — bounded by shape), the corpus bins in one
+    scan-local pass against it, and candidates form by the same
+    centroid-id equi-join; cost stays ~|corpus|·nprobe/nlist per query.
+    Returns (query_id, rank, vec_id, cos_sim).
+    """
+    cframe = centroids_df.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cluster"), F.col("centroid").alias("c"))
+            )
+        ).alias("__cs")
+    )
+    cents = F.transform(F.col("__cs"), lambda s: s["c"])
+    assigned = (
+        fan_out(corpus)
+        .crossJoin(F.broadcast(cframe))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(
+                F.col("__cs"),
+                (_nearest_centroid(F.col(vec_col), cents) + 1).cast("int"),
+            )["cluster"].alias("cid"),
+        )
+    )
+    scored_cents = F.transform(
+        F.col("__cs"),
+        lambda s: F.struct(
+            dot(F.col(query_vec_col), s["c"]).alias("s"), s["cluster"].alias("i")
+        ),
+    )
+    probe_ids = F.transform(
+        F.slice(F.sort_array(scored_cents, asc=False), 1, nprobe), lambda st: st["i"]
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cframe))
+        .select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.explode(probe_ids).alias("cid"),
+        )
+    )
+    candidates = assigned.join(F.broadcast(probes), "cid").dropDuplicates(
+        [query_id_col, id_col]
+    )
+    scored = candidates.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos_sim"),
+    )
+    return topk_reduce(scored, query_id_col, id_col, "cos_sim", k)
+
+
 def train_pq_codebooks(
     vectors: list[list[float]],
     m: int = 8,

@@ -1544,6 +1544,64 @@ def v21(spark, sf_dir):
     return similarity.cluster_quality_frame(ev, cents)
 
 
+def _v22_sql(k: int = 8, rounds: int = 3) -> str:
+    # v19's unrolled training CTEs up through the trained centroid
+    # table (the v21 slicing trick), then v05's IVF serve SQL with
+    # cents sourced from that table instead of VALUES literals — train
+    # and serve share one SQL source of truth
+    base = _v19_sql(k, rounds)
+    prefix = base[: base.rindex(",\naf AS")]
+    cos = SQL_COSINE.format(a="q.x", b="cv.x")
+    return f"""{prefix},
+cents AS (SELECT cluster AS cid, c AS cv FROM c{rounds}),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, ct.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.x, ct.cv) DESC, ct.cid ASC) AS rn
+    FROM v, cents ct) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.vec_id AS query_id, ct.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.x, ct.cv) DESC, ct.cid DESC) AS rn
+    FROM v q, cents ct WHERE q.vec_id IN (0, 1, 2)) WHERE rn <= 4
+),
+cand AS (SELECT DISTINCT p.query_id, a.vec_id FROM assigned a JOIN probes p USING (cid)),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, {cos} AS cos
+  FROM cand JOIN v q ON q.vec_id = cand.query_id JOIN v cv ON cv.vec_id = cand.vec_id
+),
+ranked AS (SELECT query_id, vec_id, cos,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id DESC) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cos_sim
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("v22_trained_ivf_topk", _v22_sql)
+def v22(spark, sf_dir):
+    # The serve half of the closed clustering loop: v19's Lloyd loop
+    # trains the coarse quantizer at cluster scale, v21 judges the
+    # partition, and this SEARCHES under it — v05's IVF bin/probe/verify
+    # with the quantizer swapped from frozen literals to the TRAINED
+    # k-row centroid frame on one keyless-aggregate broadcast; no
+    # centroid ever round-trips through the driver
+    # (operators/similarity.py:ivf_topk_frame).
+    e = _te(spark, sf_dir)
+    cents = similarity.kmeans_centroids(e, k=8, rounds=3)
+    ed = e.select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = ed.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_topk_frame(ed, qs, cents, k=5, nprobe=4)
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cos_sim"
+    )
+
+
 _V18_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -7693,6 +7751,10 @@ def w09(spark, sf_dir):
 # ll13_tokenized_pack (the train→segment→pack-by-model-tokens flow,
 # new) rotated IN; t21_dsir_importance OUT for it (double-green r9+r10,
 # untouched; importance stays in-window via ml04).
+# v22_trained_ivf_topk (IVF search under the v19-trained quantizer,
+# new) rotated IN; a14_stats_moments OUT for it (double-green r9+r10,
+# untouched; the moment machinery stays exercised via ml04's σ and the
+# prof family in-window).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -7740,7 +7802,7 @@ PRIORITY: tuple[str, ...] = (
     "ll06_refinedweb_pipeline",
     "ml03_calibration",
     "v19_kmeans_assign",
-    "a14_stats_moments",
+    "v22_trained_ivf_topk",
     "ml05_score_drift",
     "prof06_completeness",
     "ml04_feature_importance",

@@ -123,6 +123,35 @@ def test_bpe_serve_flag_mismatch_fails_loudly(spark):
         bpe_vocab(df, merges).collect()
 
 
+# --- IVF search under a trained centroid frame (v22) ------------------------
+
+
+def test_ivf_topk_frame_matches_literal_variant(spark):
+    # fed the SAME centroids, the frame-based IVF must reproduce the
+    # literal-based one row for row (binning, probe order, verify)
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_frame,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0 * ((i * 3) % 5), 0.5 * ((i + 2) % 4), 0.25 * (i % 3)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [[1.0, 0.1, 0.0], [0.0, 1.0, 0.2], [0.3, 0.0, 1.0], [0.5, 0.5, 0.5]]
+    qs = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lit = sorted(map(tuple, ivf_topk(vecs, qs, cents, k=4, nprobe=2).collect()))
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cluster int, centroid array<double>"
+    )
+    framed = sorted(
+        map(tuple, ivf_topk_frame(vecs, qs, cdf, k=4, nprobe=2).collect())
+    )
+    assert framed == lit and len(framed) == 8
+
+
 # --- packing by precomputed token counts (ll13) -----------------------------
 
 
