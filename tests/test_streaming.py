@@ -440,6 +440,32 @@ def test_streaming_ingest_segmentation_matches_batch(spark, tmp_path):
     assert any(len(t.replace("</w>", "x")) > 1 for t in got[0]["bpe_text"].split())
 
 
+def test_streaming_media_header_decode_matches_batch(spark, tmp_path):
+    # the m03 header kernel on a live media feed: a pure scan-local
+    # projection (no state, no shuffle), so streaming output must equal
+    # the batch decode of the same fixture bytes — the ingest shape for
+    # header-metadata extraction over a crawl's binary payload stream
+    import shutil
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        media_header_dims,
+    )
+
+    fixture = "/root/repo/fixtures/media_headers.parquet"
+    feed = tmp_path / "media_feed"
+    feed.mkdir()
+    shutil.copy(fixture, feed / "batch-000.parquet")
+    batch_df = spark.read.parquet(fixture)
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(feed))
+    q = memory_sink(media_header_dims(stream), "media_headers_stream")
+    _drain(q)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM media_headers_stream").collect())
+    )
+    expected = sorted(map(tuple, media_header_dims(batch_df).collect()))
+    assert got == expected and len(got) == 410
+
+
 def test_delta_stream_sink_restart_recovers_exactly_once(spark, tmp_path):
     # ST4 beyond single-run: drain batch A through a checkpointed sink,
     # terminate the query, add batch B to the source, restart a NEW query
