@@ -170,6 +170,7 @@ HEADLINE = (
     "m03_media_header_dims",
     "ll13_tokenized_pack",
     "v22_trained_ivf_topk",
+    "m04_audio_header_meta",
 )
 
 

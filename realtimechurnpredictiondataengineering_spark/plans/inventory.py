@@ -2286,6 +2286,81 @@ def m03(spark, sf_dir):
     return multimodal.media_header_dims(media)
 
 
+def _audio_fixture_path() -> str:
+    return _media_fixture_path().replace("media_headers", "audio_headers")
+
+
+def _le_hex(p_expr: str, n: int) -> str:
+    # little-endian read at byte position p_expr: byte-reversed hex cast
+    parts = " || ".join(
+        f"substr(h, (({p_expr}) + {i}) * 2 - 1, 2)" for i in reversed(range(n))
+    )
+    return f"CAST('0x' || {parts} AS BIGINT)"
+
+
+def _m04_sql() -> str:
+    size = _le_hex("w.p + 4", 4)
+    return f"""
+WITH RECURSIVE m AS (SELECT media_id, hex(payload) AS h,
+                            octet_length(payload) AS n_bytes
+                     FROM read_parquet('{_audio_fixture_path()}')),
+walk AS (SELECT media_id, h, CAST(13 AS BIGINT) AS p,
+                CAST(NULL AS INT) AS ch, CAST(NULL AS BIGINT) AS rate,
+                CAST(NULL AS BIGINT) AS brate, CAST(NULL AS INT) AS bits,
+                CAST(NULL AS BIGINT) AS db
+         FROM m
+         WHERE substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+         UNION ALL
+         SELECT w.media_id, w.h,
+                w.p + 8 + {size} + ({size} % 2),
+                CASE WHEN substr(w.h, w.p*2-1, 8) = '666D7420'
+                     THEN CAST({_le_hex('w.p + 10', 2)} AS INT) ELSE w.ch END,
+                CASE WHEN substr(w.h, w.p*2-1, 8) = '666D7420'
+                     THEN {_le_hex('w.p + 12', 4)} ELSE w.rate END,
+                CASE WHEN substr(w.h, w.p*2-1, 8) = '666D7420'
+                     THEN {_le_hex('w.p + 16', 4)} ELSE w.brate END,
+                CASE WHEN substr(w.h, w.p*2-1, 8) = '666D7420'
+                     THEN CAST({_le_hex('w.p + 22', 2)} AS INT) ELSE w.bits END,
+                CASE WHEN substr(w.h, w.p*2-1, 8) = '64617461'
+                     THEN {size} ELSE w.db END
+         FROM walk w
+         WHERE (w.rate IS NULL OR w.db IS NULL) AND w.p*2 + 15 <= length(w.h)),
+parsed AS (SELECT media_id, ch, rate, brate, bits, db FROM (
+             SELECT *, row_number() OVER (PARTITION BY media_id
+                                          ORDER BY p DESC) AS rn
+             FROM walk) WHERE rn = 1)
+SELECT m.media_id,
+       CASE WHEN substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645'
+            THEN 'wav' ELSE 'unknown' END AS fmt,
+       p.ch AS n_channels,
+       CAST(p.rate AS INT) AS sample_rate,
+       p.bits AS bits_per_sample,
+       p.db AS data_bytes,
+       CAST(floor(p.db * 1000 / p.brate) AS BIGINT) AS duration_ms,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM m LEFT JOIN parsed p USING (media_id)
+"""
+
+
+@register("m04_audio_header_meta", _m04_sql)
+def m04(spark, sf_dir):
+    # The audio leg of the real-decode family (m03's pattern, little-
+    # endian): RIFF/WAVE verified, then a byte-aligned bounded chunk
+    # walk (id → declared size → next, word-aligned pad) captures the
+    # PCM fmt fields and the data payload size — channels, sample rate,
+    # bits/sample, data bytes, duration — as pure scan-local hex
+    # arithmetic, zero Python, zero codec (operators/multimodal.py:
+    # audio_header_meta).  The committed 50-row fixture varies the fmt
+    # offset with LIST chunks, embeds decoy 'fmt ' bytes inside data
+    # payloads (aligned jumps never see them), and pins truncated and
+    # non-RIFF edges; the twin replays the identical walk as a
+    # recursive CTE with byte-reversed (little-endian) reads.
+    from realtimechurnpredictiondataengineering_spark.operators import multimodal
+
+    media = spark.read.parquet(_audio_fixture_path().replace("''", "'"))
+    return multimodal.audio_header_meta(media)
+
+
 # ---------------------------------------------------------------------------
 # Percentiles, skew-safe aggregation, extended window surface
 # ---------------------------------------------------------------------------
@@ -7755,6 +7830,10 @@ def w09(spark, sf_dir):
 # new) rotated IN; a14_stats_moments OUT for it (double-green r9+r10,
 # untouched; the moment machinery stays exercised via ml04's σ and the
 # prof family in-window).
+# m04_audio_header_meta (little-endian RIFF/WAVE header decode, new)
+# rotated IN; c05_profile_drift OUT for it (double-green r9+r10,
+# untouched; the drift family keeps prof04/prof05/prof06/ml05
+# in-window).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -7787,7 +7866,7 @@ PRIORITY: tuple[str, ...] = (
     "c07_streaming_merge_upserts",
     "t28_kneser_ney_trigram",
     "t29_bpe_merges",
-    "c05_profile_drift",
+    "m04_audio_header_meta",
     "d06_dup_clusters",
     "ll13_tokenized_pack",
     "w10_ewma_activity",

@@ -152,6 +152,46 @@ def test_ivf_topk_frame_matches_literal_variant(spark):
     assert framed == lit and len(framed) == 8
 
 
+# --- audio header decode (m04) ----------------------------------------------
+
+
+def test_audio_header_meta_parses_wav_and_skips_decoys(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.gen_media_fixture import wav_bytes
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        audio_header_meta,
+    )
+
+    rows = [
+        (1, wav_bytes(2, 44100, 16, 1000, list_pad=11)),
+        # decoy 'fmt ' bytes inside the data payload: the aligned walk
+        # jumps the whole chunk and must keep the REAL fmt fields
+        (2, wav_bytes(1, 8000, 8, 500, decoy=True)),
+        (3, b"RIFF\x08\x00\x00\x00WAVE"),  # truncated: no chunks
+        (4, b"not audio at all, clearly"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in audio_header_meta(df).collect()}
+    assert (
+        got[1]["fmt"],
+        got[1]["n_channels"],
+        got[1]["sample_rate"],
+        got[1]["bits_per_sample"],
+        got[1]["data_bytes"],
+        got[1]["duration_ms"],
+    ) == ("wav", 2, 44100, 16, 4000, 4000 * 1000 // (44100 * 4))
+    assert (got[2]["fmt"], got[2]["sample_rate"], got[2]["data_bytes"]) == (
+        "wav",
+        8000,
+        500,
+    )
+    assert (got[3]["fmt"], got[3]["sample_rate"]) == ("wav", None)
+    assert (got[4]["fmt"], got[4]["sample_rate"]) == ("unknown", None)
+
+
 # --- packing by precomputed token counts (ll13) -----------------------------
 
 

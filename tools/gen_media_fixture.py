@@ -100,6 +100,71 @@ def jpeg_with_decoy(width: int, height: int, dw: int, dh: int) -> bytes:
     return b"\xff\xd8" + com + sof0 + b"\xff\xd9"
 
 
+AUDIO_OUT = OUT.replace("media_headers.parquet", "audio_headers.parquet")
+N_AUDIO = 50
+
+
+def wav_bytes(
+    n_channels: int,
+    sample_rate: int,
+    bits: int,
+    n_frames: int,
+    list_pad: int = 0,
+    decoy: bool = False,
+) -> bytes:
+    """Minimal structurally-valid RIFF/WAVE: optional LIST chunk before
+    fmt (so the fmt offset varies per row and the parser must walk),
+    PCM fmt chunk (little-endian fields), data chunk sized
+    n_frames × block_align.  ``decoy`` embeds the literal bytes
+    'fmt ' inside the data payload — an aligned chunk walk jumps the
+    whole data chunk and never sees it."""
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    fmt = (
+        b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, block_align, bits)
+    )
+    payload = bytes((i * 31) % 251 for i in range(n_frames * block_align))
+    if decoy and len(payload) >= 12:
+        payload = b"fmt " + struct.pack("<I", 9999) + payload[8:]
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    lst = b""
+    if list_pad:
+        body = b"INFO" + (b"x" * list_pad)
+        if len(body) % 2:
+            body += b"\x00"
+        lst = b"LIST" + struct.pack("<I", len(body)) + body
+    body = b"WAVE" + lst + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_audio_rows() -> list[tuple[int, bytes, str]]:
+    rows: list[tuple[int, bytes, str]] = []
+    for i in range(N_AUDIO):
+        mid = 1000 + i
+        if i % 10 == 9:
+            rows.append((mid, b"RIFF\x08\x00\x00\x00WAVE", "wav"))  # truncated
+        elif i % 10 == 4:
+            rows.append((mid, f"not-audio-{i}".encode("ascii") * 2, "raw"))
+        else:
+            rows.append(
+                (
+                    mid,
+                    wav_bytes(
+                        n_channels=1 + i % 2,
+                        sample_rate=(8000, 16000, 22050, 44100, 48000)[i % 5],
+                        bits=(8, 16, 24, 32)[i % 4],
+                        n_frames=100 + (i * 37) % 400,
+                        list_pad=(0 if i % 3 == 0 else 7 + i % 23),
+                        decoy=(i % 7 == 3),
+                    ),
+                    "wav",
+                )
+            )
+    return rows
+
+
 def build_rows() -> list[tuple[int, bytes, str]]:
     rows: list[tuple[int, bytes, str]] = []
     for i in range(N_ROWS):
@@ -122,17 +187,13 @@ def build_rows() -> list[tuple[int, bytes, str]]:
     return rows
 
 
-def main() -> None:
-    rows = build_rows()
+def _write(rows: list[tuple[int, bytes, str]], kind: str, out: str) -> None:
     table = pa.table(
         {
             "media_id": pa.array([r[0] for r in rows], pa.int64()),
             "payload": pa.array([r[1] for r in rows], pa.binary()),
             "meta": pa.array(
-                [
-                    {"kind": "image", "format": r[2], "n_bytes": len(r[1])}
-                    for r in rows
-                ],
+                [{"kind": kind, "format": r[2], "n_bytes": len(r[1])} for r in rows],
                 pa.struct(
                     [
                         ("kind", pa.string()),
@@ -143,8 +204,13 @@ def main() -> None:
             ),
         }
     )
-    pq.write_table(table, OUT, compression="snappy")
-    print(f"wrote {table.num_rows} rows to {OUT}")
+    pq.write_table(table, out, compression="snappy")
+    print(f"wrote {table.num_rows} rows to {out}")
+
+
+def main() -> None:
+    _write(build_rows(), "image", OUT)
+    _write(build_audio_rows(), "audio", AUDIO_OUT)
 
 
 if __name__ == "__main__":
