@@ -2234,19 +2234,20 @@ _M03_SQL = lambda: f"""
 WITH RECURSIVE m AS (SELECT media_id, hex(payload) AS h,
                             octet_length(payload) AS n_bytes
                      FROM read_parquet('{_media_fixture_path()}')),
-walk AS (SELECT media_id, h, 3 AS p,
+walk AS (SELECT media_id, h, 3 AS p, 0 AS step,
                 CAST(NULL AS INT) AS hh, CAST(NULL AS INT) AS ww
          FROM m WHERE substr(h, 1, 4) = 'FFD8'
          UNION ALL
          SELECT media_id, h,
                 CASE WHEN substr(h, p*2-1, 4) IN {_M03_SOF} THEN p
                      ELSE p + 2 + CAST('0x' || substr(h, (p+2)*2-1, 4) AS INT) END,
+                step + 1,
                 CASE WHEN substr(h, p*2-1, 4) IN {_M03_SOF}
                      THEN CAST('0x' || substr(h, (p+5)*2-1, 4) AS INT) END,
                 CASE WHEN substr(h, p*2-1, 4) IN {_M03_SOF}
                      THEN CAST('0x' || substr(h, (p+7)*2-1, 4) AS INT) END
          FROM walk
-         WHERE ww IS NULL AND p*2+3 <= length(h)
+         WHERE ww IS NULL AND step < 24 AND p*2+3 <= length(h)
                AND substr(h, p*2-1, 2) = 'FF'
                AND substr(h, p*2-1, 4) NOT IN ('FFDA', 'FFD9')),
 jdims AS (SELECT media_id, hh, ww FROM walk WHERE ww IS NOT NULL)
@@ -2304,7 +2305,7 @@ def _m04_sql() -> str:
 WITH RECURSIVE m AS (SELECT media_id, hex(payload) AS h,
                             octet_length(payload) AS n_bytes
                      FROM read_parquet('{_audio_fixture_path()}')),
-walk AS (SELECT media_id, h, CAST(13 AS BIGINT) AS p,
+walk AS (SELECT media_id, h, CAST(13 AS BIGINT) AS p, 0 AS step,
                 CAST(NULL AS INT) AS ch, CAST(NULL AS BIGINT) AS rate,
                 CAST(NULL AS BIGINT) AS brate, CAST(NULL AS INT) AS bits,
                 CAST(NULL AS BIGINT) AS db
@@ -2313,6 +2314,7 @@ walk AS (SELECT media_id, h, CAST(13 AS BIGINT) AS p,
          UNION ALL
          SELECT w.media_id, w.h,
                 w.p + 8 + {size} + ({size} % 2),
+                w.step + 1,
                 CASE WHEN substr(w.h, w.p*2-1, 8) = '666D7420'
                      THEN CAST({_le_hex('w.p + 10', 2)} AS INT) ELSE w.ch END,
                 CASE WHEN substr(w.h, w.p*2-1, 8) = '666D7420'
@@ -2324,7 +2326,8 @@ walk AS (SELECT media_id, h, CAST(13 AS BIGINT) AS p,
                 CASE WHEN substr(w.h, w.p*2-1, 8) = '64617461'
                      THEN {size} ELSE w.db END
          FROM walk w
-         WHERE (w.rate IS NULL OR w.db IS NULL) AND w.p*2 + 15 <= length(w.h)),
+         WHERE (w.rate IS NULL OR w.db IS NULL) AND w.step < 16
+               AND w.p*2 + 15 <= length(w.h)),
 parsed AS (SELECT media_id, ch, rate, brate, bits, db FROM (
              SELECT *, row_number() OVER (PARTITION BY media_id
                                           ORDER BY p DESC) AS rn

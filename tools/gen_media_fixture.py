@@ -162,6 +162,16 @@ def build_audio_rows() -> list[tuple[int, bytes, str]]:
                     "wav",
                 )
             )
+    # budget-exceeding row: 20 junk chunks before fmt/data — both
+    # engines cap the chunk walk at 16 visits and must report NULLs
+    junk = b"".join(
+        b"JUNK" + struct.pack("<I", 4) + b"pad!" for _ in range(20)
+    )
+    wav = wav_bytes(2, 44100, 16, 100)
+    body = b"WAVE" + junk + wav[12:]
+    rows.append(
+        (1000 + N_AUDIO, b"RIFF" + struct.pack("<I", len(body)) + body, "wav")
+    )
     return rows
 
 
@@ -184,6 +194,22 @@ def build_rows() -> list[tuple[int, bytes, str]]:
     for i in range(N_ROWS, N_ROWS + 10):
         # decoy block: embedded fake SOF inside a COM segment
         rows.append((i, jpeg_with_decoy(100 + i, 50 + i, dw=7, dh=9), "jpeg"))
+    # budget-exceeding block: 30 COM segments before SOF0 — both engines
+    # cap the segment walk at 24 visits and must report NULL dims, which
+    # the oracle value-checks (a deeper-hidden SOF is entropy-scan
+    # territory, out of the header parser's contract)
+    soi, tail = b"\xff\xd8", b"\xff\xd9"
+    coms = b"".join(
+        b"\xff\xfe" + struct.pack(">H", 6) + b"pad!" for _ in range(30)
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", 123, 456)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    rows.append((N_ROWS + 10, soi + coms + sof0 + tail, "jpeg"))
     return rows
 
 
