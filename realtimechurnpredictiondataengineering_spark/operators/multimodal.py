@@ -204,9 +204,13 @@ def audio_header_meta(media: DataFrame) -> DataFrame:
         p = acc["p"]
         cid = hex_at(p, 4)
         size = le_at(p + 4, 4)
+        # in-bounds = the full 8-byte chunk header (id + size) is
+        # readable: p+7 <= n_bytes ⟺ p*2+14 <= hexlen.  The earlier
+        # +15 bound rejected a zero-size final chunk whose header ends
+        # exactly at the payload boundary (hypothesis-found).
         done = (
             (acc["rate"].isNotNull() & acc["db"].isNotNull())
-            | (p * 2 + 15 > hexlen)
+            | (p * 2 + 14 > hexlen)
         )
         skip = p + 8 + size + (size % 2)
         return F.when(done, acc).otherwise(

@@ -2327,7 +2327,7 @@ walk AS (SELECT media_id, h, CAST(13 AS BIGINT) AS p, 0 AS step,
                      THEN {size} ELSE w.db END
          FROM walk w
          WHERE (w.rate IS NULL OR w.db IS NULL) AND w.step < 16
-               AND w.p*2 + 15 <= length(w.h)),
+               AND w.p*2 + 14 <= length(w.h)),
 parsed AS (SELECT media_id, ch, rate, brate, bits, db FROM (
              SELECT *, row_number() OVER (PARTITION BY media_id
                                           ORDER BY p DESC) AS rn

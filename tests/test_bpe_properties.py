@@ -82,6 +82,112 @@ def test_bpe_train_eow_matches_sequential_on_random_corpora(spark, words):
     assert got == expected
 
 
+# --- media header walks: random container layouts == ground truth ---------
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    dims=st.tuples(
+        st.integers(min_value=1, max_value=65535),
+        st.integers(min_value=1, max_value=65535),
+    ),
+    n_coms=st.integers(min_value=0, max_value=6),
+    com_lens=st.lists(st.integers(min_value=0, max_value=40), min_size=6, max_size=6),
+    app1=st.booleans(),
+)
+def test_jpeg_walk_matches_ground_truth_on_random_layouts(
+    spark, dims, n_coms, com_lens, app1
+):
+    # random APP/COM segment chains in front of SOF0: the byte-aligned
+    # walk must recover the planted dimensions wherever SOF lands
+    import struct
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        media_header_dims,
+    )
+
+    w, h = dims
+    parts = [b"\xff\xd8"]
+    if app1:
+        body = b"Exif\x00\x00ascii-filler"
+        parts.append(b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body)
+    for i in range(n_coms):
+        body = b"c" * com_lens[i]
+        parts.append(b"\xff\xfe" + struct.pack(">H", len(body) + 2) + body)
+    parts.append(
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
+    )
+    parts.append(b"\xff\xd9")
+    df = spark.createDataFrame(
+        [(1, b"".join(parts))], "media_id long, payload binary"
+    )
+    r = media_header_dims(df).collect()[0]
+    assert (r["fmt"], r["width"], r["height"]) == ("jpeg", w, h)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ch=st.integers(min_value=1, max_value=8),
+    rate=st.integers(min_value=1, max_value=192000),
+    bits=st.sampled_from([8, 16, 24, 32]),
+    n_frames=st.integers(min_value=0, max_value=300),
+    junk_sizes=st.lists(st.integers(min_value=0, max_value=33), max_size=5),
+)
+def test_riff_walk_matches_ground_truth_on_random_layouts(
+    spark, ch, rate, bits, n_frames, junk_sizes
+):
+    # random junk chunks (odd sizes exercise the word-align pad) before
+    # fmt/data: the little-endian walk must recover the planted fields
+    import struct
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        audio_header_meta,
+    )
+
+    block = ch * bits // 8
+    byte_rate = rate * block
+    fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, ch, rate, byte_rate, block, bits
+    )
+    payload = b"\xab" * (n_frames * block)
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    junk = b""
+    for sz in junk_sizes:
+        junk += b"JUNK" + struct.pack("<I", sz) + (b"j" * sz) + (b"\x00" if sz % 2 else b"")
+    body = b"WAVE" + junk + fmt + data
+    df = spark.createDataFrame(
+        [(1, b"RIFF" + struct.pack("<I", len(body)) + body)],
+        "media_id long, payload binary",
+    )
+    r = audio_header_meta(df).collect()[0]
+    assert (
+        r["fmt"],
+        r["n_channels"],
+        r["sample_rate"],
+        r["bits_per_sample"],
+        r["data_bytes"],
+        r["duration_ms"],
+    ) == ("wav", ch, rate, bits, len(payload), len(payload) * 1000 // byte_rate)
+
+
 # --- streaming MERGE: sequential per-batch == one-shot -------------------
 
 CHANGES = st.lists(
