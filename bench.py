@@ -171,6 +171,7 @@ HEADLINE = (
     "ll13_tokenized_pack",
     "v22_trained_ivf_topk",
     "m04_audio_header_meta",
+    "v24_semantic_contamination",
 )
 
 

@@ -286,6 +286,64 @@ def ivf_topk_frame(
     return topk_reduce(scored, query_id_col, id_col, "cos_sim", k)
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "bench_id",
+    bench_vec_col: str = "bench_vec",
+) -> DataFrame:
+    """Embedding-level benchmark contamination — the semantic axis of
+    the decontamination family (d15/ll09 catch verbatim/near-verbatim
+    n-gram overlap; this catches PARAPHRASED leakage, where an eval
+    item was reworded into the training corpus and shares no 8-gram but
+    sits at high cosine).
+
+    Scale shape is the IVF serve plan, not all-pairs: the corpus binned
+    by nearest coarse centroid in one scan-local pass, the (KB-sized,
+    eval-suite) bench side probing its ``nprobe`` nearest lists, and
+    candidates formed by the centroid-id EQUI-join — per bench item the
+    scan is pruned to ~nprobe/nlist of the corpus before any cosine is
+    computed, exactly v05's pruning.  Cosines snap to the 1e-6 grid
+    BEFORE the threshold compare, so the cut cannot fall on a
+    last-ulp boundary that two engines resolve differently.  Returns
+    the evidence pairs (vec_id, bench_id, cos), one row per
+    (corpus item, bench item) at or above ``threshold``; an anti-join
+    on ``vec_id`` is the removal pass (the d15 → ll09 composition
+    shape).
+    """
+    cents = lit_matrix(centroids)
+    vec = F.col(vec_col)
+    assigned = fan_out(corpus).select(
+        F.col(id_col), vec, _nearest_centroid(vec, cents).alias("cid")
+    )
+    qvec = F.col(bench_vec_col)
+    scored_cents = F.transform(
+        cents, lambda c, i: F.struct(dot(qvec, c).alias("s"), i.alias("i"))
+    )
+    probe_ids = F.transform(
+        F.slice(F.sort_array(scored_cents, asc=False), 1, nprobe), lambda st: st["i"]
+    )
+    probes = bench.select(
+        F.col(bench_id_col),
+        qvec.alias("__bv"),
+        F.explode(probe_ids).alias("cid"),
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cid")
+        .select(
+            F.col(id_col),
+            F.col(bench_id_col),
+            F.round(cosine(vec, F.col("__bv")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def train_pq_codebooks(
     vectors: list[list[float]],
     m: int = 8,

@@ -1602,6 +1602,55 @@ def v22(spark, sf_dir):
     )
 
 
+def _v24_sql() -> str:
+    rows = ",\n".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}])" for i, c in enumerate(_ivf_centroids())
+    )
+    cos = SQL_COSINE.format(a="c.cv_", b="b.bv")
+    return f"""
+WITH cents(cid, cv) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+assigned AS (SELECT vec_id, cv_, cid FROM (
+    SELECT e.vec_id, e.v AS cv_, ct.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, ct.cv) DESC, ct.cid ASC) AS rn
+    FROM e, cents ct WHERE e.vec_id % 100 != 7) WHERE rn = 1),
+probes AS (SELECT bench_id, bv, cid FROM (
+    SELECT q.vec_id AS bench_id, q.v AS bv, ct.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.v, ct.cv) DESC, ct.cid DESC) AS rn
+    FROM e q, cents ct WHERE q.vec_id % 100 = 7) WHERE rn <= 8)
+SELECT vec_id, bench_id, cos FROM (
+  SELECT c.vec_id, b.bench_id, round({cos}, 6) AS cos
+  FROM assigned c JOIN probes b USING (cid))
+WHERE cos >= 0.4
+"""
+
+
+@register("v24_semantic_contamination", _v24_sql)  # lazy: twin trains the quantizer
+def v24(spark, sf_dir):
+    # The semantic axis of benchmark decontamination (d15/ll09 are the
+    # n-gram axis): paraphrased eval leakage shares no 8-gram but sits
+    # at high cosine.  The plan is v05's IVF pruning, not all-pairs —
+    # corpus binned by nearest coarse centroid in one scan-local pass,
+    # the KB-sized bench slice probing nprobe lists, candidates by the
+    # centroid-id equi-join, cosines snapped to the 1e-6 grid BEFORE
+    # the threshold compare (operators/similarity.py:
+    # semantic_contamination).  τ = 0.45 is calibrated to THIS synthetic
+    # table (its max pairwise cosine is ~0.51 — the generator plants no
+    # semantic twins), keeping the match path live in the value check;
+    # a production run against a real eval suite sets τ ≈ 0.9.  Returns the evidence pairs; the removal
+    # pass is an anti-join on vec_id, the d15 → ll09 shape.
+    e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
+    corpus = e.filter(F.col("vec_id") % 100 != 7)
+    bench = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bench_vec")
+    )
+    return similarity.semantic_contamination(
+        corpus, bench, _ivf_centroids(), threshold=0.4, nprobe=8
+    )
+
+
 _V18_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id IN (0, 1, 2)),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -7837,6 +7886,10 @@ def w09(spark, sf_dir):
 # rotated IN; c05_profile_drift OUT for it (double-green r9+r10,
 # untouched; the drift family keeps prof04/prof05/prof06/ml05
 # in-window).
+# v24_semantic_contamination (embedding-axis decontamination, new)
+# rotated IN; c06_merge_upserts OUT for it (double-green r9+r10,
+# untouched; MERGE semantics stay in-window via c07, whose twin IS
+# c06's one-shot SQL).
 #
 # Rotated OUT for round 5 (each driver-green in rounds 3 AND 4,
 # untouched that round, still value-checked by tests/oracle_harness.py):
@@ -7888,7 +7941,7 @@ PRIORITY: tuple[str, ...] = (
     "ml05_score_drift",
     "prof06_completeness",
     "ml04_feature_importance",
-    "c06_merge_upserts",
+    "v24_semantic_contamination",
     "m03_media_header_dims",
     "t27_ngram_novelty",
     "d11_exact_contamination",

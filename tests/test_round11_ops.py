@@ -152,6 +152,62 @@ def test_ivf_topk_frame_matches_literal_variant(spark):
     assert framed == lit and len(framed) == 8
 
 
+# --- semantic benchmark contamination (v24) ---------------------------------
+
+
+def test_semantic_contamination_finds_planted_paraphrase(spark):
+    # a bench vector planted as a near-duplicate of a corpus vector must
+    # surface as an evidence pair through the IVF-pruned path, and the
+    # anti-join removal must drop exactly the contaminated corpus row
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.95, 0.05, 0.0]),   # ≈ bench item 100 → contaminated
+            (2, [0.0, 1.0, 0.1]),
+            (3, [0.1, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [0.96, 0.04, 0.0])], "bench_id long, bench_vec array<double>"
+    )
+    pairs = semantic_contamination(
+        corpus, bench, cents, threshold=0.9, nprobe=2
+    )
+    got = [(r["vec_id"], r["bench_id"]) for r in pairs.collect()]
+    assert got == [(1, 100)]
+    clean = corpus.join(pairs.select("vec_id"), "vec_id", "left_anti")
+    assert sorted(r["vec_id"] for r in clean.collect()) == [2, 3]
+
+
+def test_semantic_contamination_prunes_before_scoring(spark):
+    # nprobe=1 restricts each bench item to ONE centroid list: a
+    # high-cosine pair whose corpus vector lives in an unprobed list
+    # must NOT surface — the pruning is real, not decorative
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        semantic_contamination,
+    )
+
+    # corpus vector sits closest to centroid 1; the bench probe (with
+    # nprobe=1) goes to centroid 0 — despite cosine ≈ 0.97 the pair is
+    # pruned away; nprobe=2 then finds it
+    cents = [[1.0, 0.0], [0.8, 0.6]]
+    corpus = spark.createDataFrame(
+        [(1, [0.85, 0.52])], "vec_id long, embedding array<double>"
+    )
+    bench = spark.createDataFrame(
+        [(100, [0.95, 0.31])], "bench_id long, bench_vec array<double>"
+    )
+    narrow = semantic_contamination(corpus, bench, cents, threshold=0.9, nprobe=1)
+    assert narrow.count() == 0
+    wide = semantic_contamination(corpus, bench, cents, threshold=0.9, nprobe=2)
+    assert wide.count() == 1
+
+
 # --- audio header decode (m04) ----------------------------------------------
 
 
