@@ -326,13 +326,36 @@ def bpe_vocab(
 
 def _merge_batch(merges_df: DataFrame, end_of_word: bool, caller: str) -> DataFrame:
     """The 1-row broadcast side every frame-based serve path rides: the
-    merge table as a rank-ordered array of (r, a, b) structs.  When
-    ``end_of_word`` is OFF the batch carries a runtime guard: a merge
-    table trained WITH the marker has ``EOW_MARKER`` inside its symbols,
-    and replaying it over a marker-less start state silently never
-    applies those merges (wrong segmentation, no error) — so the
-    mismatch fails loudly via ``assert_true`` on the 1-row frame
-    (distributed, no collect) instead of degrading."""
+    merge table as a rank-ordered array of (r, a, b) structs, plus a
+    BOTH-directional runtime guard on the ``end_of_word`` flag.
+
+    Detection is structural, not substring containment: in a genuine
+    eow-trained table the marker enters each word as an atomic FINAL
+    symbol, so every marker-bearing symbol carries it as a suffix and
+    only ever appears as the RIGHT operand of a merge (nothing merges
+    onto a word-final symbol's right).  ``right_sym`` ending with
+    ``EOW_MARKER`` therefore detects exactly the genuine marker merges
+    — a table trained with ``end_of_word=False`` on a corpus that
+    happens to contain ``'<'``/``'>'`` characters no longer trips the
+    guard unless its merges literally reproduce the marker as a
+    right-operand suffix (which requires chaining all four marker
+    characters into one symbol, the documented residual ambiguity of
+    artifact-only detection).
+
+    Guarded mismatches, both failing loudly via ``assert_true`` on the
+    1-row frame (distributed, no collect) instead of degrading:
+
+    * eow-trained table served with the flag OFF — the marker merges
+      silently never apply (wrong segmentation, no error);
+    * marker-FREE non-empty table served with the flag ON — the
+      appended marker never merges and surfaces as stray standalone
+      tokens, inflating ``n_bpe_tokens``.  An empty table is exempt
+      (zero-merge eow segmentation is character split + marker, well
+      defined), and a genuinely eow-trained table whose few merges
+      never touched the marker is indistinguishable from a non-eow
+      table by the artifact alone — serve that one via
+      ``bpe_segment_vocab`` (its vocabulary always carries the
+      marker) if the guard fires."""
     batch = merges_df.agg(
         F.array_sort(
             F.collect_list(
@@ -343,10 +366,7 @@ def _merge_batch(merges_df: DataFrame, end_of_word: bool, caller: str) -> DataFr
                 )
             )
         ).alias("__ms"),
-        F.max(
-            F.col("left_sym").contains(EOW_MARKER)
-            | F.col("right_sym").contains(EOW_MARKER)
-        ).alias("__has_eow"),
+        F.max(F.col("right_sym").endswith(EOW_MARKER)).alias("__has_eow"),
     )
     if not end_of_word:
         batch = batch.filter(
@@ -356,6 +376,19 @@ def _merge_batch(merges_df: DataFrame, end_of_word: bool, caller: str) -> DataFr
                     f"{caller}: merge table contains {EOW_MARKER} symbols "
                     "(trained with end_of_word=True) but the serve start "
                     "state has no marker — pass end_of_word=True"
+                ),
+            ).isNull()
+        )
+    else:
+        # empty table → __has_eow is NULL → coalesce(TRUE) → pass
+        batch = batch.filter(
+            F.assert_true(
+                F.coalesce(F.col("__has_eow"), F.lit(True)),
+                F.lit(
+                    f"{caller}: end_of_word=True but the merge table "
+                    f"contains no {EOW_MARKER} symbols (trained with "
+                    "end_of_word=False?) — the appended marker would "
+                    "never merge; pass end_of_word=False"
                 ),
             ).isNull()
         )
@@ -488,13 +521,21 @@ def bpe_segment_vocab(
             )
         ).alias("__b"),
     )
+    # Marker detection is suffix-structural (the _merge_batch rationale):
+    # every marker-bearing symbol an eow vocabulary can contain ends with
+    # the marker (it enters word-FINAL and merges only grow it leftward),
+    # and — unlike a merge table — an eow-trained vocabulary ALWAYS
+    # carries at least one such symbol (each word's final state ends in
+    # a marker-suffixed symbol or the standalone marker), so the mirror
+    # guard below is sound: a non-empty vocabulary with no marker symbol
+    # cannot have been built with end_of_word=True.
     vm = buckets.agg(
         F.map_from_entries(
             F.collect_list(
                 F.struct("__c", F.transform("__b", lambda e: e["s"]))
             )
         ).alias("__vm"),
-        F.max(F.exists("__b", lambda e: e["s"].contains(EOW_MARKER))).alias(
+        F.max(F.exists("__b", lambda e: e["s"].endswith(EOW_MARKER))).alias(
             "__has_eow"
         ),
     )
@@ -506,6 +547,20 @@ def bpe_segment_vocab(
                     f"bpe_segment_vocab: vocabulary contains {EOW_MARKER} "
                     "symbols (trained with end_of_word=True) but the serve "
                     "match string has no marker — pass end_of_word=True"
+                ),
+            ).isNull()
+        )
+    else:
+        # empty vocabulary → __has_eow is NULL → coalesce(TRUE) → pass
+        vm = vm.filter(
+            F.assert_true(
+                F.coalesce(F.col("__has_eow"), F.lit(True)),
+                F.lit(
+                    f"bpe_segment_vocab: end_of_word=True but the "
+                    f"vocabulary contains no {EOW_MARKER} symbols (built "
+                    "with end_of_word=False?) — the appended marker would "
+                    "shatter into single-character fallback tokens; pass "
+                    "end_of_word=False"
                 ),
             ).isNull()
         )
@@ -582,13 +637,20 @@ def bpe_segment(
     runtime loop instead of a compiled expression spine."""
     from realtimechurnpredictiondataengineering_spark.functions.text import tokens
 
-    if not end_of_word and any(
-        EOW_MARKER in a or EOW_MARKER in b for a, b in merges
-    ):
+    # suffix-structural marker detection + both-directional guard —
+    # same rationale and exemptions as _merge_batch (empty list exempt)
+    has_eow = any(b.endswith(EOW_MARKER) for _, b in merges)
+    if not end_of_word and has_eow:
         raise ValueError(
             f"bpe_segment: merge list contains {EOW_MARKER} symbols "
             "(trained with end_of_word=True) but the serve start state "
             "has no marker — pass end_of_word=True"
+        )
+    if end_of_word and merges and not has_eow:
+        raise ValueError(
+            f"bpe_segment: end_of_word=True but the merge list contains "
+            f"no {EOW_MARKER} symbols (trained with end_of_word=False?) — "
+            "the appended marker would never merge; pass end_of_word=False"
         )
     tail = f"  {EOW_MARKER}  " if end_of_word else "  "
     ms = F.array(

@@ -610,6 +610,115 @@ def ivf_pq_topk(
     return topk_reduce(scored, query_id_col, id_col, "adc_dot", k)
 
 
+def ivf_pq_topk_frame(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """``ivf_pq_topk`` with the coarse quantizer as a TRAINED centroid
+    FRAME (the ``kmeans_centroids`` output) instead of frozen literals —
+    the closed training loop extended over the COMPRESSED index family:
+    v19 trains the coarse quantizer at cluster scale, v22 searches flat
+    under it, and this searches the residual-PQ index under it.  The
+    residual codebooks stay a tiny driver-trained literal (they are a
+    sample-trained m × ksub × dsub constant by design, like the v12/v13
+    model); only the coarse lists come from the trained frame, and no
+    coarse centroid ever round-trips through the driver.
+
+    Identical binning/probing/ADC semantics to the literal variant
+    (max-dot assignment with first-position tie-break; per-query probe
+    list sorted dot desc then cluster id desc; residual ``x − c_cid``
+    PQ-encoded in the same corpus scan; score =
+    ``round(round(centdot,6) + Σ_j lut[j][code_j], 6)``) — parity-pinned
+    row-for-row against ``ivf_pq_topk`` on shared centroids.  Plan
+    shape: the k-row centroid frame collapses onto ONE 1-row broadcast
+    as a cluster-ordered array (keyless aggregate, shape-bounded), the
+    corpus bins AND residual-encodes in one scan-local pass against it,
+    candidates form by the centroid-id equi-join, and per-query cost
+    stays ~|corpus|·nprobe/nlist lookups of m entries over m-byte
+    codes.  Returns (query_id, rank, vec_id, adc_dot).
+    """
+    cframe = centroids_df.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cluster"), F.col("centroid").alias("c"))
+            )
+        ).alias("__cs")
+    )
+    cents = F.transform(F.col("__cs"), lambda s: s["c"])
+    dsub = len(codebooks[0][0])
+    vec = F.col(vec_col)
+    idx = _nearest_centroid(vec, cents)
+    resid = F.zip_with(vec, F.element_at(cents, idx + 1), lambda a, b: a - b)
+    assigned = (
+        fan_out(corpus)
+        .crossJoin(F.broadcast(cframe))
+        .select(
+            F.col(id_col),
+            F.element_at(F.col("__cs"), (idx + 1).cast("int"))["cluster"].alias(
+                "cid"
+            ),
+            _pq_codes_expr(resid, codebooks).alias("pq_codes"),
+        )
+    )
+    qvec = F.col(query_vec_col)
+    books = _pq_lit_books(codebooks)
+    lut = F.transform(
+        books,
+        lambda book, j: F.transform(
+            # grid-snap each LUT entry BEFORE the m-term sum (the
+            # pq_topk rationale: the ideal sum is then itself a grid
+            # point, immune to cross-engine summation order)
+            book, lambda c: F.round(dot(F.slice(qvec, j * dsub + 1, dsub), c), 6)
+        ),
+    )
+    scored_cents = F.transform(
+        F.col("__cs"),
+        lambda s: F.struct(dot(qvec, s["c"]).alias("s"), s["cluster"].alias("i")),
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cframe))
+        .select(
+            F.col(query_id_col),
+            lut.alias("__lut"),
+            F.explode(
+                F.slice(F.sort_array(scored_cents, asc=False), 1, nprobe)
+            ).alias("__p"),
+        )
+        .select(
+            F.col(query_id_col),
+            F.col("__lut"),
+            F.col("__p.i").alias("cid"),
+            F.col("__p.s").alias("__centdot"),
+        )
+    )
+    scored = assigned.join(F.broadcast(probes), "cid").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            F.round(F.col("__centdot"), 6)
+            + F.aggregate(
+                F.zip_with(
+                    F.col("pq_codes"),
+                    F.col("__lut"),
+                    lambda code, row: F.element_at(row, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("adc_dot"),
+    )
+    return topk_reduce(scored, query_id_col, id_col, "adc_dot", k)
+
+
 def ivf_pq_rescore_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1602,6 +1602,105 @@ def v22(spark, sf_dir):
     )
 
 
+def _v25_sql(k: int = 8, rounds: int = 3) -> str:
+    # v19's unrolled training CTEs through the trained centroid table
+    # (the v21/v22 slicing trick), then v13's residual-PQ serve chain
+    # with cents sourced from that table instead of VALUES literals —
+    # the compressed index under the cluster-trained coarse quantizer,
+    # one SQL source of truth across train and serve.  The residual
+    # codebooks stay the frozen sample-trained literals (the v13
+    # model), exactly like the engine side.
+    _, books = _ivfpq_model()
+    brows = ",\n".join(
+        f"({j}, {c}, [{', '.join(repr(x) for x in cent)}])"
+        for j, book in enumerate(books)
+        for c, cent in enumerate(book)
+    )
+    d = _PQ_DSUB
+    base = _v19_sql(k, rounds)
+    prefix = base[: base.rindex(",\naf AS")]
+    return f"""{prefix},
+cb(j, c, cbv) AS (VALUES {brows}),
+cents AS (SELECT cluster AS cid, c AS cv FROM c{rounds}),
+assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, ct.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY list_dot_product(v.x, ct.cv) DESC, ct.cid ASC) AS rn
+    FROM v, cents ct) WHERE rn = 1
+),
+resid AS (
+  SELECT v.vec_id, a.cid,
+         list_transform(list_zip(v.x, ct.cv), p -> p[1] - p[2]) AS r
+  FROM v JOIN assigned a USING (vec_id) JOIN cents ct USING (cid)
+),
+dists AS (
+  SELECT resid.vec_id, cb.j, cb.c,
+         list_distance(r[cb.j*{d}+1 : cb.j*{d}+{d}], cb.cbv) AS dist
+  FROM resid, cb
+),
+codes AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, c ASC) AS rn
+    FROM dists) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cid, centdot FROM (
+    SELECT q.vec_id AS query_id, ct.cid, list_dot_product(q.x, ct.cv) AS centdot,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_dot_product(q.x, ct.cv) DESC, ct.cid DESC) AS rn
+    FROM v q, cents ct WHERE q.vec_id IN (0, 1, 2)) WHERE rn <= 4
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.j, cb.c,
+         round(list_dot_product(q.x[cb.j*{d}+1 : cb.j*{d}+{d}], cb.cbv), 6) AS val
+  FROM v q, cb WHERE q.vec_id IN (0, 1, 2)
+),
+cand AS (SELECT p.query_id, a.vec_id, p.centdot
+         FROM assigned a JOIN probes p USING (cid)),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, round(round(cand.centdot, 6) + sum(l.val), 6) AS adc_dot
+  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+            JOIN lut l ON l.query_id = cand.query_id
+                      AND l.j = codes.j AND l.c = codes.c
+  GROUP BY cand.query_id, cand.vec_id, cand.centdot
+),
+ranked AS (SELECT query_id, vec_id, adc_dot,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dot DESC, vec_id DESC) AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dot
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("v25_trained_ivf_pq", _v25_sql)  # lazy: twin trains quantizer + codebooks
+def v25(spark, sf_dir):
+    # The closed training loop extended over the COMPRESSED index
+    # family: v19's Lloyd loop trains the coarse quantizer at cluster
+    # scale and this serves the residual-PQ index under it — v13's
+    # bin/encode/probe/ADC with the coarse quantizer swapped from
+    # frozen literals to the TRAINED k-row centroid frame on one
+    # keyless-aggregate broadcast (the v22 move, now over m-byte codes).
+    # The residual codebooks stay the frozen sample-trained literals —
+    # a tiny m × ksub × dsub constant by design — so only the coarse
+    # lists are cluster-trained, the production FAISS split
+    # (operators/similarity.py:ivf_pq_topk_frame; parity-pinned
+    # row-for-row vs ivf_pq_topk on shared centroids).
+    _, books = _ivfpq_model()
+    e = _te(spark, sf_dir)
+    cents = similarity.kmeans_centroids(e, k=8, rounds=3)
+    ed = e.select("vec_id", _as_double("embedding").alias("embedding"))
+    qs = ed.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_pq_topk_frame(ed, qs, cents, books, k=5, nprobe=4)
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "adc_dot"
+    )
+
+
 def _v24_sql() -> str:
     rows = ",\n".join(
         f"({i}, [{', '.join(repr(x) for x in c)}])" for i, c in enumerate(_ivf_centroids())
@@ -1636,11 +1735,16 @@ def v24(spark, sf_dir):
     # the KB-sized bench slice probing nprobe lists, candidates by the
     # centroid-id equi-join, cosines snapped to the 1e-6 grid BEFORE
     # the threshold compare (operators/similarity.py:
-    # semantic_contamination).  τ = 0.45 is calibrated to THIS synthetic
-    # table (its max pairwise cosine is ~0.51 — the generator plants no
-    # semantic twins), keeping the match path live in the value check;
-    # a production run against a real eval suite sets τ ≈ 0.9.  Returns the evidence pairs; the removal
-    # pass is an anti-join on vec_id, the d15 → ll09 shape.
+    # semantic_contamination).  τ = 0.4 and nprobe = 8 are calibrated
+    # to THIS synthetic table (its max pairwise cosine is ~0.51 — the
+    # generator plants no semantic twins), keeping the match path live
+    # in the value check; the operator's production default stays 0.9
+    # for a real eval suite.  The live path needs scale to fire: at
+    # sf0.001 no pair clears τ in any probed list (0 rows — the parity
+    # check is vacuous there); sf0.01 and up return ≥2 evidence pairs,
+    # so the driver's sf0.01 gate exercises the match path.  Returns
+    # the evidence pairs; the removal pass is an anti-join on vec_id,
+    # the d15 → ll09 shape.
     e = _te(spark, sf_dir).select("vec_id", _as_double("embedding").alias("embedding"))
     corpus = e.filter(F.col("vec_id") % 100 != 7)
     bench = e.filter(F.col("vec_id") % 100 == 7).select(
@@ -2289,12 +2393,12 @@ walk AS (SELECT media_id, h, 3 AS p, 0 AS step,
          UNION ALL
          SELECT media_id, h,
                 CASE WHEN substr(h, p*2-1, 4) IN {_M03_SOF} THEN p
-                     ELSE p + 2 + CAST('0x' || substr(h, (p+2)*2-1, 4) AS INT) END,
+                     ELSE p + 2 + TRY_CAST('0x' || substr(h, (p+2)*2-1, 4) AS INT) END,
                 step + 1,
                 CASE WHEN substr(h, p*2-1, 4) IN {_M03_SOF}
-                     THEN CAST('0x' || substr(h, (p+5)*2-1, 4) AS INT) END,
+                     THEN TRY_CAST('0x' || substr(h, (p+5)*2-1, 4) AS INT) END,
                 CASE WHEN substr(h, p*2-1, 4) IN {_M03_SOF}
-                     THEN CAST('0x' || substr(h, (p+7)*2-1, 4) AS INT) END
+                     THEN TRY_CAST('0x' || substr(h, (p+7)*2-1, 4) AS INT) END
          FROM walk
          WHERE ww IS NULL AND step < 24 AND p*2+3 <= length(h)
                AND substr(h, p*2-1, 2) = 'FF'
@@ -2305,10 +2409,10 @@ SELECT m.media_id,
             WHEN substr(h, 1, 4) = 'FFD8' THEN 'jpeg'
             ELSE 'unknown' END AS fmt,
        CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
-            THEN CAST(CAST('0x' || substr(h, 33, 8) AS BIGINT) AS INT)
+            THEN CAST(TRY_CAST('0x' || substr(h, 33, 8) AS BIGINT) AS INT)
             ELSE j.ww END AS width,
        CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
-            THEN CAST(CAST('0x' || substr(h, 41, 8) AS BIGINT) AS INT)
+            THEN CAST(TRY_CAST('0x' || substr(h, 41, 8) AS BIGINT) AS INT)
             ELSE j.hh END AS height,
        CAST(n_bytes AS BIGINT) AS n_bytes
 FROM m LEFT JOIN jdims j USING (media_id)
@@ -2345,7 +2449,7 @@ def _le_hex(p_expr: str, n: int) -> str:
     parts = " || ".join(
         f"substr(h, (({p_expr}) + {i}) * 2 - 1, 2)" for i in reversed(range(n))
     )
-    return f"CAST('0x' || {parts} AS BIGINT)"
+    return f"TRY_CAST('0x' || {parts} AS BIGINT)"
 
 
 def _m04_sql() -> str:

@@ -1,0 +1,118 @@
+"""Round-12 operator tests: both-directional BPE eow guards with
+suffix-structural marker detection, plus the round's new operators."""
+
+import pytest
+
+
+# --- BPE eow guard, mirror direction + tightened detection ------------------
+
+
+def test_bpe_eow_true_on_markerless_artifacts_fails_loudly(spark):
+    # serving a marker-free (eow=False-trained) table/vocab/list with
+    # end_of_word=True used to silently surface stray marker or
+    # single-char tokens; now it raises on all three serve paths
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        bpe_segment,
+        bpe_segment_frame,
+        bpe_segment_vocab,
+    )
+
+    merges = spark.createDataFrame(
+        [(1, "o", "k")], "merge_rank int, left_sym string, right_sym string"
+    )
+    vocab = spark.createDataFrame(
+        [("ok", 3), ("o", 4), ("k", 4)], "symbol string, n_occurrences long"
+    )
+    df = spark.createDataFrame([(1, "ok")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="end_of_word"):
+        bpe_segment_frame(df, merges, end_of_word=True).collect()
+    with pytest.raises(Exception, match="end_of_word"):
+        bpe_segment_vocab(df, vocab, end_of_word=True).collect()
+    with pytest.raises(ValueError, match="end_of_word"):
+        bpe_segment(df, [("o", "k")], end_of_word=True)
+
+
+def test_bpe_eow_true_empty_artifacts_exempt(spark):
+    # zero-merge eow segmentation is well defined (char split + marker):
+    # the mirror guard must not fire on an EMPTY merge table
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        bpe_segment_frame,
+    )
+
+    empty = spark.createDataFrame(
+        [], "merge_rank int, left_sym string, right_sym string"
+    )
+    df = spark.createDataFrame([(1, "ok")], ["doc_id", "text"])
+    got = bpe_segment_frame(df, empty, end_of_word=True).collect()[0]
+    assert got["bpe_text"] == "o k </w>"
+    assert got["n_bpe_tokens"] == 3
+
+
+def test_bpe_eow_detection_is_suffix_structural_not_containment(spark):
+    # a table legitimately trained with end_of_word=False on a corpus
+    # containing '<'/'>' words can learn symbols CONTAINING the literal
+    # marker; only a right-operand marker SUFFIX signals eow training,
+    # so an eow=False serve of such a table must NOT raise
+    from realtimechurnpredictiondataengineering_spark.operators.bpe import (
+        bpe_segment,
+        bpe_segment_frame,
+        bpe_segment_vocab,
+    )
+
+    # marker appears mid-left-symbol and mid-right-symbol — neither is a
+    # right-operand suffix, so this is a valid eow=False artifact
+    merges = spark.createDataFrame(
+        [(1, "x</w>", "y"), (2, "a", "</w>b")],
+        "merge_rank int, left_sym string, right_sym string",
+    )
+    df = spark.createDataFrame([(1, "xy")], ["doc_id", "text"])
+    got = bpe_segment_frame(df, merges).collect()[0]
+    assert got["bpe_text"] == "x y"  # chars: no merge applies, no raise
+    out = bpe_segment(df, [("x</w>", "y"), ("a", "</w>b")]).collect()[0][
+        "bpe_tokens"
+    ]
+    assert out == ["x", "y"]
+    vocab = spark.createDataFrame(
+        [("</w>x", 2), ("x", 3), ("y", 3)], "symbol string, n_occurrences long"
+    )
+    got_v = bpe_segment_vocab(df, vocab).collect()[0]
+    assert got_v["bpe_text"] == "x y"
+
+
+# --- IVF-PQ under a trained centroid frame (v25) -----------------------------
+
+
+def test_ivf_pq_topk_frame_matches_literal_variant(spark):
+    # fed the SAME coarse centroids and codebooks, the frame-based
+    # IVF-PQ must reproduce the literal-based one row for row (binning,
+    # residual encoding, probe order, ADC scoring)
+    from pyspark.sql import functions as F
+
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_pq_topk_frame,
+        train_ivf_pq,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [1.0 * ((i * 3) % 5), 0.5 * ((i + 2) % 4), 0.25 * (i % 3), 0.1 * i])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    sample = [r["embedding"] for r in vecs.collect()]
+    cents, books = train_ivf_pq(sample, nlist=4, m=2, ksub=4)
+    qs = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lit = sorted(
+        map(tuple, ivf_pq_topk(vecs, qs, cents, books, k=4, nprobe=2).collect())
+    )
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cluster int, centroid array<double>"
+    )
+    framed = sorted(
+        map(tuple, ivf_pq_topk_frame(vecs, qs, cdf, books, k=4, nprobe=2).collect())
+    )
+    assert framed == lit and len(framed) == 8

@@ -172,6 +172,26 @@ def build_audio_rows() -> list[tuple[int, bytes, str]]:
     rows.append(
         (1000 + N_AUDIO, b"RIFF" + struct.pack("<I", len(body)) + body, "wav")
     )
+    # truncated-mid-field rows: the fmt chunk's 8-byte header is fully
+    # readable (the walk bound admits it) but its FIELDS are cut — both
+    # engines must degrade to NULL identically (engine conv('')→NULL,
+    # twin TRY_CAST('0x')→NULL), never throw
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+    rows.append(
+        (1001 + N_AUDIO, b"RIFF" + struct.pack("<I", len(body)) + body, "wav")
+    )
+    # partial-field row: channels readable, sample rate cut mid-word —
+    # both engines zero-pad the missing high bytes to the same value
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HH", 1, 2)
+        + b"\x44\xac"  # low half of 44100, high half missing
+    )
+    rows.append(
+        (1002 + N_AUDIO, b"RIFF" + struct.pack("<I", len(body)) + body, "wav")
+    )
     return rows
 
 
@@ -210,6 +230,16 @@ def build_rows() -> list[tuple[int, bytes, str]]:
         + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1])
     )
     rows.append((N_ROWS + 10, soi + coms + sof0 + tail, "jpeg"))
+    # truncated-mid-field rows (the audio twins' TRY_CAST lesson): a PNG
+    # cut before the IHDR width field (empty read → NULL both engines),
+    # a PNG cut mid-width (partial read → both engines zero-pad the
+    # available bytes to the same value), and a JPEG cut one byte into a
+    # segment's 2-byte length field (the walk jumps by the zero-padded
+    # partial length, runs off the end, and reports NULL dims)
+    full_png = png_bytes(100, 50, pad=16)
+    rows.append((N_ROWS + 11, full_png[:16], "png"))
+    rows.append((N_ROWS + 12, full_png[:18], "png"))
+    rows.append((N_ROWS + 13, b"\xff\xd8\xff\xe0\x10", "jpeg"))
     return rows
 
 
