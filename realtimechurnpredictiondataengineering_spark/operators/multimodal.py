@@ -77,6 +77,12 @@ _JPEG_WALK_STEPS = 24
 
 _PNG_SIG_HEX = "89504E470D0A1A0A"
 _SOF_MARKERS = ("FFC0", "FFC1", "FFC2", "FFC3")
+_GIF_SIGS = ("474946383761", "474946383961")  # GIF87a / GIF89a
+#: DIB header sizes whose width/height are signed 32-bit LE at bytes
+#: 19-22/23-26: BITMAPINFOHEADER(40), V4(108), V5(124).  The ancient
+#: BITMAPCOREHEADER(12) keeps u16 dims at different offsets — out of
+#: contract, reported as fmt 'bmp' with NULL dims.
+_BMP_DIB_SIZES = (40, 108, 124)
 
 
 def media_header_dims(media: DataFrame) -> DataFrame:
@@ -93,7 +99,20 @@ def media_header_dims(media: DataFrame) -> DataFrame:
       length → next marker (byte-aligned — no substring scanning, so
       entropy bytes can never false-match a marker), stopping at SOF
       (dims read), SOS/EOI, a non-marker byte, or end of payload.
+    - GIF (87a/89a): the logical screen descriptor follows the 6-byte
+      magic, so width/height are little-endian u16 at fixed bytes
+      7-8/9-10 — byte-reversed hex reads, no walk at all.
+    - BMP ('BM'): the DIB header starts at byte 15; for the
+      BITMAPINFOHEADER family (size 40/108/124 at bytes 15-18 LE)
+      width/height are SIGNED 32-bit LE at bytes 19-22/23-26 — a
+      negative height is the spec's top-down marker and surfaces
+      as-is.  Other DIB sizes report NULL dims.
     - anything else: format 'unknown', NULL dims.
+
+    Truncation degrades exactly like the audio walk: a field read past
+    the payload end is NULL (``conv('')``), a partially-present field
+    zero-pads its missing high bytes — both mirrored by the twins'
+    ``TRY_CAST`` hex reads.
 
     This replaces the ``_fake_decode`` stand-in for the header leg of
     the multimodal stack (feature EXTRACTION below still stubs its
@@ -104,8 +123,28 @@ def media_header_dims(media: DataFrame) -> DataFrame:
     hexlen = F.length(h)
     is_png = F.substring(h, 1, 16) == F.lit(_PNG_SIG_HEX)
     is_jpeg = F.substring(h, 1, 4) == F.lit("FFD8")
+    is_gif = F.substring(h, 1, 12).isin(*_GIF_SIGS)
+    is_bmp = F.substring(h, 1, 4) == F.lit("424D")
     png_w = F.conv(F.substring(h, 33, 8), 16, 10).cast("int")
     png_h = F.conv(F.substring(h, 41, 8), 16, 10).cast("int")
+
+    def le_at(p: int, n_bytes: int) -> F.Column:
+        # little-endian read at fixed byte position p (1-based)
+        pairs = [F.substring(h, (p + i) * 2 - 1, 2) for i in range(n_bytes)]
+        return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("long")
+
+    gif_w = le_at(7, 2).cast("int")
+    gif_h = le_at(9, 2).cast("int")
+
+    def signed32(raw: F.Column) -> F.Column:
+        return (
+            F.when(raw >= F.lit(2**31), raw - F.lit(2**32)).otherwise(raw)
+        ).cast("int")
+
+    bmp_dib = le_at(15, 4)
+    bmp_ok = bmp_dib.isin(*_BMP_DIB_SIZES)
+    bmp_w = F.when(bmp_ok, signed32(le_at(19, 4)))
+    bmp_h = F.when(bmp_ok, signed32(le_at(23, 4)))
 
     def hex_at(p: F.Column, n_bytes: int) -> F.Column:
         # byte position p (1-based) → its hex substring (byte-aligned)
@@ -152,10 +191,20 @@ def media_header_dims(media: DataFrame) -> DataFrame:
         "media_id",
         F.when(is_png, F.lit("png"))
         .when(is_jpeg, F.lit("jpeg"))
+        .when(is_gif, F.lit("gif"))
+        .when(is_bmp, F.lit("bmp"))
         .otherwise(F.lit("unknown"))
         .alias("fmt"),
-        F.when(is_png, png_w).when(is_jpeg, jpeg["ww"]).alias("width"),
-        F.when(is_png, png_h).when(is_jpeg, jpeg["hh"]).alias("height"),
+        F.when(is_png, png_w)
+        .when(is_jpeg, jpeg["ww"])
+        .when(is_gif, gif_w)
+        .when(is_bmp, bmp_w)
+        .alias("width"),
+        F.when(is_png, png_h)
+        .when(is_jpeg, jpeg["hh"])
+        .when(is_gif, gif_h)
+        .when(is_bmp, bmp_h)
+        .alias("height"),
         F.length("payload").cast("long").alias("n_bytes"),
     )
 

@@ -2383,13 +2383,39 @@ def _media_fixture_path() -> str:
 
 _M03_SOF = "('FFC0','FFC1','FFC2','FFC3')"
 
-_M03_SQL = lambda: f"""
+
+def _img_header_sql(path: str) -> str:
+    """Shared m03/m05 image-header twin over ``path``: PNG fixed-offset
+    reads, JPEG recursive segment walk, GIF little-endian u16 dims at
+    fixed offsets, BMP signed little-endian i32 dims gated on an
+    INFOHEADER-family DIB size — TRY_CAST on every hex read so fields
+    past a truncated payload degrade to NULL exactly like the engine's
+    ``conv('')`` (and partial reads zero-pad identically)."""
+
+    def le(p: int, n: int) -> str:
+        parts = " || ".join(
+            f"substr(h, {(p + i) * 2 - 1}, 2)" for i in reversed(range(n))
+        )
+        return f"TRY_CAST('0x' || {parts} AS BIGINT)"
+
+    def s32(e: str) -> str:
+        return (
+            f"CAST(CASE WHEN {e} >= 2147483648 THEN {e} - 4294967296 "
+            f"ELSE {e} END AS INT)"
+        )
+
+    is_png = "substr(h, 1, 16) = '89504E470D0A1A0A'"
+    is_jpeg = "substr(h, 1, 4) = 'FFD8'"
+    is_gif = "substr(h, 1, 12) IN ('474946383761', '474946383961')"
+    is_bmp = "substr(h, 1, 4) = '424D'"
+    bmp_ok = f"{le(15, 4)} IN (40, 108, 124)"
+    return f"""
 WITH RECURSIVE m AS (SELECT media_id, hex(payload) AS h,
                             octet_length(payload) AS n_bytes
-                     FROM read_parquet('{_media_fixture_path()}')),
+                     FROM read_parquet('{path}')),
 walk AS (SELECT media_id, h, 3 AS p, 0 AS step,
                 CAST(NULL AS INT) AS hh, CAST(NULL AS INT) AS ww
-         FROM m WHERE substr(h, 1, 4) = 'FFD8'
+         FROM m WHERE {is_jpeg}
          UNION ALL
          SELECT media_id, h,
                 CASE WHEN substr(h, p*2-1, 4) IN {_M03_SOF} THEN p
@@ -2405,18 +2431,27 @@ walk AS (SELECT media_id, h, 3 AS p, 0 AS step,
                AND substr(h, p*2-1, 4) NOT IN ('FFDA', 'FFD9')),
 jdims AS (SELECT media_id, hh, ww FROM walk WHERE ww IS NOT NULL)
 SELECT m.media_id,
-       CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'png'
-            WHEN substr(h, 1, 4) = 'FFD8' THEN 'jpeg'
+       CASE WHEN {is_png} THEN 'png'
+            WHEN {is_jpeg} THEN 'jpeg'
+            WHEN {is_gif} THEN 'gif'
+            WHEN {is_bmp} THEN 'bmp'
             ELSE 'unknown' END AS fmt,
-       CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+       CASE WHEN {is_png}
             THEN CAST(TRY_CAST('0x' || substr(h, 33, 8) AS BIGINT) AS INT)
-            ELSE j.ww END AS width,
-       CASE WHEN substr(h, 1, 16) = '89504E470D0A1A0A'
+            WHEN {is_jpeg} THEN j.ww
+            WHEN {is_gif} THEN CAST({le(7, 2)} AS INT)
+            WHEN {is_bmp} AND {bmp_ok} THEN {s32(le(19, 4))} END AS width,
+       CASE WHEN {is_png}
             THEN CAST(TRY_CAST('0x' || substr(h, 41, 8) AS BIGINT) AS INT)
-            ELSE j.hh END AS height,
+            WHEN {is_jpeg} THEN j.hh
+            WHEN {is_gif} THEN CAST({le(9, 2)} AS INT)
+            WHEN {is_bmp} AND {bmp_ok} THEN {s32(le(23, 4))} END AS height,
        CAST(n_bytes AS BIGINT) AS n_bytes
 FROM m LEFT JOIN jdims j USING (media_id)
 """
+
+
+_M03_SQL = lambda: _img_header_sql(_media_fixture_path())  # noqa: E731
 
 
 @register("m03_media_header_dims", _M03_SQL)
@@ -2515,6 +2550,34 @@ def m04(spark, sf_dir):
 
     media = spark.read.parquet(_audio_fixture_path().replace("''", "'"))
     return multimodal.audio_header_meta(media)
+
+
+def _legacy_fixture_path() -> str:
+    return _media_fixture_path().replace("media_headers", "legacy_image_headers")
+
+
+@register("m05_legacy_image_dims", lambda: _img_header_sql(_legacy_fixture_path()))
+def m05(spark, sf_dir):
+    # The legacy leg of the real-decode family: GIF 87a/89a (logical
+    # screen descriptor — little-endian u16 dims at fixed bytes 7-10)
+    # and BMP (BITMAPINFOHEADER family — SIGNED little-endian i32 dims
+    # at bytes 19-26, negative height = the spec's top-down flag,
+    # surfaced as-is; BITMAPCOREHEADER reports fmt with NULL dims).
+    # Both are fixed-offset reads, cheaper than m03's walks — the same
+    # scan-local conv/substr arithmetic in whole-stage codegen, zero
+    # Python, zero codec, dispatched by the ONE shared operator
+    # (operators/multimodal.py:media_header_dims), so png/jpeg/gif/bmp
+    # decode in a single projection.  The committed 68-row fixture
+    # varies dims and DIB sizes (40/108/124), pins a top-down BMP,
+    # truncated magic / cut-mid-field reads (NULL vs zero-padded
+    # partial, the TRY_CAST parity), the out-of-contract COREHEADER,
+    # raw junk, and png/jpeg dispatch checks; the twin is the m03 SQL
+    # verbatim over this fixture (one source of truth for the whole
+    # image-header family).
+    from realtimechurnpredictiondataengineering_spark.operators import multimodal
+
+    media = spark.read.parquet(_legacy_fixture_path().replace("''", "'"))
+    return multimodal.media_header_dims(media)
 
 
 # ---------------------------------------------------------------------------
@@ -7227,6 +7290,117 @@ def ll13(spark, sf_dir):
         seg, budget=512, count_col="n_bpe_tokens"
     )
     return packing.sequence_stats(packed)
+
+
+def _ll14_sql() -> str:
+    # The streaming crawl-ingest chain's batch twin, composed from the
+    # same SQL sources of truth as its stages: t29's unrolled training
+    # CTEs (the merge table the segmentation stage serves), t13's full
+    # Gopher gate SQL nested verbatim as a CTE (the t35 nested-WITH
+    # trick), and t30's per-word replay fold.  Streaming == batch here
+    # because every stage is stateless except the watermarked dedup,
+    # and the registry instance's watermark covers the whole feed span
+    # — so the dedup collapses to "one survivor per fingerprint", which
+    # is exactly what DISTINCT over the normalized text expresses.  The
+    # output is keyed by FINGERPRINT, not doc_id: which duplicate
+    # survives is processing-order-dependent, but every output column
+    # derives from the normalized text, which is identical across a
+    # fingerprint group — the value-deterministic projection of a
+    # nondeterministic survivor choice.  Corpus-side NULL fingerprints
+    # are dead keys on both engines (ANTI JOIN equality never matches
+    # NULL; Spark's left_anti likewise), hence the join, never NOT IN.
+    train = _t29_sql()
+    body = train[: train.rindex("SELECT 1 AS merge_rank")].rstrip().rstrip(",")
+    rep = "'  ' || array_to_string(string_split(w, ''), '  ') || '  '"
+    for i in (1, 2, 3):
+        rep = (
+            f"replace({rep}, ' ' || r{i}.a || '  ' || r{i}.b || ' ',"
+            f" ' ' || r{i}.a || r{i}.b || ' ')"
+        )
+    return f"""{body},
+gk AS ({_T13_SQL}),
+ing AS (SELECT d.doc_id, {SQL_NORM} AS n FROM documents d
+        JOIN gk ON gk.doc_id = d.doc_id AND gk.keep
+        WHERE d.doc_id % 10 != 0),
+cfp AS (SELECT DISTINCT md5({SQL_NORM}) AS f FROM documents WHERE doc_id % 10 = 0),
+uniq AS (SELECT DISTINCT md5(i.n) AS fingerprint, i.n
+         FROM ing i ANTI JOIN cfp ON md5(i.n) = cfp.f),
+tb AS (SELECT fingerprint, string_split(n, ' ') AS t FROM uniq),
+tbase AS (SELECT fingerprint, CASE WHEN t[1] = '' THEN 0 ELSE len(t) END AS n_tokens, t FROM tb),
+seg AS (SELECT fingerprint, n_tokens,
+               flatten(list_transform(CASE WHEN n_tokens = 0 THEN CAST([] AS VARCHAR[]) ELSE t END,
+                                      w -> string_split(trim({rep}), '  '))) AS bt
+        FROM tbase, r1, r2, r3)
+SELECT fingerprint, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(len(bt) AS INT) AS n_bpe_tokens,
+       array_to_string(bt, ' ') AS bpe_text
+FROM seg
+"""
+
+
+@register("ll14_streaming_corpus_ingest", _ll14_sql)
+def ll14(spark, sf_dir):
+    # The full streaming crawl-ingest shape as a driver-checked entry
+    # (the ml02/t32/c07 mechanics): a file-stream of the held-out
+    # document split — deterministic synthetic event times, since the
+    # table carries none — runs Gopher gates → corpus-fingerprint
+    # anti-join + watermarked stream dedup → BPE segmentation under the
+    # t29-trained merge table, drains AvailableNow into a checkpointed
+    # parquet sink, and returns the admitted, segmented corpus keyed by
+    # content fingerprint (streaming/pipelines.py:
+    # streaming_corpus_ingest).  The watermark spans the whole feed so
+    # dedup semantics equal the batch DISTINCT the twin expresses; the
+    # fingerprint projection makes the output value-deterministic even
+    # though WHICH duplicate survives is batch-order-dependent.  Runs
+    # the streaming query at call time, so the whole-plan gate
+    # stage-asserts it instead (tests/test_plan_invariants.py): the
+    # gate stage is t13's scan-local projection, the segmentation stage
+    # is t30's (test_t30_segment_stage_plan_shape), and dedup state
+    # stays bounded by the watermark horizon.
+    import atexit
+    import shutil
+    import tempfile
+
+    from realtimechurnpredictiondataengineering_spark.functions.text import fingerprint_md5
+    from realtimechurnpredictiondataengineering_spark.operators import bpe
+    from realtimechurnpredictiondataengineering_spark.sources.sinks import delta_stream_sink
+    from realtimechurnpredictiondataengineering_spark.streaming.pipelines import (
+        streaming_corpus_ingest,
+    )
+
+    d = _td(spark, sf_dir)
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    corpus_fps = d.filter(F.col("doc_id") % 10 == 0).select(
+        fingerprint_md5("text").alias("fingerprint")
+    )
+    merges = bpe.bpe_train(train, n_merges=3)
+
+    base = tempfile.mkdtemp(prefix="ll14_ingest_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    feed = f"{base}/feed"
+    feed_df = train.select(
+        "doc_id",
+        "text",
+        # 2024-01-01T00:00:00Z + doc_id seconds: deterministic, unique
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+    )
+    feed_df.write.parquet(feed)
+    stream = spark.readStream.schema(feed_df.schema).parquet(feed)
+    admitted = streaming_corpus_ingest(
+        stream,
+        corpus_fps,
+        watermark="3650 days",  # covers the whole feed span → full dedup
+        segmentation_merges=merges,
+    )
+    out = admitted.select(
+        fingerprint_md5("text").alias("fingerprint"),
+        "n_tokens",
+        "n_bpe_tokens",
+        "bpe_text",
+    )
+    q = delta_stream_sink(out, f"{base}/out", f"{base}/ck")
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
 
 
 @register("t24_stupid_backoff", _T24_SQL)

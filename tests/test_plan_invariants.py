@@ -64,6 +64,13 @@ STAGE_ASSERTED_EXECUTES_ON_BUILD = {
     # the whole-plan fixture via t31); every stage that shuffles is
     # ll06's, covered by test_ll06_post_cc_plan_shape + the CC gate.
     "ll12_dclm_ranked_select",
+    # ll14 runs an AvailableNow streaming query at call time (the
+    # t32/c07 shape); its stages are t13's scan-local gate projection
+    # (whole-plan fixture via t13's operator), the broadcast
+    # fingerprint anti-join + watermarked dedup (bounded-state tests in
+    # tests/test_streaming.py), and t30's segmentation stage
+    # (test_t30_segment_stage_plan_shape).
+    "ll14_streaming_corpus_ingest",
 }
 
 # BNLJ builds that are bounded by DOMAIN, not by plan structure — the

@@ -116,3 +116,76 @@ def test_ivf_pq_topk_frame_matches_literal_variant(spark):
         map(tuple, ivf_pq_topk_frame(vecs, qs, cdf, books, k=4, nprobe=2).collect())
     )
     assert framed == lit and len(framed) == 8
+
+
+# --- GIF/BMP header decode (m05) ---------------------------------------------
+
+
+def test_media_header_dims_decodes_gif_and_bmp(spark):
+    # fixed-offset legacy formats through the shared dispatch: GIF LE
+    # u16 dims, BMP signed LE i32 dims (negative = top-down, surfaced
+    # as-is), COREHEADER out of contract, truncation → NULL dims
+    from tools.gen_media_fixture import bmp_bytes, gif_bytes, png_bytes
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        media_header_dims,
+    )
+
+    rows = [
+        (1, gif_bytes(640, 480, v89=True, pad=3)),
+        (2, gif_bytes(13, 7, v89=False, pad=0)),
+        (3, bmp_bytes(1920, 1080)),
+        (4, bmp_bytes(640, -480)),            # top-down
+        (5, bmp_bytes(33, 22, dib_size=108)),  # BITMAPV4
+        (6, b"GIF89a"),                        # magic only
+        (7, b"BM"),                            # header only
+        (8, bmp_bytes(100, 50)[:20]),          # cut mid-width
+        (9, png_bytes(10, 20, pad=4)),         # dispatch still works
+        (10, b"nope"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (r["fmt"], r["width"], r["height"])
+        for r in media_header_dims(df).collect()
+    }
+    assert got[1] == ("gif", 640, 480)
+    assert got[2] == ("gif", 13, 7)
+    assert got[3] == ("bmp", 1920, 1080)
+    assert got[4] == ("bmp", 640, -480)
+    assert got[5] == ("bmp", 33, 22)
+    assert got[6] == ("gif", None, None)
+    assert got[7] == ("bmp", None, None)
+    # cut mid-width: the DIB size field (40) is fully readable, width's
+    # missing high bytes zero-pad — 100 survives, height reads NULL
+    assert got[8] == ("bmp", 100, None)
+    assert got[9] == ("png", 10, 20)
+    assert got[10] == ("unknown", None, None)
+
+
+def test_gif_bmp_roundtrip_random_dims(spark):
+    # property-style sweep: encode → header-decode recovers the exact
+    # dims across the u16 range (GIF) and signed i32 edges (BMP)
+    from tools.gen_media_fixture import bmp_bytes, gif_bytes
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        media_header_dims,
+    )
+
+    cases = []
+    mid = 0
+    for w, h in [(1, 1), (65535, 65535), (256, 255), (300, 4097)]:
+        cases.append((mid, gif_bytes(w, h, v89=mid % 2 == 0, pad=mid), "gif", w, h))
+        mid += 1
+    for w, h in [(1, 1), (2**31 - 1, 1), (1, -(2**31)), (1234567, -7654321)]:
+        for dib in (40, 108, 124):
+            cases.append((mid, bmp_bytes(w, h, dib_size=dib), "bmp", w, h))
+            mid += 1
+    df = spark.createDataFrame(
+        [(m, p) for m, p, _, _, _ in cases], "media_id long, payload binary"
+    )
+    got = {
+        r["media_id"]: (r["fmt"], r["width"], r["height"])
+        for r in media_header_dims(df).collect()
+    }
+    for m, _, fmt, w, h in cases:
+        assert got[m] == (fmt, w, h), (m, got[m])

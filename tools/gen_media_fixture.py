@@ -103,6 +103,64 @@ def jpeg_with_decoy(width: int, height: int, dw: int, dh: int) -> bytes:
 AUDIO_OUT = OUT.replace("media_headers.parquet", "audio_headers.parquet")
 N_AUDIO = 50
 
+LEGACY_OUT = OUT.replace("media_headers.parquet", "legacy_image_headers.parquet")
+N_LEGACY = 60
+
+
+def gif_bytes(width: int, height: int, v89: bool, pad: int) -> bytes:
+    """Minimal structurally-valid GIF: magic, logical screen descriptor
+    (little-endian u16 dims at fixed bytes 7-8/9-10), a global color
+    table stub, trailer.  Deterministic filler."""
+    magic = b"GIF89a" if v89 else b"GIF87a"
+    lsd = struct.pack("<HH", width, height) + bytes([0x80, 0, 0])
+    gct = bytes((i * 29 + pad) % 251 for i in range(6))
+    return magic + lsd + gct + b"\x3b"
+
+
+def bmp_bytes(width: int, height: int, dib_size: int = 40, pad: int = 7) -> bytes:
+    """Minimal structurally-valid BMP: 'BM' file header, then a DIB
+    header of the INFOHEADER family (signed little-endian i32 dims at
+    fixed bytes 19-22/23-26; a NEGATIVE height is the spec's top-down
+    flag).  Pixel data is deterministic filler."""
+    dib = struct.pack("<IiiHH", dib_size, width, height, 1, 24)
+    dib += b"\x00" * (dib_size - len(dib))
+    pixels = bytes((i * 41 + pad) % 251 for i in range(12))
+    hdr = b"BM" + struct.pack("<IHHI", 14 + dib_size + len(pixels), 0, 0, 14 + dib_size)
+    return hdr + dib + pixels
+
+
+def build_legacy_rows() -> list[tuple[int, bytes, str]]:
+    """GIF/BMP fixture (m05): the fixed-offset legacy formats plus the
+    edges — truncated magic, cut-mid-field reads, a top-down (negative
+    height) BMP, V4/V5 DIB headers, the out-of-contract
+    BITMAPCOREHEADER, and dispatch checks (a PNG, a JPEG, raw junk)."""
+    rows: list[tuple[int, bytes, str]] = []
+    for i in range(N_LEGACY):
+        mid = 2000 + i
+        if i % 12 == 11:
+            rows.append((mid, f"not-an-image-{i}".encode("ascii") * 2, "raw"))
+        elif i % 2 == 0:
+            w, h = 8 + (i * 7) % 900, 8 + (i * 13) % 700
+            rows.append((mid, gif_bytes(w, h, v89=(i % 4 == 0), pad=i), "gif"))
+        else:
+            w, h = 8 + (i * 11) % 1200, 8 + (i * 5) % 800
+            dib = (40, 108, 124)[i % 3]
+            rows.append((mid, bmp_bytes(w, h, dib_size=dib, pad=i), "bmp"))
+    edge = 2000 + N_LEGACY
+    rows += [
+        (edge, bmp_bytes(640, -480), "bmp"),          # top-down: height < 0
+        (edge + 1, b"GIF89a", "gif"),                 # magic only → NULL dims
+        (edge + 2, gif_bytes(300, 200, True, 0)[:8], "gif"),   # cut mid-width
+        (edge + 3, b"BM", "bmp"),                     # header only → NULL dims
+        (edge + 4, bmp_bytes(100, 50)[:20], "bmp"),   # cut mid-width field
+        # BITMAPCOREHEADER (dib size 12): fmt 'bmp', dims out of contract
+        (edge + 5, b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+         + struct.pack("<IHHHH", 12, 100, 50, 1, 24), "bmp"),
+        (edge + 6, png_bytes(77, 33, pad=9), "png"),  # dispatch check
+        (edge + 7, jpeg_bytes(66, 44, "legacy-mix"), "jpeg"),
+    ]
+    return rows
+
 
 def wav_bytes(
     n_channels: int,
@@ -267,6 +325,7 @@ def _write(rows: list[tuple[int, bytes, str]], kind: str, out: str) -> None:
 def main() -> None:
     _write(build_rows(), "image", OUT)
     _write(build_audio_rows(), "audio", AUDIO_OUT)
+    _write(build_legacy_rows(), "image", LEGACY_OUT)
 
 
 if __name__ == "__main__":
