@@ -172,6 +172,11 @@ HEADLINE = (
     "v22_trained_ivf_topk",
     "m04_audio_header_meta",
     "v24_semantic_contamination",
+    # round-12 additions (baseline rows = their first green min-of-2,
+    # see BASELINE.md round-12 subsection)
+    "v25_trained_ivf_pq",
+    "ll14_streaming_corpus_ingest",
+    "m05_legacy_image_dims",
 )
 
 
