@@ -177,6 +177,7 @@ HEADLINE = (
     "v25_trained_ivf_pq",
     "ll14_streaming_corpus_ingest",
     "m05_legacy_image_dims",
+    "v26_trained_ivf_pq_rescore",
 )
 
 

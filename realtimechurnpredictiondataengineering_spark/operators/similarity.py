@@ -760,6 +760,47 @@ def ivf_pq_rescore_topk(
     return topk_reduce(rescored, query_id_col, id_col, "dot", k)
 
 
+def ivf_pq_rescore_topk_frame(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids_df: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    rescore_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """``ivf_pq_rescore_topk`` with the coarse quantizer as a TRAINED
+    centroid frame — the complete production retrieval stack (index +
+    refine) under the quantizer the cluster just trained: the
+    frame-based IVF-PQ generator selects ``k·rescore_factor``
+    candidates, then the float vectors exact-rescore only that tiny
+    pool via the same broadcast joins as the literal variant.  Floats
+    are read for candidates only; everything scale-relevant (coarse
+    pruning, m-byte codes, keyless-aggregate centroid broadcast) is
+    inherited from ``ivf_pq_topk_frame``.
+    Returns (query_id, rank, vec_id, dot) — exact inner products."""
+    cand = ivf_pq_topk_frame(
+        corpus, queries, centroids_df, codebooks,
+        k=k * rescore_factor, nprobe=nprobe,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+    ).select(query_id_col, id_col)
+    rescored = (
+        corpus.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(queries.select(query_id_col, query_vec_col)), query_id_col)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            dot(F.col(vec_col), F.col(query_vec_col)).alias("dot"),
+        )
+    )
+    return topk_reduce(rescored, query_id_col, id_col, "dot", k)
+
+
 def _int8_cosine(a, b, norm_a, norm_b):
     """Cosine over two int8 arrays with precomputed norms: one zip_with
     fold in long arithmetic (dim·127² ≪ 2⁶³), zero-norm guarded."""

@@ -189,3 +189,48 @@ def test_gif_bmp_roundtrip_random_dims(spark):
     }
     for m, _, fmt, w, h in cases:
         assert got[m] == (fmt, w, h), (m, got[m])
+
+
+def test_ivf_pq_rescore_frame_matches_literal_variant(spark):
+    # the index+refine stack under a trained frame: same centroids and
+    # codebooks → identical rows to the literal rescore variant
+    from pyspark.sql import functions as F
+
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        ivf_pq_rescore_topk,
+        ivf_pq_rescore_topk_frame,
+        train_ivf_pq,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [1.0 * ((i * 3) % 5), 0.5 * ((i + 2) % 4), 0.25 * (i % 3), 0.1 * i])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    sample = [r["embedding"] for r in vecs.collect()]
+    cents, books = train_ivf_pq(sample, nlist=4, m=2, ksub=4)
+    qs = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lit = sorted(
+        map(
+            tuple,
+            ivf_pq_rescore_topk(
+                vecs, qs, cents, books, k=3, nprobe=2, rescore_factor=3
+            ).collect(),
+        )
+    )
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cluster int, centroid array<double>"
+    )
+    framed = sorted(
+        map(
+            tuple,
+            ivf_pq_rescore_topk_frame(
+                vecs, qs, cdf, books, k=3, nprobe=2, rescore_factor=3
+            ).collect(),
+        )
+    )
+    assert framed == lit and len(framed) == 6
