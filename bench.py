@@ -178,6 +178,8 @@ HEADLINE = (
     "ll14_streaming_corpus_ingest",
     "m05_legacy_image_dims",
     "v26_trained_ivf_pq_rescore",
+    "m06_mp3_header_meta",
+    "m07_mp4_header_meta",
 )
 
 

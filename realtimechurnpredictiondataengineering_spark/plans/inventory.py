@@ -2632,6 +2632,224 @@ def m05(spark, sf_dir):
     return multimodal.media_header_dims(media)
 
 
+def _mp3_fixture_path() -> str:
+    return _media_fixture_path().replace("media_headers", "mp3_headers")
+
+
+def _m06_sql() -> str:
+    """MP3 twin: the identical ID3v2 syncsafe skip, first-frame field
+    decode (integer div/mod bit extraction), and bounded frame walk as
+    a recursive CTE — TRY_CAST reads so truncation degrades to NULL
+    like the engine's ``conv('')``."""
+
+    def u8(p: str) -> str:
+        return f"TRY_CAST('0x' || substr(h, ({p})*2 - 1, 2) AS BIGINT)"
+
+    brs = "[" + ", ".join(str(b) for b in (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)) + "]"
+    srs = "[44100, 48000, 32000]"
+
+    def fields(p: str, pre: str) -> str:
+        # emits SELECT-list fragments {pre}valid/{pre}br/{pre}sr/{pre}flen
+        v1, v2 = u8(f"{p} + 1"), u8(f"{p} + 2")
+        return f"""
+  ({p})*2 + 7 <= length(h) AND substr(h, ({p})*2 - 1, 2) = 'FF'
+    AND {v1} >= 224 AND ({v1} // 8) % 4 = 3 AND ({v1} // 2) % 4 = 1
+    AND ({v2} // 16) BETWEEN 1 AND 14 AND (({v2} // 4) % 4) BETWEEN 0 AND 2 AS {pre}valid,
+  {brs}[CAST({v2} // 16 AS INT)] AS {pre}br,
+  {srs}[CAST(({v2} // 4) % 4 + 1 AS INT)] AS {pre}sr,
+  CAST(floor(144000 * {brs}[CAST({v2} // 16 AS INT)]
+             / {srs}[CAST(({v2} // 4) % 4 + 1 AS INT)]) AS BIGINT)
+    + ({v2} // 2) % 2 AS {pre}flen"""
+
+    v3 = u8("s + 3")
+    return f"""
+WITH RECURSIVE m AS (SELECT media_id, hex(payload) AS h,
+                            octet_length(payload) AS n_bytes
+                     FROM read_parquet('{_mp3_fixture_path()}')),
+base AS (SELECT media_id, h, n_bytes,
+                CASE WHEN substr(h, 1, 6) = '494433'
+                     THEN 11 + {u8('7')}*2097152 + {u8('8')}*16384
+                            + {u8('9')}*128 + {u8('10')}
+                     ELSE CAST(1 AS BIGINT) END AS s
+         FROM m),
+f AS (SELECT media_id, h, n_bytes, s, {fields('s', 'f')},
+  CASE WHEN {v3} // 64 = 3 THEN 1 ELSE 2 END AS fch,
+  s*2 + 3 <= length(h) AND substr(h, s*2 - 1, 2) = 'FF'
+    AND {u8('s + 1')} >= 224 AS fsync
+      FROM base),
+walk AS (SELECT media_id, h, n_bytes, s AS p, CAST(0 AS BIGINT) AS frames,
+                0 AS step, FALSE AS done
+         FROM f
+         UNION ALL
+         SELECT media_id, h, n_bytes,
+                CASE WHEN wvalid THEN p + wflen ELSE p END,
+                CASE WHEN wvalid THEN frames + 1 ELSE frames END,
+                step + 1,
+                NOT coalesce(wvalid, FALSE)
+         FROM (SELECT w.*, {fields('w.p', 'w')}
+               FROM walk w WHERE NOT w.done AND w.step < 24) ),
+last AS (SELECT media_id, p, frames, done FROM (
+           SELECT *, row_number() OVER (PARTITION BY media_id
+                                        ORDER BY step DESC) AS rn
+           FROM walk) WHERE rn = 1)
+SELECT f.media_id,
+       CASE WHEN substr(h, 1, 6) = '494433' OR f.fsync
+            THEN 'mp3' ELSE 'unknown' END AS fmt,
+       CAST(CASE WHEN f.fvalid THEN f.fbr END AS INT) AS bitrate_kbps,
+       CAST(CASE WHEN f.fvalid THEN f.fsr END AS INT) AS sample_rate,
+       CAST(CASE WHEN f.fvalid THEN f.fch END AS INT) AS n_channels,
+       CAST(CASE WHEN f.fvalid AND (l.done OR l.p > n_bytes)
+                 THEN l.frames END AS BIGINT) AS n_frames,
+       CAST(CASE WHEN f.fvalid AND (l.done OR l.p > n_bytes)
+                 THEN floor(l.frames * 1152000 / f.fsr) END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN f.fvalid
+                 THEN floor((n_bytes - s + 1) * 8 / f.fbr) END AS BIGINT) AS est_duration_ms,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM f LEFT JOIN last l USING (media_id)
+"""
+
+
+@register("m06_mp3_header_meta", _m06_sql)
+def m06(spark, sf_dir):
+    # The MPEG leg of the real-decode family: ID3v2 skipped by its
+    # SYNCSAFE size (0xFF decoy bytes inside the tag are provably never
+    # read — the skip is size-based, decoy-pinned), the first MPEG-1
+    # Layer III frame header decoded by integer div/mod bit extraction
+    # (bitrate/sample-rate table lookups as literal arrays), then a
+    # bounded frame WALK — header → computed frame length → next —
+    # counting frames exactly for short clips (padding-bit length
+    # variation genuinely exercised) and reporting NULL when the chain
+    # outlives the budget; est_duration_ms (CBR bytes×8/bitrate) is the
+    # scan-local estimate a production probe uses for full songs.  All
+    # scan-local hex arithmetic in whole-stage codegen, zero
+    # Python/codec (operators/multimodal.py:mp3_header_meta); the twin
+    # replays the identical skip/decode/walk as a recursive CTE.
+    from realtimechurnpredictiondataengineering_spark.operators import multimodal
+
+    media = spark.read.parquet(_mp3_fixture_path().replace("''", "'"))
+    return multimodal.mp3_header_meta(media)
+
+
+def _mp4_fixture_path() -> str:
+    return _media_fixture_path().replace("media_headers", "mp4_headers")
+
+
+def _m07_sql() -> str:
+    """MP4 twin: the identical nested box walks as two recursive CTEs
+    (top-level chain → moov; moov children → mvhd fields + trak count),
+    TRY_CAST hex reads throughout so truncation degrades to NULL like
+    the engine's ``conv('')``."""
+
+    def u8(p: str) -> str:
+        return f"TRY_CAST('0x' || substr(h, ({p})*2 - 1, 2) AS BIGINT)"
+
+    def u32(p: str) -> str:
+        return f"TRY_CAST('0x' || substr(h, ({p})*2 - 1, 8) AS BIGINT)"
+
+    def u64(p: str) -> str:
+        return f"TRY_CAST('0x' || substr(h, ({p})*2 - 1, 16) AS BIGINT)"
+
+    top_types = "('66747970','6D6F6F76','6D646174','66726565','736B6970','77696465','7064696E')"
+    return f"""
+WITH RECURSIVE m AS (SELECT media_id, hex(payload) AS h,
+                            octet_length(payload) AS n_bytes
+                     FROM read_parquet('{_mp4_fixture_path()}')),
+topw AS (SELECT media_id, h, n_bytes, CAST(1 AS BIGINT) AS p,
+                CAST(NULL AS BIGINT) AS ms, CAST(NULL AS BIGINT) AS me,
+                FALSE AS done, 0 AS step
+         FROM m
+         UNION ALL
+         SELECT media_id, h, n_bytes,
+                CASE WHEN found OR bad THEN p ELSE p + eff END,
+                CASE WHEN found THEN p + hdr ELSE ms END,
+                CASE WHEN found THEN p + eff - 1 ELSE me END,
+                found OR bad, step + 1
+         FROM (SELECT w.*,
+                      w.readable AND w.typ = '6D6F6F76' AS found,
+                      NOT w.readable OR w.eff IS NULL OR w.eff < w.hdr AS bad
+               FROM (SELECT w0.*,
+                            w0.p*2 + 15 <= length(h) AS readable,
+                            substr(h, (w0.p+4)*2 - 1, 8) AS typ,
+                            CASE WHEN {u32('w0.p')} = 1 THEN 16 ELSE 8 END AS hdr,
+                            CASE WHEN {u32('w0.p')} = 1 THEN {u64('w0.p + 8')}
+                                 WHEN {u32('w0.p')} = 0 THEN n_bytes - w0.p + 1
+                                 ELSE {u32('w0.p')} END AS eff
+                     FROM topw w0
+                     WHERE NOT w0.done AND w0.step < 16) w)),
+moovrow AS (SELECT media_id, ms, me FROM (
+              SELECT *, row_number() OVER (PARTITION BY media_id
+                                           ORDER BY step DESC) AS rn
+              FROM topw) WHERE rn = 1),
+cw AS (SELECT t.media_id, m.h, m.n_bytes, t.me, t.ms AS q,
+              CAST(NULL AS BIGINT) AS ts, CAST(NULL AS BIGINT) AS dur,
+              CAST(0 AS BIGINT) AS ntrak, FALSE AS done, 0 AS step
+       FROM moovrow t JOIN m USING (media_id)
+       WHERE t.ms IS NOT NULL
+       UNION ALL
+       SELECT media_id, h, n_bytes, me,
+              CASE WHEN bad THEN q ELSE q + eff END,
+              CASE WHEN NOT bad AND typ = '6D766864' THEN nts ELSE ts END,
+              CASE WHEN NOT bad AND typ = '6D766864' THEN ndur ELSE dur END,
+              ntrak + CASE WHEN NOT bad AND typ = '7472616B' THEN 1 ELSE 0 END,
+              bad, step + 1
+       FROM (SELECT w.*,
+                    NOT w.readable OR w.eff IS NULL OR w.eff < w.hdr AS bad,
+                    CASE WHEN {u8('w.q + 8')} = 1 THEN {u32('w.q + 28')}
+                         ELSE {u32('w.q + 20')} END AS nts,
+                    CASE WHEN {u8('w.q + 8')} = 1 THEN {u64('w.q + 32')}
+                         ELSE {u32('w.q + 24')} END AS ndur
+             FROM (SELECT w0.*,
+                          (w0.q + 7 <= w0.me) AND (w0.q*2 + 15 <= length(h)) AS readable,
+                          substr(h, (w0.q+4)*2 - 1, 8) AS typ,
+                          CASE WHEN {u32('w0.q')} = 1 THEN 16 ELSE 8 END AS hdr,
+                          CASE WHEN {u32('w0.q')} = 1 THEN {u64('w0.q + 8')}
+                               WHEN {u32('w0.q')} = 0 THEN n_bytes - w0.q + 1
+                               ELSE {u32('w0.q')} END AS eff
+                   FROM cw w0
+                   WHERE NOT w0.done AND w0.step < 16) w)),
+childrow AS (SELECT media_id, q, ts, dur, ntrak, done FROM (
+               SELECT *, row_number() OVER (PARTITION BY media_id
+                                            ORDER BY step DESC) AS rn
+               FROM cw) WHERE rn = 1)
+SELECT m.media_id,
+       CASE WHEN length(h) >= 16 AND substr(h, 9, 8) IN {top_types}
+            THEN 'mp4' ELSE 'unknown' END AS fmt,
+       CASE WHEN length(h) >= 16 AND substr(h, 9, 8) IN {top_types}
+                 AND substr(h, 9, 8) = '66747970'
+            THEN decode(from_hex(substr(h, 17, 8))) END AS major_brand,
+       CAST(CASE WHEN mv.ms IS NOT NULL AND (c.done OR c.q > mv.me)
+                 THEN c.ts END AS INT) AS timescale,
+       CAST(CASE WHEN mv.ms IS NOT NULL AND (c.done OR c.q > mv.me)
+                 THEN floor(c.dur * 1000 / c.ts) END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN mv.ms IS NOT NULL AND (c.done OR c.q > mv.me)
+                 THEN c.ntrak END AS INT) AS n_tracks,
+       CAST(n_bytes AS BIGINT) AS n_bytes
+FROM m LEFT JOIN moovrow mv USING (media_id)
+       LEFT JOIN childrow c USING (media_id)
+"""
+
+
+@register("m07_mp4_header_meta", _m07_sql)
+def m07(spark, sf_dir):
+    # The video leg completes the real-decode triad (image m03/m05,
+    # audio m04/m06, video m07) and introduces the family's first
+    # NESTED walk: ISO-BMFF boxes are [u32 size][4cc][payload], so the
+    # parser walks the top-level chain to moov — handling the spec's
+    # size==1 64-bit extension and size==0 to-EOF forms — then walks
+    # moov's children for mvhd (timescale/duration at version-dependent
+    # offsets: v0 u32 times, v1 u64) and counts trak boxes.  Box-
+    # aligned jumps make 'moov'/'mvhd' bytes planted inside mdat
+    # payloads invisible (decoy-pinned); both walks are budgeted and a
+    # header hiding deeper reports NULLs (fixture-pinned with 20 free
+    # boxes before moov).  Zero Python, zero codec; the twin replays
+    # both walks as recursive CTEs (operators/multimodal.py:
+    # mp4_header_meta).
+    from realtimechurnpredictiondataengineering_spark.operators import multimodal
+
+    media = spark.read.parquet(_mp4_fixture_path().replace("''", "'"))
+    return multimodal.mp4_header_meta(media)
+
+
 # ---------------------------------------------------------------------------
 # Percentiles, skew-safe aggregation, extended window surface
 # ---------------------------------------------------------------------------
@@ -8251,7 +8469,8 @@ def w09(spark, sf_dir):
 # harness-green in the independent 226/226 re-runs each round, but the
 # driver's DuckDB gate is the hard signal); 3 are this round's new
 # entries (v25 trained IVF-PQ, ll14 streaming crawl-ingest, m05 GIF/BMP
-# header decode) and the fourth is v26, the trained-quantizer
+# header decode, m06 MP3 frame decode, m07 MP4 box walk) plus v26,
+# the trained-quantizer
 # index+refine stack added later in the round (q00 stays out: entry()
 # smoke-runs the flagship every round, and it was driver-green in all
 # of rounds 2-11).  The two
@@ -8270,6 +8489,8 @@ PRIORITY: tuple[str, ...] = (
     "v25_trained_ivf_pq",
     "ll14_streaming_corpus_ingest",
     "m05_legacy_image_dims",
+    "m06_mp3_header_meta",
+    "m07_mp4_header_meta",
     "f01_topic_demux",
     "h02_min_cost_supplier",
     "h04_order_priority_check",
@@ -8296,14 +8517,12 @@ PRIORITY: tuple[str, ...] = (
     "w07_distribution_ranks",
     "p07_current_timestamp",
     "p16_string_functions",
-    "p17_conditionals",
     "p18_date_functions",
     "p19_collections",
     "p20_malformed_json",
     "p21_variant_shred",
     "s04_sort_nulls_limit",
     "s05_train_test_split",
-    "t06_length_histogram",
     "st05_tumbling_window",
     "st06_sliding_window",
     "st07_session_window",

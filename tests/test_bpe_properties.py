@@ -233,3 +233,106 @@ def test_sequential_merge_equals_one_shot_on_random_logs(spark, changes, cuts):
         state = cdc.merge_frames(state, batch, ["id"], ["seq"]).localCheckpoint()
     sequential = {(r["id"], r["val"]) for r in state.collect()}
     assert sequential == one_shot
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    frames=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=14),  # bitrate index
+            st.integers(min_value=0, max_value=2),   # sample-rate index
+            st.integers(min_value=0, max_value=1),   # padding bit
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    id3_pad=st.integers(min_value=0, max_value=200),
+    plant_decoy=st.booleans(),
+    trailing=st.sampled_from([b"", b"TAG" + bytes(30), b"\x00\x01"]),
+)
+def test_mp3_walk_matches_ground_truth_on_random_layouts(
+    spark, frames, id3_pad, plant_decoy, trailing
+):
+    # random per-frame (bitrate, rate, padding) chains behind a random
+    # ID3v2 tag (optionally carrying planted 0xFF sync bytes): the walk
+    # must count exactly len(frames) — frame lengths derive from each
+    # frame's OWN header, the tag skip is size-based, and trailing junk
+    # ends the walk cleanly
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.gen_media_fixture import MP3_BITRATES, MP3_RATES, mp3_frame
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        mp3_header_meta,
+    )
+
+    out = b""
+    if id3_pad:
+        body = (b"\xff\xfb\x90" if plant_decoy else b"pad") * (id3_pad // 3 + 1)
+        body = body[:id3_pad]
+        sz = len(body)
+        out += b"ID3" + bytes([4, 0, 0]) + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        ) + body
+    for bi, sri, pad in frames:
+        out += mp3_frame(bi, sri, pad)
+    out += trailing
+    df = spark.createDataFrame([(1, out)], "media_id long, payload binary")
+    r = mp3_header_meta(df).collect()[0]
+    bi0, sri0, _ = frames[0]
+    assert (r["fmt"], r["bitrate_kbps"], r["sample_rate"]) == (
+        "mp3",
+        MP3_BITRATES[bi0 - 1],
+        MP3_RATES[sri0],
+    )
+    assert r["n_frames"] == len(frames)
+    assert r["duration_ms"] == len(frames) * 1152000 // MP3_RATES[sri0]
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    timescale=st.sampled_from([600, 1000, 90000, 44100]),
+    duration=st.integers(min_value=0, max_value=10**9),
+    n_traks=st.integers(min_value=0, max_value=5),
+    pre_boxes=st.integers(min_value=0, max_value=6),
+    v1=st.booleans(),
+    extended_mdat=st.booleans(),
+    decoy=st.booleans(),
+    size0=st.booleans(),
+)
+def test_mp4_walk_matches_ground_truth_on_random_layouts(
+    spark, timescale, duration, n_traks, pre_boxes, v1, extended_mdat, decoy, size0
+):
+    # random box layouts (free padding before moov, 64-bit mdat before
+    # it, v0/v1 mvhd, trailing size-0 box, planted decoys): the nested
+    # walk must recover the planted timescale/duration/trak count
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.gen_media_fixture import mp4_bytes
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        mp4_header_meta,
+    )
+
+    payload = mp4_bytes(
+        timescale, duration, n_traks=n_traks, pre_boxes=pre_boxes, v1=v1,
+        extended_mdat=extended_mdat, decoy=decoy, mdat_last_size0=size0,
+    )
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    r = mp4_header_meta(df).collect()[0]
+    assert (r["fmt"], r["major_brand"], r["timescale"], r["n_tracks"]) == (
+        "mp4", "isom", timescale, n_traks,
+    )
+    assert r["duration_ms"] == duration * 1000 // timescale

@@ -234,3 +234,93 @@ def test_ivf_pq_rescore_frame_matches_literal_variant(spark):
         )
     )
     assert framed == lit and len(framed) == 6
+
+
+# --- MP3 header decode (m06) --------------------------------------------------
+
+
+def test_mp3_header_meta_values(spark):
+    from tools.gen_media_fixture import mp3_bytes
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        mp3_header_meta,
+    )
+
+    rows = [
+        (1, mp3_bytes(5, 0, 3)),                      # 64 kbps, 44100, 3 frames
+        (2, mp3_bytes(14, 1, 2, id3_pad=40, decoy=True)),  # decoys inside ID3
+        (3, mp3_bytes(1, 2, 4, pad_alternates=True, mode=3)),  # mono, varying pad
+        (4, mp3_bytes(5, 0, 30)),                     # walk budget exceeded
+        (5, mp3_bytes(5, 0, 24)),                     # exactly at budget
+        (6, mp3_bytes(3, 0, 2, tag_v1=True)),         # trailing ID3v1 'TAG'
+        (7, bytes([0xFF, 0xF3, 0x52, 0]) + bytes(50)),  # MPEG-2: fields NULL
+        (8, b"not-audio"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in mp3_header_meta(df).collect()}
+
+    assert (got[1]["fmt"], got[1]["bitrate_kbps"], got[1]["sample_rate"]) == (
+        "mp3", 64, 44100,
+    )
+    assert got[1]["n_frames"] == 3
+    assert got[1]["duration_ms"] == 3 * 1152000 // 44100
+    # the size-based ID3 skip never reads the planted 0xFF sync bytes
+    assert (got[2]["bitrate_kbps"], got[2]["sample_rate"], got[2]["n_frames"]) == (
+        320, 48000, 2,
+    )
+    assert (got[3]["n_channels"], got[3]["n_frames"]) == (1, 4)
+    # mid-chain at the budget → count unknown; CBR estimate still real
+    assert got[4]["n_frames"] is None and got[4]["duration_ms"] is None
+    assert got[4]["est_duration_ms"] is not None
+    # chain consuming the payload EXACTLY at the budget is a clean end
+    assert got[5]["n_frames"] == 24
+    assert got[6]["n_frames"] == 2  # walk stops cleanly on the TAG block
+    assert got[7]["fmt"] == "mp3" and got[7]["bitrate_kbps"] is None
+    assert got[8]["fmt"] == "unknown" and got[8]["n_frames"] is None
+
+
+# --- MP4 header decode (m07) --------------------------------------------------
+
+
+def test_mp4_header_meta_values(spark):
+    import struct
+
+    from tools.gen_media_fixture import _box, mp4_bytes
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        mp4_header_meta,
+    )
+
+    rows = [
+        (1, mp4_bytes(600, 1200, n_traks=2)),
+        (2, mp4_bytes(90000, 123456, n_traks=3, v1=True, pre_boxes=2)),
+        (3, mp4_bytes(1000, 5000, decoy=True, extended_mdat=True)),
+        (4, mp4_bytes(1000, 5000, mdat_last_size0=True, brand=b"qt  ")),
+        (5, b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"),  # ftyp only
+        (6, mp4_bytes(600, 1200)[:30]),                    # cut mid-moov hunt
+        (7, mp4_bytes(600, 1200)[: 24 + 8 + 8 + 10]),      # cut mid-mvhd fields
+        (8,
+         _box(b"ftyp", b"isom" + struct.pack(">I", 0))
+         + b"".join(_box(b"free", b"xx") for _ in range(20))
+         + mp4_bytes(600, 1200)[24:]),                     # budget exhausted
+        (9, b"definitely-not-a-video"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r.asDict() for r in mp4_header_meta(df).collect()}
+    assert (got[1]["fmt"], got[1]["major_brand"], got[1]["timescale"]) == (
+        "mp4", "isom", 600,
+    )
+    assert (got[1]["duration_ms"], got[1]["n_tracks"]) == (2000, 2)
+    # mvhd VERSION 1 packs u64 times — different field offsets
+    assert (got[2]["timescale"], got[2]["duration_ms"], got[2]["n_tracks"]) == (
+        90000, 123456 * 1000 // 90000, 3,
+    )
+    # planted 'moov'/'mvhd' inside an EXTENDED-size mdat: box-aligned
+    # jumps (incl. the 64-bit size read) never see the decoy
+    assert (got[3]["timescale"], got[3]["duration_ms"]) == (1000, 5000)
+    assert (got[4]["major_brand"], got[4]["duration_ms"]) == ("qt  ", 5000)
+    assert got[5]["fmt"] == "mp4" and got[5]["timescale"] is None
+    assert got[6]["timescale"] is None
+    assert got[7]["timescale"] is None and got[7]["n_tracks"] == 0
+    assert got[8]["fmt"] == "mp4" and got[8]["n_tracks"] is None  # budget
+    assert got[9]["fmt"] == "unknown" and got[9]["major_brand"] is None

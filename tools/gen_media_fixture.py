@@ -129,6 +129,203 @@ def bmp_bytes(width: int, height: int, dib_size: int = 40, pad: int = 7) -> byte
     return hdr + dib + pixels
 
 
+MP3_OUT = OUT.replace("media_headers.parquet", "mp3_headers.parquet")
+N_MP3 = 50
+
+MP3_BITRATES = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+MP3_RATES = (44100, 48000, 32000)
+
+
+def mp3_frame(bi: int, sri: int, pad: int, mode: int = 0) -> bytes:
+    """One structurally-valid MPEG-1 Layer III frame: 4-byte header
+    (sync/version/layer/bitrate/rate/padding/mode) + deterministic
+    filler sized to the spec's frame length."""
+    b1 = 0xFF
+    b2 = 0xE0 | (3 << 3) | (1 << 1) | 1  # sync, MPEG-1, Layer III, no CRC
+    b3 = (bi << 4) | (sri << 2) | (pad << 1)
+    b4 = mode << 6
+    flen = 144000 * MP3_BITRATES[bi - 1] // MP3_RATES[sri] + pad
+    body = bytes((i * 17 + bi + sri) % 251 for i in range(flen - 4))
+    return bytes([b1, b2, b3, b4]) + body
+
+
+def mp3_bytes(
+    bi: int,
+    sri: int,
+    n_frames: int,
+    id3_pad: int = 0,
+    decoy: bool = False,
+    pad_alternates: bool = False,
+    mode: int = 0,
+    tag_v1: bool = False,
+) -> bytes:
+    """Minimal structurally-valid MP3: optional ID3v2 tag (syncsafe
+    size; ``decoy`` plants 0xFF sync-like bytes INSIDE the tag — the
+    size-based skip never sees them), then CBR Layer III frames whose
+    padding bit may alternate (frame lengths genuinely vary, so the
+    walk is exercised), optionally a trailing ID3v1 'TAG' block (the
+    walk must stop cleanly on it)."""
+    out = b""
+    if id3_pad:
+        body = (b"\xff\xfb\x90" if decoy else b"pad") * (id3_pad // 3 + 1)
+        body = body[:id3_pad]
+        sz = len(body)
+        syncsafe = bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        out += b"ID3" + bytes([4, 0, 0]) + syncsafe + body
+    for i in range(n_frames):
+        out += mp3_frame(bi, sri, pad=(i % 2 if pad_alternates else 0), mode=mode)
+    if tag_v1:
+        out += b"TAG" + bytes(125)
+    return out
+
+
+def build_mp3_rows() -> list[tuple[int, bytes, str]]:
+    rows: list[tuple[int, bytes, str]] = []
+    for i in range(N_MP3):
+        mid = 3000 + i
+        if i % 10 == 9:
+            rows.append((mid, f"not-audio-{i}".encode("ascii") * 3, "raw"))
+        else:
+            rows.append(
+                (
+                    mid,
+                    mp3_bytes(
+                        bi=1 + (i * 5) % 14,
+                        sri=i % 3,
+                        n_frames=1 + i % 12,
+                        id3_pad=(0 if i % 4 == 0 else 20 + i % 60),
+                        decoy=(i % 5 == 2),
+                        pad_alternates=(i % 3 == 1),
+                        mode=(3 if i % 6 == 3 else 0),
+                        tag_v1=(i % 7 == 4),
+                    ),
+                    "mp3",
+                )
+            )
+    edge = 3000 + N_MP3
+    rows += [
+        # budget-exceeding: 30 frames, the 24-step walk is still
+        # mid-chain → NULL n_frames/duration, est_duration still real
+        (edge, mp3_bytes(5, 0, 30), "mp3"),
+        # exactly at the budget: 24 frames consume the payload precisely
+        # → the walk ends with p past the end, count is EXACT
+        (edge + 1, mp3_bytes(5, 0, 24), "mp3"),
+        (edge + 2, b"ID3" + bytes([4, 0, 0, 0, 0, 0, 10]) + b"0123456789", "mp3"),
+        (edge + 3, b"\xff\xfb", "mp3"),  # sync bytes, header truncated
+        # MPEG-2 Layer III header: fmt recognized, fields out of contract
+        (edge + 4, bytes([0xFF, 0xF0 | (1 << 1) | 1, 0x52, 0]) + bytes(100), "mp3"),
+        # Layer II MPEG-1: same contract edge
+        (edge + 5, bytes([0xFF, 0xE0 | (3 << 3) | (2 << 1) | 1, 0x52, 0]) + bytes(100), "mp3"),
+    ]
+    return rows
+
+
+MP4_OUT = OUT.replace("media_headers.parquet", "mp4_headers.parquet")
+N_MP4 = 50
+
+
+def _box(fourcc: bytes, payload: bytes, extended: bool = False) -> bytes:
+    if extended:
+        return struct.pack(">I", 1) + fourcc + struct.pack(">Q", 16 + len(payload)) + payload
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def mp4_bytes(
+    timescale: int,
+    duration: int,
+    n_traks: int = 1,
+    brand: bytes = b"isom",
+    pre_boxes: int = 0,
+    v1: bool = False,
+    extended_mdat: bool = False,
+    decoy: bool = False,
+    mdat_last_size0: bool = False,
+) -> bytes:
+    """Minimal structurally-valid MP4: ftyp, optional free boxes before
+    moov (so the moov offset varies), moov containing an mvhd (version
+    0 or 1 — different field offsets/widths) and opaque trak children,
+    then mdat.  ``decoy`` plants the literal bytes 'moov'/'mvhd' inside
+    the mdat payload — a box-aligned walk never sees them.  ``extended_
+    mdat`` puts a 64-bit-size mdat BEFORE moov; ``mdat_last_size0``
+    ends with a size-0 box (spec: extends to EOF)."""
+    ftyp = _box(b"ftyp", brand + struct.pack(">I", 0) + b"isomiso2")
+    if v1:
+        mvhd = _box(
+            b"mvhd",
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQIQ", 3521280000, 3521280000, timescale, duration)
+            + bytes(80),
+        )
+    else:
+        mvhd = _box(
+            b"mvhd",
+            bytes([0, 0, 0, 0])
+            + struct.pack(">IIII", 3521280000, 3521280000, timescale, duration)
+            + bytes(80),
+        )
+    traks = b"".join(
+        _box(b"trak", bytes((i * 13 + j) % 251 for j in range(20 + i * 7)))
+        for i in range(n_traks)
+    )
+    moov = _box(b"moov", mvhd + traks)
+    payload = bytes((i * 23) % 251 for i in range(64))
+    if decoy:
+        payload = b"moovmvhd" + payload[8:]
+    parts = [ftyp]
+    for i in range(pre_boxes):
+        parts.append(_box(b"free", bytes(5 + i * 3)))
+    if extended_mdat:
+        parts.append(_box(b"mdat", payload, extended=True))
+    parts.append(moov)
+    if mdat_last_size0:
+        parts.append(struct.pack(">I", 0) + b"mdat" + payload)
+    else:
+        parts.append(_box(b"mdat", payload))
+    return b"".join(parts)
+
+
+def build_mp4_rows() -> list[tuple[int, bytes, str]]:
+    rows: list[tuple[int, bytes, str]] = []
+    for i in range(N_MP4):
+        mid = 4000 + i
+        if i % 10 == 9:
+            rows.append((mid, f"not-video-{i}".encode("ascii") * 3, "raw"))
+        else:
+            rows.append(
+                (
+                    mid,
+                    mp4_bytes(
+                        timescale=(600, 1000, 90000, 44100)[i % 4],
+                        duration=1000 + (i * 997) % 900000,
+                        n_traks=1 + i % 3,
+                        brand=(b"isom", b"mp42", b"qt  ")[i % 3],
+                        pre_boxes=i % 4,
+                        v1=(i % 5 == 2),
+                        extended_mdat=(i % 6 == 3),
+                        decoy=(i % 7 == 1),
+                        mdat_last_size0=(i % 8 == 5),
+                    ),
+                    "mp4",
+                )
+            )
+    edge = 4000 + N_MP4
+    rows += [
+        (edge, b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00", "mp4"),  # ftyp only
+        (edge + 1, mp4_bytes(600, 1200)[:30], "mp4"),  # truncated mid-moov hunt
+        # moov whose mvhd is cut mid-fields: timescale NULL both engines
+        (edge + 2, mp4_bytes(600, 1200)[: 24 + 8 + 8 + 10], "mp4"),
+        # 20 free boxes before moov: walk budget (16) exhausted → NULLs
+        (edge + 3,
+         _box(b"ftyp", b"isom" + struct.pack(">I", 0))
+         + b"".join(_box(b"free", b"xx") for _ in range(20))
+         + mp4_bytes(600, 1200)[24:],
+         "mp4"),
+    ]
+    return rows
+
+
 def build_legacy_rows() -> list[tuple[int, bytes, str]]:
     """GIF/BMP fixture (m05): the fixed-offset legacy formats plus the
     edges — truncated magic, cut-mid-field reads, a top-down (negative
@@ -326,6 +523,8 @@ def main() -> None:
     _write(build_rows(), "image", OUT)
     _write(build_audio_rows(), "audio", AUDIO_OUT)
     _write(build_legacy_rows(), "image", LEGACY_OUT)
+    _write(build_mp3_rows(), "audio", MP3_OUT)
+    _write(build_mp4_rows(), "video", MP4_OUT)
 
 
 if __name__ == "__main__":
