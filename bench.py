@@ -180,6 +180,8 @@ HEADLINE = (
     "v26_trained_ivf_pq_rescore",
     "m06_mp3_header_meta",
     "m07_mp4_header_meta",
+    "d16_line_dedup",
+    "m08_tiff_header_meta",
 )
 
 

@@ -286,6 +286,89 @@ def remove_common_segments(
     )
 
 
+def remove_duplicated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 1,
+    max_removed_frac: float = 0.5,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """CCNet/RefinedWeb line-level dedup — the STRUCTURAL sibling of
+    ``remove_common_segments``: the unit is the physical line ('\\n'
+    split, whitespace-trimmed, blanks dropped), not a fixed token
+    window, so boilerplate of any length ("subscribe to our
+    newsletter") is one unit however many tokens it has.  A line kept
+    in a document iff at most ``max_docs`` DISTINCT documents contain
+    it corpus-wide; documents losing more than ``max_removed_frac`` of
+    their lines get ``doc_kept = false`` (the RefinedWeb drop-the-husk
+    gate — a page that was mostly chrome is not worth keeping even
+    after cleaning).
+
+    Plan: line fan-out (scan-local posexplode) → distinct-doc count
+    per line hash (one shuffle on an 8-byte key, aggregated BEFORE any
+    join back so a line in 10⁶ docs is one count row, not 10⁶ join
+    partners) → equi-join counts onto the lines → ONE per-doc
+    aggregate producing totals, kept counts, and the rebuilt text in
+    the same pass (``collect_list`` skips the NULLs the ``when``
+    leaves on removed lines, so no second aggregate) → left join back
+    so blank/empty documents survive.  Only (hash, id, kept line)
+    tuples shuffle — removed boilerplate text never moves.
+
+    Within-doc repeats are NOT removed (distinct-doc count is 1);
+    matching is exact after trim — case variants are different lines.
+    Returns (id, n_lines, n_kept_lines, clean_text, removed_line_frac,
+    doc_kept).
+    """
+    from realtimechurnpredictiondataengineering_spark.operators.dedup import portable_hash60
+
+    hash_fn = portable_hash60 if portable_hash else F.xxhash64
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        )
+        .select(F.col(id_col), "pos", F.trim("raw").alias("line"))
+        .filter(F.length("line") > 0)
+    )
+    hashed = lines.withColumn("line_hash", hash_fn(F.col("line"))).transform(_persist)
+    counts = hashed.groupBy("line_hash").agg(
+        F.count_distinct(id_col).alias("n_docs_with_line")
+    )
+    keep = F.col("n_docs_with_line") <= max_docs
+    per_doc = (
+        hashed.join(counts, "line_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(keep.cast("long")).alias("n_kept_lines"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(keep, F.struct("pos", "line")))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+        )
+    )
+    frac = F.when(
+        F.col("n_lines") > 0,
+        F.round(1.0 - F.col("n_kept_lines") / F.col("n_lines"), 4),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept_lines", F.lit(0)).alias("n_kept_lines"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .withColumn("removed_line_frac", frac)
+        .withColumn("doc_kept", F.col("removed_line_frac") <= max_removed_frac)
+    )
+
+
 def exact_contamination(
     corpus: DataFrame,
     benchmarks: DataFrame,

@@ -643,6 +643,102 @@ def mp4_header_meta(media: DataFrame) -> DataFrame:
     )
 
 
+#: IFD entries scanned per file — real camera/scanner IFDs carry a few
+#: dozen tags; dims hiding past the budget report NULL (unknown), the
+#: family's honest answer.
+_TIFF_IFD_BUDGET = 32
+
+
+def tiff_header_meta(media: DataFrame) -> DataFrame:
+    """REAL TIFF header decode — the family's first ENDIAN-DISPATCHED
+    format and its first TABLE-driven scan: TIFF files carry the same
+    layout in either byte order ('II' little-endian / 'MM' big-endian,
+    declared by the first two bytes), and the metadata lives in an IFD
+    — a COUNTED TABLE of fixed-stride 12-byte entries reached through
+    an absolute offset pointer — not in a chained walk, so the parse is
+    ``transform`` over entry indices + ``filter`` by tag, not a fold.
+
+    Layout: magic 42 as a u16 in the declared order at bytes 2-3, IFD0
+    file offset as u32 at bytes 4-7; at the IFD a u16 entry count, then
+    per entry [u16 tag][u16 type][u32 count][4-byte value field].  For
+    count==1 the value is LEFT-JUSTIFIED in the 4-byte field: a SHORT
+    (type 3) reads its 2 bytes at the field start in the file's order,
+    a LONG (type 4) all 4 — the left-justification is a spec detail a
+    fake decoder papers over (a big-endian SHORT is NOT the low half of
+    the 4-byte read).  Tags: 256 ImageWidth, 257 ImageLength, 258
+    BitsPerSample (count>1 means the value field holds an offset, NULL
+    by contract — chasing value offsets is pixel-decode territory).
+    The first WELL-TYPED occurrence of a tag wins, so a malformed
+    duplicate cannot shadow a later valid entry.  Only IFD0 is read
+    (the next-IFD pointer — multi-page TIFF — is out of contract, like
+    MP3's later frames).  BigTIFF (magic 43) is a different layout and
+    reports 'unknown'.
+
+    All scan-local hex arithmetic in whole-stage codegen, zero Python,
+    zero codec; entry reads past the payload end degrade to NULL
+    (``conv('')``), partially-present fields keep their readable bytes
+    — the family's TRY_CAST truncation parity.  An IFD longer than the
+    budget reports NULL for tags not found in the scanned prefix.
+
+    Returns (media_id, fmt, byte_order, width, height,
+    bits_per_sample, n_ifd_entries, n_bytes)."""
+    h = F.hex("payload")
+    n_bytes = F.length("payload").cast("long")
+    bo = F.substring(h, 1, 4)
+    is_le = bo == F.lit("4949")
+    is_be = bo == F.lit("4D4D")
+
+    def rd(p: F.Column, nb: int) -> F.Column:
+        # byte-order-dispatched unsigned read at 1-based byte position p
+        be = F.conv(F.substr(h, p * 2 - 1, F.lit(2 * nb)), 16, 10)
+        pairs = [F.substr(h, (p + i) * 2 - 1, F.lit(2)) for i in range(nb)]
+        le = F.conv(F.concat(*reversed(pairs)), 16, 10)
+        return F.when(is_le, le).otherwise(be).cast("long")
+
+    magic = rd(F.lit(3).cast("long"), 2)
+    is_tiff = (is_le | is_be) & (magic == 42)
+    ifd_off = rd(F.lit(5).cast("long"), 4)  # file offset (0-based)
+    n_entries = rd(ifd_off + 1, 2)
+    cap = F.least(n_entries, F.lit(_TIFF_IFD_BUDGET).cast("long"))
+
+    def entry(i: F.Column) -> F.Column:
+        p = ifd_off + 3 + i * 12
+        typ = rd(p + 2, 2)
+        cnt = rd(p + 4, 4)
+        value = (
+            F.when((cnt == 1) & (typ == 3), rd(p + 8, 2))
+            .when((cnt == 1) & (typ == 4), rd(p + 8, 4))
+            .otherwise(F.lit(None).cast("long"))
+        )
+        return F.struct(rd(p, 2).alias("tag"), value.alias("value"))
+
+    entries = F.when(
+        is_tiff & (cap >= 1),
+        F.transform(F.sequence(F.lit(0).cast("long"), cap - 1), entry),
+    ).otherwise(F.array().cast("array<struct<tag:long,value:long>>"))
+
+    def first_valid(tag: int) -> F.Column:
+        hits = F.filter(
+            entries, lambda e: (e["tag"] == tag) & e["value"].isNotNull()
+        )
+        # try_element_at: an absent tag is an EMPTY hits array, which is
+        # the NULL answer, not an ANSI index error
+        return F.try_element_at(hits, F.lit(1))["value"]
+
+    return media.select(
+        "media_id",
+        F.when(is_tiff, F.lit("tiff")).otherwise(F.lit("unknown")).alias("fmt"),
+        F.when(is_tiff & is_le, F.lit("II"))
+        .when(is_tiff & is_be, F.lit("MM"))
+        .alias("byte_order"),
+        first_valid(256).cast("int").alias("width"),
+        first_valid(257).cast("int").alias("height"),
+        first_valid(258).cast("int").alias("bits_per_sample"),
+        F.when(is_tiff, n_entries).cast("int").alias("n_ifd_entries"),
+        n_bytes.alias("n_bytes"),
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB decode — deterministic fake standing in for PIL/ffmpeg.
 

@@ -2850,6 +2850,101 @@ def m07(spark, sf_dir):
     return multimodal.mp4_header_meta(media)
 
 
+def _tiff_fixture_path() -> str:
+    return _media_fixture_path().replace("media_headers", "tiff_headers")
+
+
+def _m08_sql() -> str:
+    """TIFF twin: the identical endian-dispatched header reads and the
+    fixed-stride IFD entry scan as a generate_series fan-out — TRY_CAST
+    hex reads so truncation degrades exactly like the engine's
+    ``conv('')``, ``min_by(value, i)`` over well-typed entries as the
+    first-valid-occurrence pick."""
+
+    def rd(p: str, nb: int) -> str:
+        be = f"TRY_CAST('0x' || substr(h, ({p})*2 - 1, {2 * nb}) AS BIGINT)"
+        pairs = " || ".join(
+            f"substr(h, ({p} + {i})*2 - 1, 2)" for i in reversed(range(nb))
+        )
+        return (
+            f"CASE WHEN le THEN TRY_CAST('0x' || {pairs} AS BIGINT) "
+            f"ELSE {be} END"
+        )
+
+    return f"""
+WITH m AS (SELECT media_id, hex(payload) AS h,
+                  octet_length(payload) AS n_bytes,
+                  substr(hex(payload), 1, 4) = '4949' AS le
+           FROM read_parquet('{_tiff_fixture_path()}')),
+hdr AS (SELECT media_id, h, n_bytes, le,
+               substr(h, 1, 4) IN ('4949', '4D4D')
+                 AND {rd('3', 2)} = 42 AS is_tiff,
+               {rd('5', 4)} AS ifd_off
+        FROM m),
+base AS (SELECT media_id, h, n_bytes, le, is_tiff, ifd_off,
+                CASE WHEN is_tiff THEN {rd('ifd_off + 1', 2)} END AS n,
+                least(CASE WHEN is_tiff THEN {rd('ifd_off + 1', 2)} END,
+                      32) AS cap
+         FROM hdr),
+e AS (SELECT media_id, h, le, ifd_off,
+             unnest(generate_series(0, CAST(cap - 1 AS BIGINT))) AS i
+      FROM base WHERE is_tiff AND cap >= 1),
+f AS (SELECT media_id, i,
+             {rd('ifd_off + 3 + i*12', 2)} AS tag,
+             {rd('ifd_off + 5 + i*12', 2)} AS typ,
+             {rd('ifd_off + 7 + i*12', 4)} AS cnt,
+             {rd('ifd_off + 11 + i*12', 2)} AS val2,
+             {rd('ifd_off + 11 + i*12', 4)} AS val4
+      FROM e),
+v AS (SELECT media_id, i, tag,
+             CASE WHEN cnt = 1 AND typ = 3 THEN val2
+                  WHEN cnt = 1 AND typ = 4 THEN val4 END AS value
+      FROM f),
+agg AS (SELECT media_id,
+               min_by(value, i) FILTER (tag = 256 AND value IS NOT NULL)
+                 AS width,
+               min_by(value, i) FILTER (tag = 257 AND value IS NOT NULL)
+                 AS height,
+               min_by(value, i) FILTER (tag = 258 AND value IS NOT NULL)
+                 AS bits_per_sample
+        FROM v GROUP BY media_id)
+SELECT b.media_id,
+       CASE WHEN b.is_tiff THEN 'tiff' ELSE 'unknown' END AS fmt,
+       CASE WHEN b.is_tiff AND b.le THEN 'II'
+            WHEN b.is_tiff THEN 'MM' END AS byte_order,
+       CAST(a.width AS INT) AS width,
+       CAST(a.height AS INT) AS height,
+       CAST(a.bits_per_sample AS INT) AS bits_per_sample,
+       CAST(CASE WHEN b.is_tiff THEN b.n END AS INT) AS n_ifd_entries,
+       CAST(b.n_bytes AS BIGINT) AS n_bytes
+FROM base b LEFT JOIN agg a USING (media_id)
+"""
+
+
+@register("m08_tiff_header_meta", _m08_sql)
+def m08(spark, sf_dir):
+    # The family's first ENDIAN-DISPATCHED format and first TABLE-driven
+    # scan: TIFF declares its byte order in the first two bytes ('II'
+    # LE / 'MM' BE) and keeps metadata in an IFD — a counted table of
+    # fixed-stride 12-byte entries reached through an absolute offset —
+    # so the parse is transform-over-indices + filter-by-tag, not a
+    # chained walk.  SHORT values are LEFT-JUSTIFIED in the 4-byte
+    # value field (a big-endian SHORT is NOT the low half of a 4-byte
+    # read — the spec detail a fake decoder papers over); the first
+    # well-typed occurrence of a tag wins; count>1 means the value
+    # field holds an offset (NULL by contract — chasing it is
+    # pixel-decode territory); IFD0 only; BigTIFF (magic 43) reports
+    # 'unknown'.  59-row fixture pins both orders x both dim types, a
+    # 40-entry IFD with dims past the 32-entry budget, a malformed
+    # duplicate width entry, truncated header/count/mid-value reads,
+    # an out-of-payload IFD offset, and an in-payload 'II*' decoy
+    # (operators/multimodal.py:tiff_header_meta).
+    from realtimechurnpredictiondataengineering_spark.operators import multimodal
+
+    media = spark.read.parquet(_tiff_fixture_path().replace("''", "'"))
+    return multimodal.tiff_header_meta(media)
+
+
 # ---------------------------------------------------------------------------
 # Percentiles, skew-safe aggregation, extended window surface
 # ---------------------------------------------------------------------------
@@ -6369,6 +6464,64 @@ def d15(spark, sf_dir):
     )
 
 
+def _multiline_fixture_path() -> str:
+    return _media_fixture_path().replace("media_headers", "multiline_docs")
+
+
+def _d16_sql() -> str:
+    """Line-dedup twin: the identical line fan-out / distinct-doc count /
+    rebuild chain — md5-60 line keys so the hash aggregate replays, and
+    ``string_agg(... ORDER BY pos)`` as the order-preserving rebuild."""
+    return f"""
+WITH src AS (SELECT doc_id, text FROM read_parquet('{_multiline_fixture_path()}')),
+l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+l1 AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS pos, ls FROM l0),
+l AS (SELECT doc_id, pos, trim(ls[pos]) AS line FROM l1
+      WHERE length(trim(ls[pos])) > 0),
+h AS (SELECT doc_id, pos, line,
+             CAST(('0x' || substr(md5(line), 1, 15)) AS BIGINT) AS lh FROM l),
+c AS (SELECT lh, count(DISTINCT doc_id) AS nd FROM h GROUP BY 1),
+agg AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN nd <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept_lines,
+               coalesce(string_agg(CASE WHEN nd <= 1 THEN line END, chr(10)
+                                   ORDER BY pos), '') AS clean_text
+        FROM h JOIN c USING (lh) GROUP BY doc_id),
+fin AS (SELECT s.doc_id,
+               coalesce(a.n_lines, 0) AS n_lines,
+               coalesce(a.n_kept_lines, 0) AS n_kept_lines,
+               coalesce(a.clean_text, '') AS clean_text,
+               CASE WHEN coalesce(a.n_lines, 0) > 0
+                    THEN round(1.0 - CAST(a.n_kept_lines AS DOUBLE) / a.n_lines, 4)
+                    ELSE 0.0 END AS removed_line_frac
+        FROM src s LEFT JOIN agg a USING (doc_id))
+SELECT *, removed_line_frac <= 0.5 AS doc_kept FROM fin
+"""
+
+
+@register("d16_line_dedup", _d16_sql)
+def d16(spark, sf_dir):
+    # CCNet/RefinedWeb line-level dedup (operators/corpus.py:
+    # remove_duplicated_lines) — the STRUCTURAL sibling of d10's fixed
+    # 20-token segments: the unit is the physical '\n' line, so
+    # boilerplate of any length is one unit, plus the RefinedWeb
+    # drop-the-husk doc gate (doc_kept = removed frac <= 0.5).  The
+    # synthetic documents table is single-line, so this runs over the
+    # committed 230-row multi-line fixture (tools/gen_line_fixture.py),
+    # which pins: an all-boilerplate doc (empty clean text, gate
+    # False), empty/blank-only docs, a WITHIN-doc repeated line (kept
+    # twice — distinct-doc count is 1), a line shared by exactly two
+    # docs (removed from both), whitespace-padded boilerplate (trim
+    # normalization catches it), and a case-variant (kept — exact
+    # match).  Counts aggregate BEFORE the join back, so a line in 10^6
+    # docs is one count row; removed text never shuffles.
+    from realtimechurnpredictiondataengineering_spark.operators import corpus
+
+    docs = spark.read.parquet(_multiline_fixture_path().replace("''", "'"))
+    return corpus.remove_duplicated_lines(docs, portable_hash=True)
+
+
 _LL09_SQL = f"""
 WITH {_DECON_GRAMS}
 SELECT s.doc_id, CAST(s.n AS INT) AS n_tokens
@@ -8473,7 +8626,13 @@ def w09(spark, sf_dir):
 # the trained-quantizer
 # index+refine stack added later in the round (q00 stays out: entry()
 # smoke-runs the flagship every round, and it was driver-green in all
-# of rounds 2-11).  The two
+# of rounds 2-11).  Late round-12 additions d16_line_dedup (CCNet
+# line-level dedup over the committed multi-line fixture) and
+# m08_tiff_header_meta (endian-dispatched TIFF IFD scan) rotate IN
+# per the standing new-code-faces-the-gate rule; h16_supplier_part_count
+# and h12_shipping_lateness step back to the round-13 backlog for them
+# (both harness-green every round; their join+conditional-agg shapes
+# stay in-window via the fifteen other h-rows).  The two
 # never-checked entries deliberately left out are a11/a15: approximate
 # sketch estimates (HLL) have no honest cross-engine value twin — a
 # DuckDB HLL is a different estimator — so they are rows-only by
@@ -8491,6 +8650,8 @@ PRIORITY: tuple[str, ...] = (
     "m05_legacy_image_dims",
     "m06_mp3_header_meta",
     "m07_mp4_header_meta",
+    "d16_line_dedup",
+    "m08_tiff_header_meta",
     "f01_topic_demux",
     "h02_min_cost_supplier",
     "h04_order_priority_check",
@@ -8499,11 +8660,9 @@ PRIORITY: tuple[str, ...] = (
     "h09_product_profit",
     "h10_returned_items",
     "h11_important_parts",
-    "h12_shipping_lateness",
     "h13_customer_distribution",
     "h14_promo_revenue",
     "h15_top_supplier",
-    "h16_supplier_part_count",
     "h17_small_quantity_revenue",
     "h18_large_volume_customer",
     "h19_disjunctive_predicates",

@@ -336,3 +336,53 @@ def test_mp4_walk_matches_ground_truth_on_random_layouts(
         "mp4", "isom", timescale, n_traks,
     )
     assert r["duration_ms"] == duration * 1000 // timescale
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    big_endian=st.booleans(),
+    long_types=st.booleans(),
+    width=st.integers(min_value=1, max_value=65535),
+    height=st.integers(min_value=1, max_value=65535),
+    pre_tags=st.integers(min_value=0, max_value=4),
+    bps=st.sampled_from([None, 1, 8, 16]),
+    bps_count=st.sampled_from([1, 3]),
+    gap=st.sampled_from([0, 6, 31]),
+    junk_entries=st.integers(min_value=0, max_value=3),
+    trailer=st.integers(min_value=0, max_value=40),
+)
+def test_tiff_ifd_scan_matches_ground_truth_on_random_layouts(
+    spark, big_endian, long_types, width, height, pre_tags, bps, bps_count,
+    gap, junk_entries, trailer,
+):
+    # random IFD layouts (both byte orders, SHORT/LONG dim types, junk
+    # tags around the dims, gap before the IFD, offset-valued
+    # BitsPerSample, trailing pixel junk): the endian-dispatched entry
+    # scan must recover the planted values exactly
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.gen_media_fixture import tiff_bytes
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        tiff_header_meta,
+    )
+
+    payload = tiff_bytes(
+        width, height, big_endian=big_endian, long_types=long_types,
+        pre_tags=pre_tags, bps=bps, bps_count=bps_count, gap=gap,
+        junk_entries=junk_entries, trailer=trailer,
+    )
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    r = tiff_header_meta(df).collect()[0]
+    assert (r["fmt"], r["byte_order"]) == ("tiff", "MM" if big_endian else "II")
+    assert (r["width"], r["height"]) == (width, height)
+    expect_bps = bps if (bps is not None and bps_count == 1) else None
+    assert r["bits_per_sample"] == expect_bps
+    expect_n = pre_tags + 2 + (1 if bps is not None else 0) + junk_entries
+    assert r["n_ifd_entries"] == expect_n

@@ -324,3 +324,108 @@ def test_mp4_header_meta_values(spark):
     assert got[7]["timescale"] is None and got[7]["n_tracks"] == 0
     assert got[8]["fmt"] == "mp4" and got[8]["n_tracks"] is None  # budget
     assert got[9]["fmt"] == "unknown" and got[9]["major_brand"] is None
+
+
+# --- d16: CCNet/RefinedWeb line-level dedup ---------------------------------
+
+
+def test_remove_duplicated_lines_edges(spark):
+    # the committed fixture's pinned edge rows, checked by SEMANTICS
+    # rather than by the oracle's value hash: all-boilerplate doc
+    # empties out and fails the doc gate; within-doc repeats survive
+    # (distinct-doc count is 1); a line shared by exactly two docs is
+    # removed from both; trim normalization catches padded boilerplate;
+    # case variants are different lines; blank/empty docs survive the
+    # left join with zero lines
+    from realtimechurnpredictiondataengineering_spark.operators.corpus import (
+        remove_duplicated_lines,
+    )
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import (
+        _multiline_fixture_path,
+    )
+
+    docs = spark.read.parquet(_multiline_fixture_path().replace("''", "'"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicated_lines(docs).collect()
+        if r["doc_id"] >= 220
+    }
+    assert got[220]["clean_text"] == "" and got[220]["doc_kept"] is False
+    assert got[221]["n_lines"] == 0 and got[221]["doc_kept"] is True
+    assert got[222]["n_lines"] == 0 and got[222]["clean_text"] == ""
+    # within-doc repeat: both copies kept, original order preserved
+    assert got[223]["n_kept_lines"] == 3
+    assert got[223]["clean_text"].split("\n")[0] == got[223]["clean_text"].split("\n")[2]
+    # cross-doc shared line removed from BOTH docs
+    assert got[224]["n_kept_lines"] == 1 and got[225]["n_kept_lines"] == 1
+    assert "oddly specific" not in got[224]["clean_text"]
+    assert got[226]["n_kept_lines"] == 1 and got[226]["doc_kept"] is True
+    # padded boilerplate trims onto the corpus-wide line and is removed
+    assert got[227]["n_kept_lines"] == 1
+    assert "newsletter" not in got[227]["clean_text"]
+    # case variant is a different exact line: kept
+    assert got[228]["n_kept_lines"] == 2
+    assert got[229]["removed_line_frac"] == 0.75 and got[229]["doc_kept"] is False
+
+
+def test_remove_duplicated_lines_max_docs_valve(spark):
+    # raising max_docs keeps lines up to that prevalence: the two-doc
+    # shared line survives at max_docs=2 while 20+-doc boilerplate
+    # still dies
+    from realtimechurnpredictiondataengineering_spark.operators.corpus import (
+        remove_duplicated_lines,
+    )
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import (
+        _multiline_fixture_path,
+    )
+
+    docs = spark.read.parquet(_multiline_fixture_path().replace("''", "'"))
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in remove_duplicated_lines(docs, max_docs=2).collect()
+        if r["doc_id"] in (224, 220)
+    }
+    assert got[224]["n_kept_lines"] == 2  # the two-doc line now survives
+    assert got[220]["n_kept_lines"] == 0  # boilerplate is way past 2 docs
+
+
+# --- m08: TIFF endian-dispatched IFD decode ---------------------------------
+
+
+def test_tiff_header_meta_values(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        tiff_header_meta,
+    )
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import (
+        _tiff_fixture_path,
+    )
+
+    media = spark.read.parquet(_tiff_fixture_path().replace("''", "'"))
+    got = {
+        r["media_id"]: r.asDict()
+        for r in tiff_header_meta(media).collect()
+        if r["media_id"] >= 7048
+    }
+    # 40-entry IFD: dims sit past the 32-entry budget -> NULL (unknown),
+    # the declared count still reports
+    assert got[7048]["width"] is None and got[7048]["n_ifd_entries"] == 40
+    # malformed ASCII-typed width entry first: the well-typed one wins
+    assert (got[7049]["width"], got[7049]["height"]) == (123, 45)
+    # BitsPerSample count=3: the value field is an OFFSET -> NULL by contract
+    assert got[7050]["width"] == 222 and got[7050]["bits_per_sample"] is None
+    assert got[7051]["fmt"] == "unknown"  # BigTIFF magic 43
+    # magic-only: fmt/byte_order decode, everything behind the missing
+    # IFD pointer is NULL
+    assert (got[7052]["fmt"], got[7052]["byte_order"]) == ("tiff", "II")
+    assert got[7052]["n_ifd_entries"] is None
+    # cut ONE byte into the LE count field: the low byte alone reads 3
+    # (missing high bytes zero-pad, the family's partial-read contract),
+    # but every entry behind it is gone -> NULL dims
+    assert got[7053]["n_ifd_entries"] == 3 and got[7053]["width"] is None
+    # LONG height value cut to its 2 low bytes: LE keeps them (0x00030002
+    # -> 2), width before the cut is intact
+    assert (got[7054]["width"], got[7054]["height"]) == (640, 2)
+    assert got[7055]["n_ifd_entries"] is None  # IFD offset past EOF
+    assert got[7056]["fmt"] == "unknown"       # 'II*' decoy not at offset 0
+    assert (got[7057]["fmt"], got[7057]["byte_order"]) == ("tiff", "MM")
+    assert got[7058]["fmt"] == "unknown"       # PNG dispatch check

@@ -519,12 +519,138 @@ def _write(rows: list[tuple[int, bytes, str]], kind: str, out: str) -> None:
     print(f"wrote {table.num_rows} rows to {out}")
 
 
+TIFF_OUT = OUT.replace("media_headers.parquet", "tiff_headers.parquet")
+
+N_TIFF = 48
+
+
+def tiff_entry(e: str, tag: int, typ: int, cnt: int, val: bytes) -> bytes:
+    assert len(val) == 4
+    return struct.pack(f"{e}HHI", tag, typ, cnt) + val
+
+
+def tiff_bytes(
+    width: int,
+    height: int,
+    big_endian: bool = False,
+    long_types: bool = False,
+    pre_tags: int = 0,
+    bps: int | None = 8,
+    bps_count: int = 1,
+    gap: int = 0,
+    dup_bad_width: bool = False,
+    junk_entries: int = 0,
+    trailer: int = 0,
+) -> bytes:
+    """Minimal structurally-valid TIFF in either byte order: header
+    (BOM, magic 42, IFD0 offset — optionally pushed past a gap), one
+    IFD whose entries carry ImageWidth/ImageLength as SHORT or LONG
+    (left-justified value fields — the spec detail the decoder must
+    honor), optional junk tags before/after, an optional MALFORMED
+    duplicate width entry (type 2 ASCII — a well-typed later entry
+    must win), BitsPerSample with count 1 (inline SHORT) or 3 (value
+    field holds an offset → NULL by contract), and a zero next-IFD
+    pointer plus optional trailing pixel junk."""
+    e = ">" if big_endian else "<"
+    bom = b"MM" if big_endian else b"II"
+    ifd_off = 8 + gap
+    dim_typ = 4 if long_types else 3
+
+    def dim_val(v: int) -> bytes:
+        if long_types:
+            return struct.pack(f"{e}I", v)
+        return struct.pack(f"{e}H", v) + b"\x00\x00"
+
+    entries: list[bytes] = []
+    for t in range(pre_tags):
+        entries.append(tiff_entry(e, 254 if t % 2 == 0 else 255, 4, 1,
+                                  struct.pack(f"{e}I", t + 1)))
+    if dup_bad_width:
+        entries.append(tiff_entry(e, 256, 2, 1, b"XX\x00\x00"))
+    entries.append(tiff_entry(e, 256, dim_typ, 1, dim_val(width)))
+    entries.append(tiff_entry(e, 257, dim_typ, 1, dim_val(height)))
+    if bps is not None:
+        if bps_count == 1:
+            entries.append(tiff_entry(e, 258, 3, 1,
+                                      struct.pack(f"{e}H", bps) + b"\x00\x00"))
+        else:
+            # count>1: the value field is an OFFSET into the file
+            entries.append(tiff_entry(e, 258, 3, bps_count,
+                                      struct.pack(f"{e}I", 2**16)))
+    for j in range(junk_entries):
+        entries.append(tiff_entry(e, 273 + j, 4, 1, struct.pack(f"{e}I", j)))
+    header = bom + struct.pack(f"{e}H", 42) + struct.pack(f"{e}I", ifd_off)
+    ifd = struct.pack(f"{e}H", len(entries)) + b"".join(entries)
+    ifd += struct.pack(f"{e}I", 0)  # next-IFD: none (IFD0-only contract)
+    junk = bytes((k * 29) % 251 for k in range(trailer))
+    return header + (b"\x00" * gap) + ifd + junk
+
+
+def build_tiff_rows() -> list[tuple[int, bytes, str]]:
+    """TIFF fixture (m08): both byte orders x both dim types, variable
+    junk-tag prefixes and IFD gaps, plus the edges — a budget-length
+    IFD (dims past the scan cap), a malformed duplicate width entry, a
+    count-3 BitsPerSample (offset, NULL by contract), BigTIFF magic,
+    truncated header/count/mid-value reads, an out-of-payload IFD
+    offset, an in-payload 'II*' decoy, and dispatch checks."""
+    rows: list[tuple[int, bytes, str]] = []
+    for i in range(N_TIFF):
+        mid = 7000 + i
+        if i % 12 == 11:
+            rows.append((mid, f"not-a-tiff-{i}".encode("ascii") * 3, "raw"))
+            continue
+        rows.append((
+            mid,
+            tiff_bytes(
+                16 + (i * 7) % 4000,
+                16 + (i * 13) % 3000,
+                big_endian=i % 2 == 1,
+                long_types=i % 4 >= 2,
+                pre_tags=i % 5,
+                bps=(8, 16, None)[i % 3],
+                gap=(0, 6)[i % 7 == 3],
+                junk_entries=i % 3,
+                trailer=i * 5 % 64,
+            ),
+            "tiff",
+        ))
+    edge = 7000 + N_TIFF
+    rows += [
+        # IFD longer than the 32-entry budget: dims sit past the cap
+        (edge, tiff_bytes(900, 700, junk_entries=0, pre_tags=0, bps=None,
+                          big_endian=False, dup_bad_width=False, trailer=0,
+                          gap=0, long_types=True)[:8]  # header, then custom IFD
+         + struct.pack("<H", 40)
+         + b"".join(tiff_entry("<", 300 + j, 4, 1, struct.pack("<I", j))
+                    for j in range(38))
+         + tiff_entry("<", 256, 4, 1, struct.pack("<I", 900))
+         + tiff_entry("<", 257, 4, 1, struct.pack("<I", 700))
+         + struct.pack("<I", 0), "tiff"),
+        # malformed (ASCII-typed) width entry first — valid one wins
+        (edge + 1, tiff_bytes(123, 45, dup_bad_width=True), "tiff"),
+        (edge + 2, tiff_bytes(222, 111, bps=12, bps_count=3), "tiff"),
+        (edge + 3, b"II" + struct.pack("<H", 43) + struct.pack("<I", 8), "bigtiff"),
+        (edge + 4, b"II*\x00", "tiff"),                       # magic only
+        (edge + 5, tiff_bytes(640, 480)[:9], "tiff"),          # cut mid-count
+        # LONG height value cut to 2 of 4 bytes (LE: low bytes survive —
+        # the height entry's value field spans bytes 30-33, cut at 32)
+        (edge + 6, tiff_bytes(640, 0x00030002, long_types=True,
+                              bps=None)[: 8 + 2 + 24 - 2], "tiff"),
+        (edge + 7, b"MM\x00\x2A" + struct.pack(">I", 2**24), "tiff"),  # IFD off EOF
+        (edge + 8, b"ptr->" + b"II*\x00" + struct.pack("<I", 8), "raw"),  # decoy
+        (edge + 9, tiff_bytes(50, 60, big_endian=True)[:4], "tiff"),  # no IFD ptr
+        (edge + 10, png_bytes(31, 17, pad=5), "png"),          # dispatch check
+    ]
+    return rows
+
+
 def main() -> None:
     _write(build_rows(), "image", OUT)
     _write(build_audio_rows(), "audio", AUDIO_OUT)
     _write(build_legacy_rows(), "image", LEGACY_OUT)
     _write(build_mp3_rows(), "audio", MP3_OUT)
     _write(build_mp4_rows(), "video", MP4_OUT)
+    _write(build_tiff_rows(), "image", TIFF_OUT)
 
 
 if __name__ == "__main__":
