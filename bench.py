@@ -182,6 +182,7 @@ HEADLINE = (
     "m07_mp4_header_meta",
     "d16_line_dedup",
     "m08_tiff_header_meta",
+    "m09_gzip_header_meta",
 )
 
 

@@ -739,6 +739,84 @@ def tiff_header_meta(media: DataFrame) -> DataFrame:
     )
 
 
+#: Bytes scanned for the FNAME zero terminator — RFC 1952 puts no bound
+#: on the field, real filenames fit comfortably; an unterminated name
+#: past the budget reports NULL (unknown), the family's honest answer.
+_GZIP_NAME_BUDGET = 64
+
+
+def gzip_header_meta(media: DataFrame) -> DataFrame:
+    """REAL gzip member-header decode (RFC 1952) — the archive leg of
+    the family, and the format a crawl pipeline actually meets first
+    (WARC/WET shards ship gzipped).  Two new primitives: a bounded
+    ZERO-TERMINATOR scan (FNAME is a C string, not a counted field —
+    the scan is the m08 table idiom, ``filter`` over indexed bytes +
+    first hit, budgeted) and a read positioned from the END of the
+    payload (the ISIZE trailer lives in the last 4 bytes; for
+    CONCATENATED members that read is the LAST member's size — real
+    gzip semantics, fixture-pinned).
+
+    Layout: magic 1F 8B, CM (8 = deflate — anything else is not a
+    member this contract decodes), FLG bits (FTEXT/FHCRC/FEXTRA/FNAME/
+    FCOMMENT), MTIME u32 LE (0 = no timestamp, surfaced raw), XFL, OS.
+    FEXTRA (u16 LE length + payload) shifts FNAME's start; FCOMMENT
+    and FHCRC follow FNAME, so they never affect it.  All scan-local
+    hex arithmetic in whole-stage codegen; truncated reads degrade by
+    the family's ``conv('')``/zero-pad contract.
+
+    Returns (media_id, fmt, is_text, mtime, os_code, filename, isize,
+    n_bytes)."""
+    h = F.hex("payload")
+    hexlen = F.length(h)
+    n_bytes = F.length("payload").cast("long")
+
+    def u8(p) -> F.Column:
+        p = F.lit(p).cast("long") if isinstance(p, int) else p
+        return F.conv(F.substr(h, p * 2 - 1, F.lit(2)), 16, 10).cast("long")
+
+    def le(p, nb: int) -> F.Column:
+        p = F.lit(p).cast("long") if isinstance(p, int) else p
+        pairs = [F.substr(h, (p + i) * 2 - 1, F.lit(2)) for i in range(nb)]
+        return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("long")
+
+    is_gzip = (F.substring(h, 1, 4) == F.lit("1F8B")) & (u8(3) == 8)
+    flg = u8(4)
+    has_fextra = (F.floor(flg / 4) % 2) == 1
+    has_fname = (F.floor(flg / 8) % 2) == 1
+    xlen = F.when(has_fextra, le(11, 2)).otherwise(F.lit(0).cast("long"))
+    fs = F.lit(11).cast("long") + F.when(has_fextra, xlen + 2).otherwise(
+        F.lit(0).cast("long")
+    )
+    # bounded terminator scan: first zero byte within the budget
+    idx = F.filter(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(_GZIP_NAME_BUDGET - 1).cast("long")),
+            lambda i: F.struct(
+                i.alias("i"),
+                ((fs + i) * 2 <= hexlen).alias("inside"),
+                (F.substr(h, (fs + i) * 2 - 1, F.lit(2)) == F.lit("00")).alias("z"),
+            ),
+        ),
+        lambda e: e["inside"] & e["z"],
+    )
+    name_len = F.try_element_at(idx, F.lit(1))["i"]
+    filename = F.when(
+        is_gzip & has_fname & name_len.isNotNull(),
+        F.decode(F.col("payload").substr(fs, name_len), "UTF-8"),
+    )
+    isize = F.when(n_bytes >= 18, le(n_bytes - 3, 4))
+    return media.select(
+        "media_id",
+        F.when(is_gzip, F.lit("gzip")).otherwise(F.lit("unknown")).alias("fmt"),
+        F.when(is_gzip, (flg % 2) == 1).alias("is_text"),
+        F.when(is_gzip, le(5, 4)).alias("mtime"),
+        F.when(is_gzip, u8(10)).cast("int").alias("os_code"),
+        filename.alias("filename"),
+        F.when(is_gzip, isize).alias("isize"),
+        n_bytes.alias("n_bytes"),
+    )
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB decode — deterministic fake standing in for PIL/ffmpeg.
 

@@ -2945,6 +2945,85 @@ def m08(spark, sf_dir):
     return multimodal.tiff_header_meta(media)
 
 
+def _gzip_fixture_path() -> str:
+    return _media_fixture_path().replace("media_headers", "gzip_headers")
+
+
+def _m09_sql() -> str:
+    """gzip twin: the identical fixed-offset header reads (TRY_CAST hex,
+    little-endian byte-reversed), the FNAME terminator as min(i) over a
+    generate_series byte fan-out, the trailer ISIZE read positioned
+    from the payload END, and ``decode(unhex(...))`` over the hex view as
+    the filename extraction (no BLOB substring in this DuckDB build)."""
+
+    def le(p: str, nb: int) -> str:
+        pairs = " || ".join(
+            f"substr(h, ({p} + {i})*2 - 1, 2)" for i in reversed(range(nb))
+        )
+        return f"TRY_CAST('0x' || {pairs} AS BIGINT)"
+
+    return f"""
+WITH m AS (SELECT media_id, payload, hex(payload) AS h,
+                  octet_length(payload) AS n_bytes
+           FROM read_parquet('{_gzip_fixture_path()}')),
+hdr AS (SELECT *,
+               substr(h, 1, 4) = '1F8B' AND {le('3', 1)} = 8 AS is_gzip,
+               {le('4', 1)} AS flg
+        FROM m),
+base AS (SELECT *,
+                (flg // 4) % 2 = 1 AS has_fextra,
+                (flg // 8) % 2 = 1 AS has_fname,
+                CASE WHEN (flg // 4) % 2 = 1 THEN {le('11', 2)}
+                     ELSE 0 END AS xlen
+         FROM hdr),
+pos AS (SELECT *, 11 + CASE WHEN has_fextra THEN xlen + 2 ELSE 0 END AS fs
+        FROM base),
+scan AS (SELECT media_id, min(i) AS name_len
+         FROM (SELECT media_id, fs, h,
+                      unnest(generate_series(0, 63)) AS i
+               FROM pos WHERE is_gzip AND has_fname)
+         WHERE (fs + i)*2 <= length(h)
+           AND substr(h, (fs + i)*2 - 1, 2) = '00'
+         GROUP BY media_id)
+SELECT p.media_id,
+       CASE WHEN p.is_gzip THEN 'gzip' ELSE 'unknown' END AS fmt,
+       CASE WHEN p.is_gzip THEN p.flg % 2 = 1 END AS is_text,
+       CASE WHEN p.is_gzip THEN {le('5', 4)} END AS mtime,
+       CAST(CASE WHEN p.is_gzip THEN {le('10', 1)} END AS INT) AS os_code,
+       CASE WHEN p.is_gzip AND p.has_fname AND s.name_len IS NOT NULL
+            THEN decode(unhex(substr(p.h, CAST(p.fs*2 - 1 AS BIGINT),
+                                     CAST(s.name_len*2 AS BIGINT))))
+            END AS filename,
+       CASE WHEN p.is_gzip AND p.n_bytes >= 18
+            THEN {le('p.n_bytes - 3', 4)} END AS isize,
+       CAST(p.n_bytes AS BIGINT) AS n_bytes
+FROM pos p LEFT JOIN scan s USING (media_id)
+"""
+
+
+@register("m09_gzip_header_meta", _m09_sql)
+def m09(spark, sf_dir):
+    # The archive leg of the real-decode family — the format a crawl
+    # pipeline meets FIRST (WARC/WET shards ship gzipped), with two new
+    # primitives: a bounded zero-terminator scan (RFC 1952's FNAME is a
+    # C string, not a counted field) and a read positioned from the
+    # payload END (the ISIZE trailer; on CONCATENATED members it is the
+    # LAST member's size — real gzip semantics, fixture-pinned).  The
+    # 48-row fixture carries REAL deflate bodies (zlib raw streams +
+    # genuine CRC32/ISIZE trailers) varying FLG combos / names /
+    # mtimes / OS codes, plus: concatenated members, an FNAME whose
+    # terminator sits past the 64-byte scan budget (NULL — unknown), a
+    # zero-length FNAME (empty string, not NULL), CM!=8 (not a member
+    # this contract decodes), header-only and mid-mtime truncations
+    # (LE zero-pad partial reads), a 3-byte no-flag stub, and an
+    # in-payload magic decoy (operators/multimodal.py:
+    # gzip_header_meta).
+    from realtimechurnpredictiondataengineering_spark.operators import multimodal
+
+    media = spark.read.parquet(_gzip_fixture_path().replace("''", "'"))
+    return multimodal.gzip_header_meta(media)
+
+
 # ---------------------------------------------------------------------------
 # Percentiles, skew-safe aggregation, extended window surface
 # ---------------------------------------------------------------------------
@@ -8627,12 +8706,16 @@ def w09(spark, sf_dir):
 # index+refine stack added later in the round (q00 stays out: entry()
 # smoke-runs the flagship every round, and it was driver-green in all
 # of rounds 2-11).  Late round-12 additions d16_line_dedup (CCNet
-# line-level dedup over the committed multi-line fixture) and
-# m08_tiff_header_meta (endian-dispatched TIFF IFD scan) rotate IN
-# per the standing new-code-faces-the-gate rule; h16_supplier_part_count
-# and h12_shipping_lateness step back to the round-13 backlog for them
-# (both harness-green every round; their join+conditional-agg shapes
-# stay in-window via the fifteen other h-rows).  The two
+# line-level dedup over the committed multi-line fixture),
+# m08_tiff_header_meta (endian-dispatched TIFF IFD scan) and
+# m09_gzip_header_meta (gzip member decode — terminator scan + trailer
+# read) rotate IN per the standing new-code-faces-the-gate rule;
+# h16_supplier_part_count, h12_shipping_lateness and
+# h19_disjunctive_predicates step back to the round-13 backlog for
+# them (each harness-green every round; their join/filter/conditional-
+# agg shapes stay in-window via the fourteen other h-rows and f01/f09).
+# The window stays 41/50 = 82% never-driver-checked, inside the
+# round-11 verdict's >=80% ask.  The two
 # never-checked entries deliberately left out are a11/a15: approximate
 # sketch estimates (HLL) have no honest cross-engine value twin — a
 # DuckDB HLL is a different estimator — so they are rows-only by
@@ -8652,6 +8735,7 @@ PRIORITY: tuple[str, ...] = (
     "m07_mp4_header_meta",
     "d16_line_dedup",
     "m08_tiff_header_meta",
+    "m09_gzip_header_meta",
     "f01_topic_demux",
     "h02_min_cost_supplier",
     "h04_order_priority_check",
@@ -8665,7 +8749,6 @@ PRIORITY: tuple[str, ...] = (
     "h15_top_supplier",
     "h17_small_quantity_revenue",
     "h18_large_volume_customer",
-    "h19_disjunctive_predicates",
     "h22_global_sales_opportunity",
     "a09_percentiles",
     "a12_grouping_sets",

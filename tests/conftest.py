@@ -10,7 +10,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def spark():
     from realtimechurnpredictiondataengineering_spark.session import get_spark
 
-    spark = get_spark(app_name="realtimechurnprediction-tests", shuffle_partitions=8)
+    # One session serves the whole suite (350+ tests, 7000+ stages), and
+    # Spark's default 1g driver heap accumulates listener/UI state until
+    # a mid-suite OOM — round 12 hit it reproducibly at ~60% of the run
+    # (the failing allocation was a tiny analysis-time builder: the heap
+    # was simply full).  8g on a 128 GiB box; test-fixture-only so bench
+    # numbers stay comparable to their gates.
+    spark = get_spark(
+        app_name="realtimechurnprediction-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "8g", "spark.ui.enabled": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
 

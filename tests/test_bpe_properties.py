@@ -386,3 +386,56 @@ def test_tiff_ifd_scan_matches_ground_truth_on_random_layouts(
     assert r["bits_per_sample"] == expect_bps
     expect_n = pre_tags + 2 + (1 if bps is not None else 0) + junk_entries
     assert r["n_ifd_entries"] == expect_n
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.binary(min_size=0, max_size=300),
+    fname=st.one_of(st.none(), st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=0, max_size=20)),
+    mtime=st.integers(min_value=0, max_value=2**32 - 1),
+    ftext=st.booleans(),
+    fextra_len=st.one_of(st.none(), st.integers(min_value=0, max_value=30)),
+    os_code=st.sampled_from([0, 3, 7, 255]),
+    fhcrc=st.booleans(),
+    comment=st.booleans(),
+)
+def test_gzip_header_scan_matches_ground_truth(
+    spark, data, fname, mtime, ftext, fextra_len, os_code, fhcrc, comment
+):
+    # random RFC 1952 members (real deflate bodies, every optional-field
+    # combination, byte-valued names): the header decode must recover
+    # the planted fields and the trailer ISIZE exactly
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.gen_media_fixture import gzip_member
+
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        gzip_header_meta,
+    )
+
+    payload = gzip_member(
+        data,
+        fname=fname.encode("ascii") if fname is not None else None,
+        mtime=mtime,
+        ftext=ftext,
+        fextra=bytes(range(fextra_len % 256))[:fextra_len]
+        if fextra_len is not None else None,
+        os_code=os_code,
+        fhcrc=fhcrc,
+        comment=b"c" if comment else None,
+    )
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    r = gzip_header_meta(df).collect()[0]
+    assert (r["fmt"], r["is_text"], r["mtime"], r["os_code"]) == (
+        "gzip", ftext, mtime, os_code,
+    )
+    assert r["filename"] == fname
+    assert r["isize"] == len(data)

@@ -429,3 +429,40 @@ def test_tiff_header_meta_values(spark):
     assert got[7056]["fmt"] == "unknown"       # 'II*' decoy not at offset 0
     assert (got[7057]["fmt"], got[7057]["byte_order"]) == ("tiff", "MM")
     assert got[7058]["fmt"] == "unknown"       # PNG dispatch check
+
+
+# --- m09: gzip member-header decode ------------------------------------------
+
+
+def test_gzip_header_meta_values(spark):
+    from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
+        gzip_header_meta,
+    )
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import (
+        _gzip_fixture_path,
+    )
+
+    media = spark.read.parquet(_gzip_fixture_path().replace("''", "'"))
+    got = {
+        r["media_id"]: r.asDict()
+        for r in gzip_header_meta(media).collect()
+    }
+    # FEXTRA before FNAME: the name start shifts past the extra field
+    assert got[8002]["filename"] == "shard-002.warc"
+    assert got[8002]["mtime"] == 2 * 86400
+    # concatenated members: header fields are the FIRST member's, the
+    # trailer ISIZE read is the LAST member's (real gzip semantics)
+    assert got[8040]["filename"] == "a.txt"
+    assert got[8040]["isize"] == len("second-member") * 9
+    # FNAME terminator past the 64-byte scan budget -> unknown
+    assert got[8041]["filename"] is None and got[8041]["isize"] == 1
+    # zero-length FNAME is an EMPTY string, not NULL
+    assert got[8042]["filename"] == "" and got[8042]["isize"] == 30
+    assert got[8043]["fmt"] == "unknown"  # CM != 8 is not a deflate member
+    # header-only: too short for any trailer
+    assert got[8044]["fmt"] == "gzip" and got[8044]["isize"] is None
+    # cut two bytes into the LE mtime: low bytes survive (0x01020304 -> 0x0304)
+    assert got[8045]["mtime"] == 0x0304 and got[8045]["os_code"] is None
+    # magic+CM only: no flag byte -> every flag-derived field unknown
+    assert got[8046]["fmt"] == "gzip" and got[8046]["is_text"] is None
+    assert got[8047]["fmt"] == "unknown"  # in-payload magic decoy

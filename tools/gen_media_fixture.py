@@ -644,6 +644,92 @@ def build_tiff_rows() -> list[tuple[int, bytes, str]]:
     return rows
 
 
+GZIP_OUT = OUT.replace("media_headers.parquet", "gzip_headers.parquet")
+
+N_GZIP = 40
+
+
+def gzip_member(
+    data: bytes,
+    fname: bytes | None = None,
+    mtime: int = 0,
+    ftext: bool = False,
+    fextra: bytes | None = None,
+    os_code: int = 3,
+    fhcrc: bool = False,
+    comment: bytes | None = None,
+) -> bytes:
+    """RFC 1952 member with a REAL deflate body (zlib raw stream, so
+    the fixture's compressed bytes are genuine, not filler) and a real
+    CRC32/ISIZE trailer."""
+    flg = (
+        (1 if ftext else 0)
+        | (2 if fhcrc else 0)
+        | (4 if fextra is not None else 0)
+        | (8 if fname is not None else 0)
+        | (16 if comment is not None else 0)
+    )
+    hdr = b"\x1f\x8b\x08" + bytes([flg]) + struct.pack("<I", mtime) + bytes([0, os_code])
+    if fextra is not None:
+        hdr += struct.pack("<H", len(fextra)) + fextra
+    if fname is not None:
+        hdr += fname + b"\x00"
+    if comment is not None:
+        hdr += comment + b"\x00"
+    if fhcrc:
+        hdr += struct.pack("<H", zlib.crc32(hdr) & 0xFFFF)
+    comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+    body = comp.compress(data) + comp.flush()
+    return hdr + body + struct.pack(
+        "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) % 2**32
+    )
+
+
+def build_gzip_rows() -> list[tuple[int, bytes, str]]:
+    """gzip fixture (m09): real deflate members varying FLG combos,
+    names, mtimes and OS codes, plus the edges — concatenated members
+    (trailer read = LAST member's ISIZE), an FNAME whose terminator
+    sits past the scan budget, a zero-length FNAME, CM!=8, header-only
+    and mid-mtime truncations, a flag-byte-missing 3-byte stub, and an
+    in-payload magic decoy."""
+    rows: list[tuple[int, bytes, str]] = []
+    for i in range(N_GZIP):
+        mid = 8000 + i
+        if i % 10 == 9:
+            rows.append((mid, f"plain-bytes-{i}".encode("ascii") * 2, "raw"))
+            continue
+        data = bytes((k * 17 + i) % 251 for k in range((i + 1) * 37 % 400 + 5))
+        rows.append((
+            mid,
+            gzip_member(
+                data,
+                fname=f"shard-{i:03d}.warc".encode("ascii") if i % 3 else None,
+                mtime=i * 86400,
+                ftext=i % 4 == 1,
+                fextra=b"RA\x04\x00abcd" if i % 5 == 2 else None,
+                os_code=(3, 0, 255)[i % 3],
+                fhcrc=i % 7 == 3,
+                comment=b"round-trip" if i % 6 == 4 else None,
+            ),
+            "gzip",
+        ))
+    edge = 8000 + N_GZIP
+    two = gzip_member(b"first" * 20, fname=b"a.txt") + gzip_member(
+        b"second-member" * 9, fname=b"b.txt"
+    )
+    rows += [
+        (edge, two, "gzip"),                                   # concatenated
+        (edge + 1, gzip_member(b"x", fname=b"A" * 80), "gzip"),  # name > budget
+        (edge + 2, gzip_member(b"y" * 30, fname=b""), "gzip"),   # empty name
+        (edge + 3, b"\x1f\x8b\x07" + bytes(15), "lzh"),          # CM != 8
+        (edge + 4, gzip_member(b"z" * 50)[:10], "gzip"),         # header only
+        (edge + 5, gzip_member(b"w" * 50, mtime=0x01020304)[:6], "gzip"),  # cut mid-mtime
+        (edge + 6, b"\x1f\x8b\x08", "gzip"),                     # no flag byte
+        (edge + 7, b"pad:" + gzip_member(b"q" * 9), "raw"),      # decoy magic
+    ]
+    return rows
+
+
 def main() -> None:
     _write(build_rows(), "image", OUT)
     _write(build_audio_rows(), "audio", AUDIO_OUT)
@@ -651,6 +737,7 @@ def main() -> None:
     _write(build_mp3_rows(), "audio", MP3_OUT)
     _write(build_mp4_rows(), "video", MP4_OUT)
     _write(build_tiff_rows(), "image", TIFF_OUT)
+    _write(build_gzip_rows(), "archive", GZIP_OUT)
 
 
 if __name__ == "__main__":
