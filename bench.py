@@ -183,6 +183,7 @@ HEADLINE = (
     "d16_line_dedup",
     "m08_tiff_header_meta",
     "m09_gzip_header_meta",
+    "v27_fully_trained_ivf_pq",
 )
 
 

@@ -396,8 +396,14 @@ def _pq_codes_expr(vec, codebooks):
     """Codes Column for an arbitrary vector expression: per subspace,
     the 0-based index of the L2-nearest codebook centroid (first index
     wins ties — mirrored by the oracle's ``ORDER BY dist, c``)."""
-    dsub = len(codebooks[0][0])
-    books = _pq_lit_books(codebooks)
+    return _pq_codes_from_books(vec, _pq_lit_books(codebooks), len(codebooks[0][0]))
+
+
+def _pq_codes_from_books(vec, books, dsub: int):
+    """The codes expression over an arbitrary ``books`` Column (nested
+    m × ksub × dsub arrays — literal or collapsed from a trained
+    codebook frame); shared by the literal and frame serve paths so
+    their encode semantics cannot drift."""
 
     def code_for(j_col, book):
         sub = F.slice(vec, j_col * dsub + 1, dsub)
@@ -614,23 +620,30 @@ def ivf_pq_topk_frame(
     corpus: DataFrame,
     queries: DataFrame,
     centroids_df: DataFrame,
-    codebooks: list[list[list[float]]],
+    codebooks,
     k: int = 10,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dsub: int | None = None,
 ) -> DataFrame:
     """``ivf_pq_topk`` with the coarse quantizer as a TRAINED centroid
     FRAME (the ``kmeans_centroids`` output) instead of frozen literals —
     the closed training loop extended over the COMPRESSED index family:
     v19 trains the coarse quantizer at cluster scale, v22 searches flat
-    under it, and this searches the residual-PQ index under it.  The
-    residual codebooks stay a tiny driver-trained literal (they are a
-    sample-trained m × ksub × dsub constant by design, like the v12/v13
-    model); only the coarse lists come from the trained frame, and no
-    coarse centroid ever round-trips through the driver.
+    under it, and this searches the residual-PQ index under it.
+    ``codebooks`` is either the tiny driver-trained literal (a
+    sample-trained m × ksub × dsub constant, the v12/v13 model — the
+    production FAISS split) or a TRAINED codebook FRAME from
+    ``pq_codebooks_frame`` (pass ``dsub`` explicitly then): the frame
+    collapses onto one 1-row broadcast of nested m × ksub × dsub
+    arrays exactly like the coarse frame, so with both frames supplied
+    NO part of the quantization stack round-trips through the driver.
+    The two paths share one encode/LUT expression
+    (``_pq_codes_from_books``), so their semantics cannot drift —
+    frame-vs-literal parity is pinned on identical codebook content.
 
     Identical binning/probing/ADC semantics to the literal variant
     (max-dot assignment with first-position tie-break; per-query probe
@@ -653,23 +666,41 @@ def ivf_pq_topk_frame(
         ).alias("__cs")
     )
     cents = F.transform(F.col("__cs"), lambda s: s["c"])
-    dsub = len(codebooks[0][0])
+    frame_books = isinstance(codebooks, DataFrame)
+    if frame_books:
+        if dsub is None:
+            raise ValueError("dsub is required when codebooks is a frame")
+        bframe = (
+            codebooks.groupBy("j")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("c"), F.col("codebook")))
+                ).alias("bk")
+            )
+            .agg(
+                F.array_sort(F.collect_list(F.struct(F.col("j"), F.col("bk")))).alias(
+                    "__bj"
+                )
+            )
+        )
+        books = F.transform(
+            F.col("__bj"), lambda s: F.transform(s["bk"], lambda t: t["codebook"])
+        )
+    else:
+        dsub = len(codebooks[0][0])
+        books = _pq_lit_books(codebooks)
     vec = F.col(vec_col)
     idx = _nearest_centroid(vec, cents)
     resid = F.zip_with(vec, F.element_at(cents, idx + 1), lambda a, b: a - b)
-    assigned = (
-        fan_out(corpus)
-        .crossJoin(F.broadcast(cframe))
-        .select(
-            F.col(id_col),
-            F.element_at(F.col("__cs"), (idx + 1).cast("int"))["cluster"].alias(
-                "cid"
-            ),
-            _pq_codes_expr(resid, codebooks).alias("pq_codes"),
-        )
+    corpus_side = fan_out(corpus).crossJoin(F.broadcast(cframe))
+    if frame_books:
+        corpus_side = corpus_side.crossJoin(F.broadcast(bframe))
+    assigned = corpus_side.select(
+        F.col(id_col),
+        F.element_at(F.col("__cs"), (idx + 1).cast("int"))["cluster"].alias("cid"),
+        _pq_codes_from_books(resid, books, dsub).alias("pq_codes"),
     )
     qvec = F.col(query_vec_col)
-    books = _pq_lit_books(codebooks)
     lut = F.transform(
         books,
         lambda book, j: F.transform(
@@ -683,8 +714,11 @@ def ivf_pq_topk_frame(
         F.col("__cs"),
         lambda s: F.struct(dot(qvec, s["c"]).alias("s"), s["cluster"].alias("i")),
     )
+    query_side = queries.crossJoin(F.broadcast(cframe))
+    if frame_books:
+        query_side = query_side.crossJoin(F.broadcast(bframe))
     probes = (
-        queries.crossJoin(F.broadcast(cframe))
+        query_side
         .select(
             F.col(query_id_col),
             lut.alias("__lut"),
@@ -764,7 +798,7 @@ def ivf_pq_rescore_topk_frame(
     corpus: DataFrame,
     queries: DataFrame,
     centroids_df: DataFrame,
-    codebooks: list[list[list[float]]],
+    codebooks,
     k: int = 10,
     nprobe: int = 4,
     rescore_factor: int = 4,
@@ -772,6 +806,7 @@ def ivf_pq_rescore_topk_frame(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    dsub: int | None = None,
 ) -> DataFrame:
     """``ivf_pq_rescore_topk`` with the coarse quantizer as a TRAINED
     centroid frame — the complete production retrieval stack (index +
@@ -781,13 +816,15 @@ def ivf_pq_rescore_topk_frame(
     pool via the same broadcast joins as the literal variant.  Floats
     are read for candidates only; everything scale-relevant (coarse
     pruning, m-byte codes, keyless-aggregate centroid broadcast) is
-    inherited from ``ivf_pq_topk_frame``.
+    inherited from ``ivf_pq_topk_frame`` — including the codebook
+    FRAME mode (pass ``dsub`` with it).
     Returns (query_id, rank, vec_id, dot) — exact inner products."""
     cand = ivf_pq_topk_frame(
         corpus, queries, centroids_df, codebooks,
         k=k * rescore_factor, nprobe=nprobe,
         id_col=id_col, vec_col=vec_col,
         query_id_col=query_id_col, query_vec_col=query_vec_col,
+        dsub=dsub,
     ).select(query_id_col, id_col)
     rescored = (
         corpus.join(F.broadcast(cand), id_col)
@@ -1241,6 +1278,129 @@ def kmeans_centroids(
     return centroids.select(
         F.col("cluster").cast("int").alias("cluster"),
         F.col("__c").alias("centroid"),
+    )
+
+
+def residuals_frame(
+    corpus: DataFrame,
+    centroids_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    resid_col: str = "resid",
+) -> DataFrame:
+    """Residuals ``x − c_assigned`` under a TRAINED coarse quantizer
+    frame — the training INPUT for residual-PQ codebooks, computed with
+    the exact assignment semantics the serve path uses (max-dot argmin,
+    first-position tie-break — ``_nearest_centroid``), so what the
+    codebooks train on is what the index later encodes.  One scan-local
+    pass against the keyless-aggregate centroid broadcast; centroid
+    means are 1e-6-snapped by the Lloyd loop, so the subtraction is
+    bit-reproducible cross-engine.  Returns (id, resid)."""
+    cframe = centroids_df.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cluster"), F.col("centroid").alias("c")))
+        ).alias("__cs")
+    )
+    cents = F.transform(F.col("__cs"), lambda s: s["c"])
+    vec = F.col(vec_col)
+    idx = _nearest_centroid(vec, cents)
+    return (
+        corpus.crossJoin(F.broadcast(cframe))
+        .select(
+            F.col(id_col),
+            F.zip_with(vec, F.element_at(cents, idx + 1), lambda a, b: a - b).alias(
+                resid_col
+            ),
+        )
+    )
+
+
+def pq_codebooks_frame(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "resid",
+    dims: int = 64,
+) -> DataFrame:
+    """Residual-PQ codebooks trained IN-CLUSTER — the last literal in
+    the quantization stack closed: where ``train_pq_codebooks`` runs m
+    independent k-means loops on a driver-side sample, this trains ALL
+    m codebooks as ONE partitioned Lloyd loop over the full residual
+    table, with the subspace index as just another grouping key.  Per
+    round the job count is the same as ``kmeans_lloyd``'s — one
+    assignment scan (subvectors equi-joined to the broadcast m·ksub
+    codebook frame on the subspace key, ``min_by`` argmin) and one
+    re-estimation shuffle (posexplode to (j, c, dim) partial means) —
+    so an m of 8 or 64 costs the same number of stages; only row width
+    changes.  Determinism mirrors ``kmeans_lloyd`` exactly so a SQL
+    oracle replays every round: init = each subspace's slices of the
+    ``ksub`` smallest ids, distances snapped to the 1e-9 grid with the
+    code-index tie-break, per-dim means snapped to 1e-6, empty codes
+    keep their previous centroid.  Returns (j, c, codebook) —
+    ``ivf_pq_topk_frame(codebooks=<this>, dsub=dims//m)`` serves it.
+    """
+    from realtimechurnpredictiondataengineering_spark.cache import (
+        persist_tracked as _persist,
+        stats_free_checkpoint,
+    )
+
+    if dims % m:
+        raise ValueError(f"dims {dims} not divisible by m={m}")
+    dsub = dims // m
+    sub = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda j: F.slice(F.col(vec_col).cast("array<double>"), j * dsub + 1, dsub),
+                )
+            ).alias("j", "__v"),
+        )
+    ).transform(_persist)
+    w_init = Window.partitionBy("j").orderBy(id_col)
+    books = stats_free_checkpoint(
+        sub.withColumn("__rn", F.row_number().over(w_init))
+        .filter(F.col("__rn") <= ksub)
+        .select(
+            "j",
+            (F.col("__rn") - 1).cast("int").alias("c"),
+            F.col("__v").alias("__c"),
+        )
+    )
+    for _ in range(rounds):
+        assigned = (
+            sub.join(F.broadcast(books), "j")
+            .select(F.col(id_col), "j", "__v", "c", _lloyd_dist().alias("__d"))
+            .groupBy(id_col, "j")
+            .agg(
+                F.min_by("c", F.struct("__d", "c")).alias("c"),
+                F.first("__v").alias("__v"),
+            )
+        )
+        means = (
+            assigned.select("j", "c", F.posexplode("__v").alias("dim", "__x"))
+            .groupBy("j", "c", "dim")
+            .agg(F.round(F.avg("__x"), 6).alias("__m"))
+            .groupBy("j", "c")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "__m"))),
+                    lambda s: s["__m"],
+                ).alias("__new")
+            )
+        )
+        books = stats_free_checkpoint(
+            books.join(means, ["j", "c"], "left").select(
+                "j", "c", F.coalesce("__new", "__c").alias("__c")
+            )
+        )
+    return books.select(
+        F.col("j").cast("int").alias("j"),
+        F.col("c").cast("int").alias("c"),
+        F.col("__c").alias("codebook"),
     )
 
 

@@ -1602,27 +1602,31 @@ def v22(spark, sf_dir):
     )
 
 
-def _v25_chain(k: int = 8, rounds: int = 3) -> str:
+def _v25_chain(k: int = 8, rounds: int = 3, cb_block: str | None = None) -> str:
     # v19's unrolled training CTEs through the trained centroid table
     # (the v21/v22 slicing trick), then v13's residual-PQ serve chain
     # with cents sourced from that table instead of VALUES literals —
     # the compressed index under the cluster-trained coarse quantizer,
     # one SQL source of truth across train and serve (and across v25's
-    # top-k and v26's rescore, which share this chain through
-    # ``ranked``).  The residual codebooks stay the frozen
-    # sample-trained literals (the v13 model), exactly like the engine
-    # side.
-    _, books = _ivfpq_model()
-    brows = ",\n".join(
-        f"({j}, {c}, [{', '.join(repr(x) for x in cent)}])"
-        for j, book in enumerate(books)
-        for c, cent in enumerate(book)
-    )
+    # top-k, v26's rescore, and v27's fully-trained variant, which all
+    # share this chain through ``ranked``).  ``cb_block`` overrides the
+    # codebook source: None = the frozen sample-trained literals (the
+    # v13 model, exactly like the engine side of v25/v26); v27 injects
+    # its unrolled per-subspace training CTEs ending in ``cb`` — the
+    # block sits AFTER ``resid`` so a trained-codebook chain can read
+    # the residuals.
     d = _PQ_DSUB
+    if cb_block is None:
+        _, books = _ivfpq_model()
+        brows = ",\n".join(
+            f"({j}, {c}, [{', '.join(repr(x) for x in cent)}])"
+            for j, book in enumerate(books)
+            for c, cent in enumerate(book)
+        )
+        cb_block = f"cb(j, c, cbv) AS (VALUES {brows})"
     base = _v19_sql(k, rounds)
     prefix = base[: base.rindex(",\naf AS")]
     return f"""{prefix},
-cb(j, c, cbv) AS (VALUES {brows}),
 cents AS (SELECT cluster AS cid, c AS cv FROM c{rounds}),
 assigned AS (
   SELECT vec_id, cid FROM (
@@ -1636,6 +1640,7 @@ resid AS (
          list_transform(list_zip(v.x, ct.cv), p -> p[1] - p[2]) AS r
   FROM v JOIN assigned a USING (vec_id) JOIN cents ct USING (cid)
 ),
+{cb_block},
 dists AS (
   SELECT resid.vec_id, cb.j, cb.c,
          list_distance(r[cb.j*{d}+1 : cb.j*{d}+{d}], cb.cbv) AS dist
@@ -1748,6 +1753,85 @@ def v25(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = similarity.ivf_pq_topk_frame(ed, qs, cents, books, k=5, nprobe=4)
+    return out.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "adc_dot"
+    )
+
+
+def _v27_sql(k: int = 8, rounds: int = 3, book_rounds: int = 2) -> str:
+    # v25's serve chain verbatim, with the codebook source swapped from
+    # VALUES literals to an unrolled per-subspace Lloyd loop over the
+    # RESIDUALS — the twin of pq_codebooks_frame's partitioned training
+    # (subspace index as a grouping key), injected through _v25_chain's
+    # cb_block so train and serve share one SQL source of truth.
+    # Determinism mirrors the engine: init = each subspace's slices of
+    # the ksub smallest ids, 1e-9 distance grid with code-index
+    # tie-break, 1e-6 mean grid, empty codes keep their centroid.
+    m, ksub, d = _PQ_M, _PQ_KSUB, _PQ_DSUB
+    dist = (
+        f"round(list_sum(list_transform(range(1, {d + 1}), "
+        f"i -> (s.sv[i] - b.cb[i]) * (s.sv[i] - b.cb[i]))), 9)"
+    )
+    ctes = [
+        f"""sub AS (SELECT r.vec_id, t.j, r.r[t.j*{d}+1 : t.j*{d}+{d}] AS sv
+       FROM resid r, LATERAL (SELECT unnest(range(0, {m})) AS j) t)""",
+        f"""b0 AS (SELECT j, CAST(row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS INT) AS c,
+              sv AS cb
+       FROM sub WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT {ksub}))""",
+    ]
+    for r in range(1, book_rounds + 1):
+        ctes.append(f"""pa{r} AS (SELECT vec_id, j, sv, c FROM (
+         SELECT s.vec_id, s.j, s.sv, b.c,
+                row_number() OVER (PARTITION BY s.vec_id, s.j
+                                   ORDER BY {dist}, b.c) AS rn
+         FROM sub s JOIN b{r - 1} b USING (j)) WHERE rn = 1)""")
+        ctes.append(f"""pm{r} AS (SELECT j, c, t.dim, round(avg(sv[t.dim]), 6) AS mv
+       FROM pa{r}, LATERAL (SELECT unnest(range(1, {d + 1})) AS dim) t
+       GROUP BY 1, 2, 3)""")
+        ctes.append(f"""b{r} AS (SELECT p.j, p.c, coalesce(n.cb, p.cb) AS cb
+       FROM b{r - 1} p LEFT JOIN
+            (SELECT j, c, list(mv ORDER BY dim) AS cb FROM pm{r} GROUP BY 1, 2) n
+       USING (j, c))""")
+    ctes.append(f"cb AS (SELECT j, c, cb AS cbv FROM b{book_rounds})")
+    block = ",\n".join(ctes)
+    return f"""{_v25_chain(k, rounds, cb_block=block)}
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, adc_dot
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("v27_fully_trained_ivf_pq", _v27_sql)
+def v27(spark, sf_dir):
+    # The quantization stack with ZERO literals: v19's Lloyd loop
+    # trains the coarse quantizer at cluster scale (v25's move), then
+    # the residual codebooks THEMSELVES train in-cluster — all m of
+    # them as ONE partitioned Lloyd loop over the full residual table,
+    # the subspace index just another grouping key, so per round the
+    # job count equals a single k-means regardless of m
+    # (operators/similarity.py:residuals_frame, pq_codebooks_frame).
+    # Serve is ivf_pq_topk_frame in codebook-FRAME mode: both the
+    # k-row coarse frame and the m·ksub-row codebook frame collapse
+    # onto 1-row broadcasts, so no part of the model ever round-trips
+    # through the driver — beyond the FAISS split v25 documents
+    # (sample-trained codebooks), for the regime where even the
+    # codebook training sample is corpus-scale.  Encode/LUT
+    # expressions are shared with the literal path
+    # (_pq_codes_from_books), frame-vs-literal parity pinned in tests;
+    # twin = v25's serve SQL with the codebook VALUES swapped for
+    # unrolled per-subspace training CTEs over the residuals.
+    e = _te(spark, sf_dir)
+    cents = similarity.kmeans_centroids(e, k=8, rounds=3)
+    ed = e.select("vec_id", _as_double("embedding").alias("embedding"))
+    resid = similarity.residuals_frame(ed, cents)
+    books = similarity.pq_codebooks_frame(
+        resid, m=_PQ_M, ksub=_PQ_KSUB, rounds=2, dims=64
+    )
+    qs = ed.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = similarity.ivf_pq_topk_frame(
+        ed, qs, cents, books, k=5, nprobe=4, dsub=_PQ_DSUB
+    )
     return out.select(
         "query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "adc_dot"
     )
@@ -8709,13 +8793,15 @@ def w09(spark, sf_dir):
 # line-level dedup over the committed multi-line fixture),
 # m08_tiff_header_meta (endian-dispatched TIFF IFD scan) and
 # m09_gzip_header_meta (gzip member decode — terminator scan + trailer
-# read) rotate IN per the standing new-code-faces-the-gate rule;
-# h16_supplier_part_count, h12_shipping_lateness and
-# h19_disjunctive_predicates step back to the round-13 backlog for
-# them (each harness-green every round; their join/filter/conditional-
-# agg shapes stay in-window via the fourteen other h-rows and f01/f09).
-# The window stays 41/50 = 82% never-driver-checked, inside the
-# round-11 verdict's >=80% ask.  The two
+# read) and v27_fully_trained_ivf_pq (in-cluster residual codebooks —
+# the quantization stack with zero literals) rotate IN per the
+# standing new-code-faces-the-gate rule; h16_supplier_part_count,
+# h12_shipping_lateness, h19_disjunctive_predicates and
+# h15_top_supplier step back to the round-13 backlog for them (each
+# harness-green every round; their join/filter/conditional-agg shapes
+# stay in-window via the thirteen other h-rows and f01/f09).
+# The window stays 40/50 = 80% never-driver-checked, meeting the
+# round-11 verdict's >=80% ask exactly.  The two
 # never-checked entries deliberately left out are a11/a15: approximate
 # sketch estimates (HLL) have no honest cross-engine value twin — a
 # DuckDB HLL is a different estimator — so they are rows-only by
@@ -8727,6 +8813,7 @@ def w09(spark, sf_dir):
 # every row driver-green in round 11, all still value-checked by
 # tests/oracle_harness.py.
 PRIORITY: tuple[str, ...] = (
+    "v27_fully_trained_ivf_pq",
     "v26_trained_ivf_pq_rescore",
     "v25_trained_ivf_pq",
     "ll14_streaming_corpus_ingest",
@@ -8746,7 +8833,6 @@ PRIORITY: tuple[str, ...] = (
     "h11_important_parts",
     "h13_customer_distribution",
     "h14_promo_revenue",
-    "h15_top_supplier",
     "h17_small_quantity_revenue",
     "h18_large_volume_customer",
     "h22_global_sales_opportunity",

@@ -466,3 +466,79 @@ def test_gzip_header_meta_values(spark):
     # magic+CM only: no flag byte -> every flag-derived field unknown
     assert got[8046]["fmt"] == "gzip" and got[8046]["is_text"] is None
     assert got[8047]["fmt"] == "unknown"  # in-payload magic decoy
+
+
+# --- v27: fully cluster-trained IVF-PQ ---------------------------------------
+
+
+def test_ivf_pq_frame_codebooks_match_literal_path(spark):
+    # the codebook-FRAME serve mode must be bit-identical to the
+    # literal mode on the SAME codebook content: both paths share one
+    # encode/LUT expression, this pins the frame collapse itself
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        ivf_pq_topk_frame,
+        kmeans_centroids,
+        train_pq_codebooks,
+    )
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import _te
+
+    from pyspark.sql import functions as F
+
+    e = _te(spark, "/root/testdata/sf0.001")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = kmeans_centroids(ed, k=4, rounds=2)
+    books = train_pq_codebooks(
+        [r["embedding"] for r in ed.limit(64).collect()], m=8, ksub=4
+    )
+    bframe = spark.createDataFrame(
+        [(j, c, cent) for j, book in enumerate(books) for c, cent in enumerate(book)],
+        "j int, c int, codebook array<double>",
+    )
+    qs = ed.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    lit_rows = sorted(
+        tuple(r) for r in ivf_pq_topk_frame(ed, qs, cents, books, k=5, nprobe=2).collect()
+    )
+    frame_rows = sorted(
+        tuple(r)
+        for r in ivf_pq_topk_frame(
+            ed, qs, cents, bframe, k=5, nprobe=2, dsub=8
+        ).collect()
+    )
+    assert lit_rows == frame_rows and len(lit_rows) > 0
+
+
+def test_pq_codebooks_frame_matches_per_slice_kmeans(spark):
+    # the partitioned loop (subspace as a grouping key) must train the
+    # SAME codebook per subspace as the trusted single k-means run on
+    # that subspace's slice frame — same init rule, grids, tie-breaks
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        kmeans_centroids,
+        pq_codebooks_frame,
+    )
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import _te
+
+    from pyspark.sql import functions as F
+
+    e = _te(spark, "/root/testdata/sf0.001")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    got = {
+        (r["j"], r["c"]): r["codebook"]
+        for r in pq_codebooks_frame(
+            ed, m=4, ksub=3, rounds=2, vec_col="vec", dims=64
+        ).collect()
+    }
+    assert len(got) == 4 * 3
+    for j in (0, 3):
+        sliced = ed.select(
+            "vec_id", F.slice("vec", j * 16 + 1, 16).alias("sv")
+        )
+        ref = {
+            r["cluster"]: r["centroid"]
+            for r in kmeans_centroids(
+                sliced, k=3, rounds=2, vec_col="sv"
+            ).collect()
+        }
+        for c in range(3):
+            assert got[(j, c)] == ref[c], (j, c)
