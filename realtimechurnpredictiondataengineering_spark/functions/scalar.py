@@ -83,10 +83,29 @@ def pseudo_score(col: Column | str, buckets: int = 10) -> Column:
     return (F.ascii(F.substring(F.md5(c), 1, 1)) % buckets) / float(buckets)
 
 
+def portable_round2(col: Column) -> Column:
+    """Round to cents by PURE BINARY arithmetic — ``floor(x*100+0.5)/100``
+    — so both engines compute the identical double from the identical
+    input.  ``F.round`` cannot give that guarantee across engines:
+    Spark rounds the SHORTEST DECIMAL REPRESENTATION of the double
+    (``BigDecimal.valueOf``), DuckDB rounds the binary value, so a
+    quotient whose double sits a half-ulp under ``x.xx5`` (printed
+    "x.xx5") rounds UP in Spark and DOWN in DuckDB.  Invisible at small
+    scale, but the round-12 sf0.1 sweep (10x the driver gate) caught 4
+    registry entries landing rows on exactly such boundaries — all in
+    ARPU-derived columns.  For non-negative inputs this equals half-up
+    rounding of the binary value; use it on any rounded RATIO column
+    that feeds a cross-engine value check at arbitrary scale.  The
+    DuckDB twin spells it ``floor((x) * 100 + 0.5) / 100``."""
+    return F.floor(col * F.lit(100) + F.lit(0.5)) / F.lit(100)
+
+
 def arpu(revenue: Column, sessions: Column) -> Column:
     """P12 — average revenue per (session+1) (Gold1.py:83); the +1 keeps
-    zero-session customers finite instead of null/inf."""
-    return round2(revenue / (sessions + F.lit(1)))
+    zero-session customers finite instead of null/inf.  Rounded via
+    ``portable_round2``: the quotient is exactly the shape that lands
+    on cross-engine half-ulp boundaries at scale."""
+    return portable_round2(revenue / (sessions + F.lit(1)))
 
 
 def row_json(*cols: str) -> Column:

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from realtimechurnpredictiondataengineering_spark.functions.scalar import arpu, round2
+from realtimechurnpredictiondataengineering_spark.functions.scalar import (
+    arpu,
+    portable_round2,
+    round2,
+)
 from realtimechurnpredictiondataengineering_spark.operators.joins import broadcast_dim_join, left_enrich
 from realtimechurnpredictiondataengineering_spark.sources.batch import load_table
 
@@ -105,9 +109,12 @@ def event_features(events: DataFrame, as_of: Column) -> DataFrame:
         .agg(
             F.max("ts").alias("_last_seen"),
             F.count("*").alias("sessions"),
-            round2(F.sum(F.when(is_decline, F.col("value")))).alias("total_declined"),
-            round2(F.avg(F.when(is_decline, F.col("value")))).alias("avg_declined"),
-            round2(F.avg(F.when(is_ticket, F.col("value")))).alias("avg_resolution_time"),
+            # portable cents-round on the money/ratio display columns:
+            # the round-12 sf0.1 sweep caught round(avg(value), 2) rows
+            # landing on cross-engine half-ulp boundaries at 10x scale
+            portable_round2(F.sum(F.when(is_decline, F.col("value")))).alias("total_declined"),
+            portable_round2(F.avg(F.when(is_decline, F.col("value")))).alias("avg_declined"),
+            portable_round2(F.avg(F.when(is_ticket, F.col("value")))).alias("avg_resolution_time"),
             F.round(F.avg(F.when(is_ticket, bucket)) / 10.0, 4).alias("avg_ticket_sentiment"),
         )
         .select(

@@ -157,12 +157,12 @@ WITH revenue AS (
   FROM events GROUP BY 1
 ), declines AS (
   SELECT user_id AS customer_id,
-         round(sum(value), 2) AS total_declined,
-         round(avg(value), 2) AS avg_declined
+         floor(sum(value) * 100 + 0.5) / 100 AS total_declined,
+         floor(avg(value) * 100 + 0.5) / 100 AS avg_declined
   FROM events WHERE event_type = 'error' GROUP BY 1
 ), support AS (
   SELECT user_id AS customer_id,
-         round(avg(value), 2) AS avg_resolution_time,
+         floor(avg(value) * 100 + 0.5) / 100 AS avg_resolution_time,
          round(avg(ascii(substr(md5(props), 1, 1)) % 10) / 10.0, 4) AS avg_ticket_sentiment
   FROM events WHERE event_type = 'signup' GROUP BY 1
 )
@@ -179,7 +179,7 @@ SELECT c.c_custkey AS customer_id,
        d.total_declined,
        d.avg_declined,
        s.avg_ticket_sentiment,
-       round(coalesce(r.total_revenue, 0.0) / (coalesce(a.sessions, 0) + 1), 2) AS arpu,
+       floor((coalesce(r.total_revenue, 0.0) / (coalesce(a.sessions, 0) + 1)) * 100 + 0.5) / 100 AS arpu,
        CAST(coalesce(a.days_since_last_login, 999) > 14 AND coalesce(a.sessions, 0) < 5 AS INT) AS churn_risk
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -548,14 +548,20 @@ def p11(spark, sf_dir):
 
 @register(
     "p12_arpu",
-    "SELECT user_id, round(round(sum(value), 2) / (count(*) + 1), 2) AS arpu FROM events "
+    # outer cents-round is the portable floor form: the per-user
+    # revenue/sessions quotient is exactly the shape the sf0.1 sweep
+    # caught landing on cross-engine half-ulp round boundaries
+    "SELECT user_id, floor((round(sum(value), 2) / (count(*) + 1)) * 100 + 0.5) / 100"
+    " AS arpu FROM events "
     "WHERE event_type = 'purchase' GROUP BY user_id",
 )
 def p12(spark, sf_dir):
     # P12 — ARPU: revenue / (sessions + 1) (Gold1.py:83).
+    from realtimechurnpredictiondataengineering_spark.functions.scalar import portable_round2
+
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     return e.groupBy("user_id").agg(
-        round2(round2(F.sum("value")) / (F.count("*") + 1)).alias("arpu")
+        portable_round2(round2(F.sum("value")) / (F.count("*") + 1)).alias("arpu")
     )
 
 
@@ -6168,7 +6174,7 @@ signup AS (
          CAST(datediff('day', CAST(min(ts) AS DATE),
                        CAST(TIMESTAMP '{DEFAULT_AS_OF}' AS DATE)) AS INT)
            AS signup_days_ago,
-         round(avg(value), 2) AS avg_resolution_time
+         floor(avg(value) * 100 + 0.5) / 100 AS avg_resolution_time
   FROM events WHERE event_type = 'signup' GROUP BY 1
 )
 SELECT s.customer_id, s.avg_resolution_time, g.avg_ticket_sentiment

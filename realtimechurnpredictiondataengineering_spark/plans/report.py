@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtimechurnpredictiondataengineering_spark.functions.scalar import portable_round2
 from realtimechurnpredictiondataengineering_spark.plans.gold import DEFAULT_AS_OF, churn_features
 from realtimechurnpredictiondataengineering_spark.sources.batch import load_table
 
@@ -77,7 +78,7 @@ def _signup_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.lit(DEFAULT_AS_OF).cast("timestamp"), F.min("ts")).alias(
                 "signup_days_ago"
             ),
-            F.round(F.avg("value"), 2).alias("avg_resolution_time"),
+            portable_round2(F.avg("value")).alias("avg_resolution_time"),
         )
     )
 
