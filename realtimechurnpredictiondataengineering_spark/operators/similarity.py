@@ -1315,6 +1315,29 @@ def residuals_frame(
     )
 
 
+def _pq_init_books(sub, ksub: int, id_col: str):
+    """Deterministic per-subspace codebook init: the first ``ksub``
+    subvectors by id within each subspace ``j``.  The rank filter
+    relies on Spark's WindowGroupLimit pushdown (Spark 3.5+) so the
+    ``row_number() <= ksub`` prunes MAP-SIDE instead of sorting the
+    full subvector table inside each of the m partitions — at corpus
+    scale that pushdown is the difference between reading ksub rows
+    per subspace and a full per-partition sort, so its presence in
+    the physical plan is pinned by
+    ``tests/test_plan_invariants.py::test_pq_init_rank_filter_plans_as_window_group_limit``.
+    """
+    w_init = Window.partitionBy("j").orderBy(id_col)
+    return (
+        sub.withColumn("__rn", F.row_number().over(w_init))
+        .filter(F.col("__rn") <= ksub)
+        .select(
+            "j",
+            (F.col("__rn") - 1).cast("int").alias("c"),
+            F.col("__v").alias("__c"),
+        )
+    )
+
+
 def pq_codebooks_frame(
     df: DataFrame,
     m: int = 8,
@@ -1360,16 +1383,7 @@ def pq_codebooks_frame(
             ).alias("j", "__v"),
         )
     ).transform(_persist)
-    w_init = Window.partitionBy("j").orderBy(id_col)
-    books = stats_free_checkpoint(
-        sub.withColumn("__rn", F.row_number().over(w_init))
-        .filter(F.col("__rn") <= ksub)
-        .select(
-            "j",
-            (F.col("__rn") - 1).cast("int").alias("c"),
-            F.col("__v").alias("__c"),
-        )
-    )
+    books = stats_free_checkpoint(_pq_init_books(sub, ksub, id_col))
     for _ in range(rounds):
         assigned = (
             sub.join(F.broadcast(books), "j")

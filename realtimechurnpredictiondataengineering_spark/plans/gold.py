@@ -59,13 +59,17 @@ def activity_features(events: DataFrame, as_of: Column) -> DataFrame:
 
 def decline_features(events: DataFrame) -> DataFrame:
     """A2 — sum/avg over the filtered 'decline' subset (Gold1.py:71-76;
-    ``error`` events play payment_decline)."""
+    ``error`` events play payment_decline).  Rounded via
+    ``portable_round2`` (non-negative event values by the events-table
+    contract, its precondition) so the modular path and the fused
+    ``event_features`` path stay cent-identical on cross-engine
+    half-ulp boundaries."""
     return (
         events.filter(F.col("event_type") == "error")
         .groupBy(F.col("user_id").alias("customer_id"))
         .agg(
-            round2(F.sum("value")).alias("total_declined"),
-            round2(F.avg("value")).alias("avg_declined"),
+            portable_round2(F.sum("value")).alias("total_declined"),
+            portable_round2(F.avg("value")).alias("avg_declined"),
         )
     )
 
@@ -82,7 +86,10 @@ def support_features(events: DataFrame) -> DataFrame:
         events.filter(F.col("event_type") == "signup")
         .groupBy(F.col("user_id").alias("customer_id"))
         .agg(
-            round2(F.avg("value")).alias("avg_resolution_time"),
+            # portable_round2 (non-negative resolution times, its
+            # precondition): keeps this frame cent-identical to the
+            # fused event_features path on half-ulp boundaries
+            portable_round2(F.avg("value")).alias("avg_resolution_time"),
             F.round(F.avg(bucket) / 10.0, 4).alias("avg_ticket_sentiment"),
         )
     )

@@ -78,6 +78,8 @@ def _signup_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.lit(DEFAULT_AS_OF).cast("timestamp"), F.min("ts")).alias(
                 "signup_days_ago"
             ),
+            # portable_round2 precondition: resolution times are
+            # non-negative by the events-table contract
             portable_round2(F.avg("value")).alias("avg_resolution_time"),
         )
     )

@@ -106,9 +106,7 @@ def test_jpeg_walk_matches_ground_truth_on_random_layouts(
     # random APP/COM segment chains in front of SOF0: the byte-aligned
     # walk must recover the planted dimensions wherever SOF lands
     import struct
-    import sys
 
-    sys.path.insert(0, "/root/repo")
     from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
         media_header_dims,
     )
@@ -155,9 +153,7 @@ def test_riff_walk_matches_ground_truth_on_random_layouts(
     # random junk chunks (odd sizes exercise the word-align pad) before
     # fmt/data: the little-endian walk must recover the planted fields
     import struct
-    import sys
 
-    sys.path.insert(0, "/root/repo")
     from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
         audio_header_meta,
     )
@@ -263,9 +259,7 @@ def test_mp3_walk_matches_ground_truth_on_random_layouts(
     # must count exactly len(frames) — frame lengths derive from each
     # frame's OWN header, the tag skip is size-based, and trailing junk
     # ends the walk cleanly
-    import sys
 
-    sys.path.insert(0, "/root/repo")
     from tools.gen_media_fixture import MP3_BITRATES, MP3_RATES, mp3_frame
 
     from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
@@ -317,9 +311,7 @@ def test_mp4_walk_matches_ground_truth_on_random_layouts(
     # random box layouts (free padding before moov, 64-bit mdat before
     # it, v0/v1 mvhd, trailing size-0 box, planted decoys): the nested
     # walk must recover the planted timescale/duration/trak count
-    import sys
 
-    sys.path.insert(0, "/root/repo")
     from tools.gen_media_fixture import mp4_bytes
 
     from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
@@ -364,9 +356,7 @@ def test_tiff_ifd_scan_matches_ground_truth_on_random_layouts(
     # tags around the dims, gap before the IFD, offset-valued
     # BitsPerSample, trailing pixel junk): the endian-dispatched entry
     # scan must recover the planted values exactly
-    import sys
 
-    sys.path.insert(0, "/root/repo")
     from tools.gen_media_fixture import tiff_bytes
 
     from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
@@ -412,9 +402,7 @@ def test_gzip_header_scan_matches_ground_truth(
     # random RFC 1952 members (real deflate bodies, every optional-field
     # combination, byte-valued names): the header decode must recover
     # the planted fields and the trailer ISIZE exactly
-    import sys
 
-    sys.path.insert(0, "/root/repo")
     from tools.gen_media_fixture import gzip_member
 
     from realtimechurnpredictiondataengineering_spark.operators.multimodal import (

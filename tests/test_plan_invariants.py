@@ -453,3 +453,37 @@ def test_column_pruning_reaches_the_scan(spark, sf_dir):
     assert read_schemas, "expected a parquet scan with ReadSchema"
     for ln in read_schemas:
         assert "o_totalprice" not in ln and "o_orderdate" not in ln
+
+
+def test_pq_init_rank_filter_plans_as_window_group_limit(spark, sf_dir):
+    # The PQ codebook init (`row_number() over (partition by j) <= ksub`,
+    # operators/similarity.py:_pq_init_books) relies on Spark's
+    # WindowGroupLimit pushdown to prune map-side instead of sorting the
+    # FULL subvector table inside each of the m partitions.  The
+    # optimization fires on this shape in Spark 3.5+, but a version or
+    # shape change could silently turn the init into a full
+    # per-partition sort at corpus scale — pin it in the physical plan.
+    from pyspark.sql import functions as F
+
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import _pq_init_books
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dsub = 2
+    sub = emb.select(
+        F.col("vec_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda j: F.slice(
+                    F.col("embedding").cast("array<double>"), j * dsub + 1, dsub
+                ),
+            )
+        ).alias("j", "__v"),
+    )
+    plan = (
+        _pq_init_books(sub, 8, "vec_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:2000]

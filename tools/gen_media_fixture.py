@@ -726,6 +726,318 @@ def build_gzip_rows() -> list[tuple[int, bytes, str]]:
         (edge + 5, gzip_member(b"w" * 50, mtime=0x01020304)[:6], "gzip"),  # cut mid-mtime
         (edge + 6, b"\x1f\x8b\x08", "gzip"),                     # no flag byte
         (edge + 7, b"pad:" + gzip_member(b"q" * 9), "raw"),      # decoy magic
+        # non-ASCII FNAME (latin-1 'café.txt' — legal per RFC 1952,
+        # invalid UTF-8): the ASCII gate surfaces NULL on both engines
+        # instead of U+FFFD-vs-error divergence
+        (edge + 8, gzip_member(b"n" * 12, fname=b"caf\xe9.txt"), "gzip"),
+    ]
+    return rows
+
+
+BMPPX_OUT = OUT.replace("media_headers.parquet", "bmp_pixels.parquet")
+
+N_BMPPX = 40
+
+
+def bmp_pixel_bytes(
+    width: int,
+    height: int,
+    dib_size: int = 40,
+    bpp: int = 24,
+    compression: int = 0,
+    gap: int = 0,
+    seed: int = 0,
+    truncate: int = 0,
+) -> bytes:
+    """BMP with a REAL pixel array: BGR triples per pixel, every row
+    padded to a 4-byte boundary, bottom-up (height > 0) or top-down
+    (height < 0 — the spec's flag; the pixel VALUES are identical so
+    whole-image channel means are orientation-invariant).  ``gap``
+    inserts filler between the headers and the pixel data so the data
+    offset at file bytes 11-14 must actually be read, not assumed."""
+    absh = abs(height)
+    stride = (3 * width + 3) // 4 * 4
+    dib = struct.pack("<IiiHHI", dib_size, width, height, 1, bpp, compression)
+    dib += b"\x00" * (dib_size - len(dib))
+    data_off = 14 + dib_size + gap
+    out = bytearray()
+    for r in range(absh):
+        for c in range(width):
+            base = (r * width + c) * 3 + seed
+            out += bytes(((base * k + 37) % 256 for k in (7, 11, 13)))  # B,G,R
+        out += b"\xAA" * (stride - 3 * width)  # pad bytes NOT in the stats
+    pixels = bytes(out)
+    if truncate:
+        pixels = pixels[:-truncate]
+    hdr = b"BM" + struct.pack(
+        "<IHHI", 14 + dib_size + gap + len(pixels), 0, 0, data_off
+    )
+    return hdr + dib + b"\xEE" * gap + pixels
+
+
+def build_bmp_pixel_rows() -> list[tuple[int, bytes, str]]:
+    """BMP pixel fixture (m10): small 24bpp images varying width mod 4
+    (all four row-padding residues), bottom-up AND top-down, DIB
+    40/108/124, header→data gaps, plus the edges — truncated pixel
+    array, 8bpp and BI_RLE8 out-of-contract rows, a COREHEADER, a
+    pixel count past the fold budget, and dispatch checks."""
+    rows: list[tuple[int, bytes, str]] = []
+    for i in range(N_BMPPX):
+        mid = 9000 + i
+        if i % 10 == 9:
+            rows.append((mid, f"not-a-bitmap-{i}".encode("ascii") * 2, "raw"))
+            continue
+        w = 1 + (i * 5) % 12          # covers every (3*w) % 4 residue
+        h = (1 + (i * 3) % 9) * (-1 if i % 4 == 3 else 1)
+        rows.append((
+            mid,
+            bmp_pixel_bytes(
+                w, h,
+                dib_size=(40, 108, 124)[i % 3],
+                gap=(0, 4, 9)[i % 5 % 3],
+                seed=i * 17,
+            ),
+            "bmp",
+        ))
+    edge = 9000 + N_BMPPX
+    rows += [
+        # pixel array cut short: geometry decodes, stats must be NULL
+        (edge, bmp_pixel_bytes(6, 5, seed=3, truncate=7), "bmp"),
+        # 8bpp: out of the 24bpp stats contract (dims still decode)
+        (edge + 1, bmp_pixel_bytes(4, 4, bpp=8, seed=5), "bmp"),
+        # BI_RLE8 compression: stats NULL by contract
+        (edge + 2, bmp_pixel_bytes(4, 4, compression=1, seed=6), "bmp"),
+        # BITMAPCOREHEADER: out of the DIB family, NULL dims and stats
+        (edge + 3, b"BM" + struct.pack("<IHHI", 26, 0, 0, 26)
+         + struct.pack("<IHHHH", 12, 10, 5, 1, 24), "bmp"),
+        # 80x60 = 4800 px: past the 4096-px expression budget → NULL
+        # stats (the mapInPandas kernel is the at-scale path)
+        (edge + 4, bmp_pixel_bytes(80, 60, seed=9), "bmp"),
+        (edge + 5, bmp_pixel_bytes(1, 1, seed=11), "bmp"),   # single pixel
+        (edge + 6, b"BM" + struct.pack("<IHHI", 14, 0, 0, 14), "bmp"),  # no DIB
+        (edge + 7, png_bytes(21, 13, pad=3), "png"),         # dispatch check
+    ]
+    return rows
+
+
+WAVPCM_OUT = OUT.replace("media_headers.parquet", "wav_pcm.parquet")
+
+N_WAVPCM = 40
+
+
+def pcm16_samples(n: int, seed: int) -> list[int]:
+    """Deterministic signed 16-bit pattern: full-range coverage
+    including both extremes and sign changes, no RNG."""
+    out = []
+    for i in range(n):
+        v = ((i * i * 31 + i * 7919 + seed * 1013) % 65536) - 32768
+        out.append(v)
+    if n >= 2:
+        out[0], out[1] = -32768, 32767  # pin both extremes
+    return out
+
+
+def wav_pcm_bytes(
+    n_channels: int,
+    sample_rate: int,
+    n_samples: int,
+    seed: int = 0,
+    list_pad: int = 0,
+    fmt_code: int = 1,
+    bits: int = 16,
+    truncate: int = 0,
+    lie_size: int | None = None,
+) -> bytes:
+    """RIFF/WAVE with REAL 16-bit PCM samples in the data chunk.
+    ``n_samples`` counts TOTAL samples (all channels interleaved).
+    ``truncate`` cuts payload bytes after the header is written (the
+    declared data size then exceeds the payload — stats must be NULL);
+    ``lie_size`` overrides the declared data-chunk size."""
+    samples = pcm16_samples(n_samples, seed)
+    payload = struct.pack(f"<{len(samples)}h", *samples)
+    if bits == 8:
+        payload = bytes((s + 32768) // 256 for s in samples)
+    block_align = n_channels * bits // 8
+    fmt = (
+        b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack(
+            "<HHIIHH", fmt_code, n_channels, sample_rate,
+            sample_rate * block_align, block_align, bits,
+        )
+    )
+    declared = len(payload) if lie_size is None else lie_size
+    data = b"data" + struct.pack("<I", declared) + payload
+    lst = b""
+    if list_pad:
+        body = b"INFO" + (b"x" * list_pad)
+        if len(body) % 2:
+            body += b"\x00"
+        lst = b"LIST" + struct.pack("<I", len(body)) + body
+    body = b"WAVE" + lst + fmt + data
+    out = b"RIFF" + struct.pack("<I", len(body)) + body
+    if truncate:
+        out = out[:-truncate]
+    return out
+
+
+def build_wav_pcm_rows() -> list[tuple[int, bytes, str]]:
+    """WAV PCM fixture (m11): real 16-bit sample data (both extremes
+    pinned, varied lengths, LIST-shifted fmt offsets), plus the edges —
+    8-bit and IEEE-float fmt codes (out of the s16 contract), an
+    empty data chunk, a truncated payload, a declared size past the
+    payload end, a sample count past the fold budget, and junk."""
+    rows: list[tuple[int, bytes, str]] = []
+    for i in range(N_WAVPCM):
+        mid = 9500 + i
+        if i % 10 == 9:
+            rows.append((mid, f"not-a-wave-{i}".encode("ascii") * 2, "raw"))
+            continue
+        rows.append((
+            mid,
+            wav_pcm_bytes(
+                n_channels=1 + i % 2,
+                sample_rate=(8000, 16000, 44100)[i % 3],
+                n_samples=3 + (i * 29) % 220,
+                seed=i * 11,
+                list_pad=(0 if i % 3 == 0 else 5 + i % 19),
+            ),
+            "wav",
+        ))
+    edge = 9500 + N_WAVPCM
+    rows += [
+        (edge, wav_pcm_bytes(1, 8000, 40, seed=1, bits=8), "wav"),       # 8-bit
+        (edge + 1, wav_pcm_bytes(1, 8000, 40, seed=2, fmt_code=3), "wav"),  # float
+        (edge + 2, wav_pcm_bytes(1, 8000, 0, seed=3), "wav"),            # empty data
+        (edge + 3, wav_pcm_bytes(1, 8000, 60, seed=4, truncate=33), "wav"),  # cut
+        (edge + 4, wav_pcm_bytes(1, 8000, 10, seed=5, lie_size=999), "wav"),  # lie
+        # 4500 samples: past the 4096-sample expression budget → NULL
+        # stats (header fields still decode)
+        (edge + 5, wav_pcm_bytes(2, 44100, 4500, seed=6), "wav"),
+        (edge + 6, wav_pcm_bytes(1, 8000, 1, seed=7), "wav"),            # 1 sample
+        (edge + 7, b"RIFF\x08\x00\x00\x00WAVE", "wav"),                  # no chunks
+    ]
+    return rows
+
+
+WARC_OUT = OUT.replace("media_headers.parquet", "warc_members.parquet")
+
+N_WARC = 32
+
+
+def stored_member(
+    data: bytes,
+    fname: bytes | None = None,
+    mtime: int = 0,
+    os_code: int = 3,
+    multi_block: bool = False,
+    level: int | None = None,
+) -> bytes:
+    """gzip member whose deflate body is a STORED block (BTYPE=00) —
+    the one deflate shape whose content is scan-readable without a
+    codec, and the layout random-access WARC tooling relies on.
+    ``multi_block`` splits the data over two stored blocks (out of the
+    single-final-block expression contract; the zlib kernel still
+    decodes it); ``level`` emits a genuinely COMPRESSED body instead
+    (same: kernel-only).  Trailer CRC32/ISIZE are real."""
+    flg = 8 if fname is not None else 0
+    hdr = b"\x1f\x8b\x08" + bytes([flg]) + struct.pack("<I", mtime) + bytes([0, os_code])
+    if fname is not None:
+        hdr += fname + b"\x00"
+    if level is not None:
+        comp = zlib.compressobj(level, zlib.DEFLATED, -15)
+        body = comp.compress(data) + comp.flush()
+    elif multi_block:
+        half = len(data) // 2
+        a, b = data[:half], data[half:]
+        body = (
+            b"\x00" + struct.pack("<HH", len(a), len(a) ^ 0xFFFF) + a
+            + b"\x01" + struct.pack("<HH", len(b), len(b) ^ 0xFFFF) + b
+        )
+    else:
+        body = b"\x01" + struct.pack("<HH", len(data), len(data) ^ 0xFFFF) + data
+    return hdr + body + struct.pack(
+        "<II", zlib.crc32(data) & 0xFFFFFFFF, len(data) % 2**32
+    )
+
+
+def warc_record(
+    rec_type: str,
+    uri: str | None,
+    body: str,
+    date: str = "2024-01-15T08:00:00Z",
+) -> bytes:
+    """One WARC/1.0 record: CRLF header block (ASCII per spec), blank
+    line, content, trailing CRLF CRLF."""
+    payload = body.encode("utf-8")
+    lines = [f"WARC/1.0", f"WARC-Type: {rec_type}", f"WARC-Date: {date}"]
+    if uri is not None:
+        lines.append(f"WARC-Target-URI: {uri}")
+    lines.append(f"Content-Length: {len(payload)}")
+    hdr = "\r\n".join(lines) + "\r\n\r\n"
+    return hdr.encode("ascii") + payload + b"\r\n\r\n"
+
+
+def build_warc_rows() -> list[tuple[int, bytes, str]]:
+    """WARC shard fixture (m12/ll15): payloads of 1-4 CONCATENATED
+    stored-deflate gzip members, each wrapping one WARC record
+    (warcinfo records carry no Target-URI), plus the edges — a
+    multi-block member and a compressed member (expression walk stops,
+    zlib kernel decodes), a member whose record has binary content
+    right after the header block, a truncated final member, a missing
+    blank-line terminator inside the header window, and junk."""
+    rows: list[tuple[int, bytes, str]] = []
+    for i in range(N_WARC):
+        mid = 9800 + i
+        if i % 8 == 7:
+            rows.append((mid, f"not-a-warc-{i}".encode("ascii") * 3, "raw"))
+            continue
+        n_members = 1 + i % 4
+        parts = []
+        for k in range(n_members):
+            if k == 0 and i % 3 == 0:
+                rec = warc_record("warcinfo", None, f"software: crawler/{i}\r\n")
+            else:
+                rec = warc_record(
+                    ("response", "request", "metadata")[(i + k) % 3],
+                    f"https://example.org/page/{i}/{k}",
+                    f"content-{i}-{k} " * (1 + (i * k) % 9),
+                )
+            parts.append(
+                stored_member(
+                    rec,
+                    fname=f"rec-{i:02d}-{k}.warc".encode("ascii") if (i + k) % 2 else None,
+                    mtime=i * 3600 + k,
+                )
+            )
+        rows.append((mid, b"".join(parts), "warc"))
+    edge = 9800 + N_WARC
+    rec = warc_record("response", "https://example.org/big", "payload " * 40)
+    binrec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://example.org/bin\r\n"
+        b"Content-Length: 8\r\n\r\n" + bytes(range(248, 256)) + b"\r\n\r\n"
+    )
+    rows += [
+        # stored member then MULTI-BLOCK member: expression walk emits
+        # member 0 and stops; the zlib kernel emits both
+        (edge, stored_member(warc_record("response", "https://a.example/x", "aa"))
+         + stored_member(rec, multi_block=True), "warc"),
+        # COMPRESSED member first: expression emits nothing, kernel parses
+        (edge + 1, stored_member(rec, level=9), "warc"),
+        # binary content directly after the header block: header parse
+        # must succeed (boundary found in hex, not in decoded text)
+        (edge + 2, stored_member(binrec, fname=b"bin.warc"), "warc"),
+        # final member truncated mid-body: prior members still emit
+        (edge + 3, stored_member(warc_record("request", "https://a.example/q", "q"))
+         + stored_member(rec)[:20], "warc"),
+        # no blank line inside the 1 KiB header window → NULL fields
+        (edge + 4, stored_member(b"WARC/1.0\r\nWARC-Type: response\r\n" + b"X" * 1200),
+         "warc"),
+        # record that is not WARC at all: member enumerates, fields NULL
+        (edge + 5, stored_member(b"HTTP/1.1 200 OK\r\n\r\nhello"), "warc"),
+        (edge + 6, b"\x1f\x8b\x08", "warc"),          # bare magic, no header
+        (edge + 7, b"lead-in" + stored_member(rec), "raw"),  # decoy offset
     ]
     return rows
 
@@ -738,6 +1050,9 @@ def main() -> None:
     _write(build_mp4_rows(), "video", MP4_OUT)
     _write(build_tiff_rows(), "image", TIFF_OUT)
     _write(build_gzip_rows(), "archive", GZIP_OUT)
+    _write(build_bmp_pixel_rows(), "image", BMPPX_OUT)
+    _write(build_wav_pcm_rows(), "audio", WAVPCM_OUT)
+    _write(build_warc_rows(), "archive", WARC_OUT)
 
 
 if __name__ == "__main__":
