@@ -184,10 +184,12 @@ HEADLINE = (
     "m08_tiff_header_meta",
     "m09_gzip_header_meta",
     "v27_fully_trained_ivf_pq",
-    # round 13: the pixel/sample/record CONTENT decodes
+    # round 13: the pixel/sample/record CONTENT decodes + the crawl
+    # front-door ingest chain
     "m10_bmp_pixel_stats",
     "m11_wav_pcm_stats",
     "m12_warc_stored_records",
+    "ll15_warc_ingest",
 )
 
 

@@ -83,23 +83,14 @@ RECORD_SCHEMA = T.StructType(
 )
 
 
-def warc_stored_records(media: DataFrame) -> DataFrame:
-    """Segment concatenated STORED-deflate gzip members and parse each
-    member's WARC header block — one output row per member, all in
-    whole-stage codegen (see module docstring for the contract).
-
-    Walk state is (position, members-so-far, still-valid): each step
-    verifies the member magic (1F 8B 08), reads FLG (only 0 / FNAME
-    supported — the shapes crawl writers emit), scans the FNAME
-    zero-terminator within ``_NAME_BUDGET``, requires a single FINAL
-    stored block (BTYPE=00, BFINAL=1, NLEN = ~LEN) fully present
-    including the 8-byte trailer, appends the member and jumps past
-    it.  Any violation stops the walk with prior members intact.
-
-    Truncated hex reads degrade by the family's ``conv('')`` → NULL
-    contract; FNAME and the header block are ASCII-gated on their hex
-    view (spec-compliant), so invalid UTF-8 yields NULL identically in
-    both engines instead of replacement-vs-error divergence.
+def _exploded_members(media: DataFrame) -> DataFrame:
+    """Shared first half of both WARC projections: the bounded member
+    walk (see ``warc_stored_records``) exploded to one row per stored
+    member, with the hex view staged as ``__h``, the member ordinal
+    ``member_no``, the member struct ``m`` (off/fname/blen/boff/isize)
+    and the record's header-block hex staged as ``__hh`` (the
+    alignment-safe boundary regex over a bounded window) — staged
+    columns so downstream field regexes never re-inline the walk.
     """
     h = F.hex("payload")
     n = F.length("payload").cast("long")
@@ -186,30 +177,109 @@ def warc_stored_records(media: DataFrame) -> DataFrame:
         F.col("__h"), boff * 2 - 1, F.least(blen, F.lit(_HDR_WINDOW_BYTES)) * 2
     )
     hdr_hex = F.regexp_extract(window, _HDR_BOUNDARY_RE, 1)
-    hdr = F.when(
-        hdr_hex.rlike(_ASCII_HEX_RE), F.decode(F.unhex(hdr_hex), "UTF-8")
-    )
     return exploded.select(
+        "media_id", "__h", "member_no", "m", hdr_hex.alias("__hh")
+    )
+
+
+def _hdr_col() -> F.Column:
+    """ASCII-gated decoded header block over the staged ``__hh``."""
+    hh = F.col("__hh")
+    return F.when(hh.rlike(_ASCII_HEX_RE), F.decode(F.unhex(hh), "UTF-8"))
+
+
+def _hdr_field(hdr: F.Column, pattern: str) -> F.Column:
+    return F.nullif(F.regexp_extract(hdr, pattern, 1), F.lit(""))
+
+
+def warc_stored_records(media: DataFrame) -> DataFrame:
+    """Segment concatenated STORED-deflate gzip members and parse each
+    member's WARC header block — one output row per member, all in
+    whole-stage codegen (see module docstring for the contract).
+
+    Walk state is (position, members-so-far, still-valid): each step
+    verifies the member magic (1F 8B 08), reads FLG (only 0 / FNAME
+    supported — the shapes crawl writers emit), scans the FNAME
+    zero-terminator within ``_NAME_BUDGET``, requires a single FINAL
+    stored block (BTYPE=00, BFINAL=1, NLEN = ~LEN) fully present
+    including the 8-byte trailer, appends the member and jumps past
+    it.  Any violation stops the walk with prior members intact.
+
+    Truncated hex reads degrade by the family's ``conv('')`` → NULL
+    contract; FNAME and the header block are ASCII-gated on their hex
+    view (spec-compliant), so invalid UTF-8 yields NULL identically in
+    both engines instead of replacement-vs-error divergence.
+    """
+    ex = _exploded_members(media)
+    hdr = _hdr_col()
+    return ex.select(
         "media_id",
         F.col("member_no").cast("int").alias("member_no"),
         F.col("m.off").alias("member_off"),
         F.col("m.fname").alias("fname"),
-        blen.alias("rec_bytes"),
+        F.col("m.blen").alias("rec_bytes"),
         F.col("m.isize").alias("isize"),
-        F.nullif(F.regexp_extract(hdr, r"^(WARC/[0-9.]+)", 1), F.lit("")).alias(
-            "warc_version"
+        _hdr_field(hdr, r"^(WARC/[0-9.]+)").alias("warc_version"),
+        _hdr_field(hdr, r"WARC-Type: ([^\r\n]+)").alias("warc_type"),
+        _hdr_field(hdr, r"WARC-Target-URI: ([^\r\n]+)").alias("target_uri"),
+        _hdr_field(hdr, r"Content-Length: ([0-9]+)").cast("long").alias(
+            "content_length"
         ),
-        F.nullif(
-            F.regexp_extract(hdr, r"WARC-Type: ([^\r\n]+)", 1), F.lit("")
-        ).alias("warc_type"),
-        F.nullif(
-            F.regexp_extract(hdr, r"WARC-Target-URI: ([^\r\n]+)", 1), F.lit("")
-        ).alias("target_uri"),
-        F.nullif(
-            F.regexp_extract(hdr, r"Content-Length: ([0-9]+)", 1), F.lit("")
+    )
+
+
+#: Record-content decode budget (bytes) for ``warc_text_documents`` —
+#: the documents-adapter leg; real page text at corpus scale routes
+#: through the zlib kernel, the expression leg is the oracle gate.
+_TEXT_BUDGET = 16384
+
+
+def warc_text_documents(media: DataFrame) -> DataFrame:
+    """Adapter from WARC shards to the ``documents`` shape: one row per
+    RESPONSE record with a resolvable Target-URI and fully-present
+    ASCII content — ``(doc_id, target_uri, text, rec_bytes)`` — the
+    crawl front-door that feeds the corpus-prep gates (ll15).
+
+    Content extraction is pure scan-local hex arithmetic like the rest
+    of the walk: the content bytes start right after the header block's
+    CRLF CRLF (header length = the staged boundary-regex match length),
+    run for the declared Content-Length, and decode under the family's
+    ASCII gate within ``_TEXT_BUDGET``.  ``doc_id`` packs
+    (media_id, member_no) as ``media_id * 100 + member_no`` (the walk
+    budget bounds member_no far below 100).
+    """
+    ex = _exploded_members(media)
+    hdr = _hdr_col()
+    blen = F.col("m.blen")
+    hdr_len = (F.length("__hh") / 2).cast("long")
+    content_length = _hdr_field(hdr, r"Content-Length: ([0-9]+)").cast("long")
+    fits = (
+        content_length.isNotNull()
+        & (F.col("__hh") != F.lit(""))
+        & (content_length <= F.lit(_TEXT_BUDGET))
+        & (hdr_len + 4 + content_length <= blen)
+    )
+    content_hex = F.substr(
+        F.col("__h"), (F.col("m.boff") + hdr_len + 4) * 2 - 1, content_length * 2
+    )
+    text = F.when(
+        fits & content_hex.rlike(_ASCII_HEX_RE),
+        F.decode(F.unhex(content_hex), "UTF-8"),
+    )
+    return (
+        ex.select(
+            (F.col("media_id") * 100 + F.col("member_no")).cast("long").alias("doc_id"),
+            _hdr_field(hdr, r"WARC-Type: ([^\r\n]+)").alias("warc_type"),
+            _hdr_field(hdr, r"WARC-Target-URI: ([^\r\n]+)").alias("target_uri"),
+            text.alias("text"),
+            blen.alias("rec_bytes"),
         )
-        .cast("long")
-        .alias("content_length"),
+        .filter(
+            (F.col("warc_type") == "response")
+            & F.col("target_uri").isNotNull()
+            & F.col("text").isNotNull()
+        )
+        .drop("warc_type")
     )
 
 

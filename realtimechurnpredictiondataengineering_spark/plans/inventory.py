@@ -3318,22 +3318,23 @@ def _warc_fixture_path() -> str:
     return _media_fixture_path().replace("media_headers", "warc_members")
 
 
-def _m12_sql() -> str:
-    """WARC twin: the member walk as a recursive CTE — each recursion
-    step parses one gzip member (magic, FLG, FNAME terminator scan as
-    a list expression, single final STORED deflate block, trailer) and
-    jumps past it; a staged derived table (shared between the
-    recursive term and the member projection) keeps the giant hex
-    expressions single-sourced.  Header fields parse from the hex view
-    with the SAME alignment-safe boundary regex and ASCII gates as the
-    engine."""
+def _warc_le(p: str, nb: int) -> str:
+    pairs = " || ".join(
+        f"substr(h, ({p} + {i})*2 - 1, 2)" for i in reversed(range(nb))
+    )
+    return f"TRY_CAST('0x' || {pairs} AS BIGINT)"
 
-    def le(p: str, nb: int) -> str:
-        pairs = " || ".join(
-            f"substr(h, ({p} + {i})*2 - 1, 2)" for i in reversed(range(nb))
-        )
-        return f"TRY_CAST('0x' || {pairs} AS BIGINT)"
 
+def _warc_members_cte() -> str:
+    """Shared WARC-walk WITH-body (m12 + ll15): the member walk as a
+    recursive CTE — each recursion step parses one gzip member (magic,
+    FLG, FNAME terminator scan as a list expression, single final
+    STORED deflate block, trailer) and jumps past it; a staged derived
+    table (shared between the recursive term and the member
+    projection) keeps the giant hex expressions single-sourced.  Ends
+    with ``hdrs`` (one row per member: fname/blen/boff/isize + the
+    boundary-regex ``hdr_hex`` and ASCII-gated decoded ``hdr``)."""
+    le = _warc_le
     name_scan = (
         "list_min(list_filter(list_transform(generate_series(0, 63), "
         "i -> CASE WHEN (p + 10 + i)*2 <= length(h) "
@@ -3362,16 +3363,16 @@ def _m12_sql() -> str:
     )
     fname_hex = "substr(h, (p + 10)*2 - 1, CAST(name_len*2 AS BIGINT))"
     return f"""
-WITH RECURSIVE m AS (SELECT media_id, hex(payload) AS h,
-                            octet_length(payload) AS n
-                     FROM read_parquet('{_warc_fixture_path()}')),
+m AS (SELECT media_id, hex(payload) AS h,
+             octet_length(payload) AS n
+      FROM read_parquet('{_warc_fixture_path()}')),
 walk AS (SELECT media_id, h, n, CAST(0 AS INT) AS member_no,
                 CAST(1 AS BIGINT) AS p
          FROM m
          UNION ALL
          SELECT media_id, h, n, member_no + 1, boff + blen + 8
          FROM ({deriv('walk')}) d
-         WHERE member_no < {6} AND {good}),
+         WHERE member_no < 6 AND {good}),
 members AS (SELECT media_id, h, member_no, p, has_name, name_len, blen, boff,
                    {le('boff + blen + 4', 4)} AS isize,
                    CASE WHEN has_name AND name_len IS NOT NULL
@@ -3379,17 +3380,25 @@ members AS (SELECT media_id, h, member_no, p, has_name, name_len, blen, boff,
                         THEN decode(unhex({fname_hex})) END AS fname
             FROM ({deriv('walk')}) d
             WHERE member_no < 6 AND {good}),
-recs AS (SELECT media_id, member_no, p - 1 AS member_off, fname,
-                blen AS rec_bytes, isize,
+recs AS (SELECT media_id, h, member_no, p - 1 AS member_off, fname,
+                blen, boff, isize,
                 regexp_extract(substr(h, CAST(boff*2 - 1 AS BIGINT),
                                       CAST(least(blen, 1024)*2 AS BIGINT)),
                                '^((?:[0-9A-F]{{2}})*?)0D0A0D0A', 1) AS hdr_hex
          FROM members),
 hdrs AS (SELECT *, CASE WHEN regexp_full_match(hdr_hex, '([0-7][0-9A-F])*')
                         THEN decode(unhex(hdr_hex)) END AS hdr
-         FROM recs)
+         FROM recs)"""
+
+
+def _m12_sql() -> str:
+    """WARC twin: the shared member-walk CTE (``_warc_members_cte``)
+    plus the per-member header-field projection — the SAME
+    alignment-safe boundary regex and ASCII gates as the engine."""
+    return f"""
+WITH RECURSIVE {_warc_members_cte()}
 SELECT media_id, CAST(member_no AS INT) AS member_no, member_off, fname,
-       rec_bytes, isize,
+       blen AS rec_bytes, isize,
        nullif(regexp_extract(hdr, '^(WARC/[0-9.]+)', 1), '') AS warc_version,
        nullif(regexp_extract(hdr, 'WARC-Type: ([^\r\n]+)', 1), '') AS warc_type,
        nullif(regexp_extract(hdr, 'WARC-Target-URI: ([^\r\n]+)', 1), '')
@@ -3425,6 +3434,82 @@ def m12(spark, sf_dir):
 
     media = spark.read.parquet(_warc_fixture_path().replace("''", "'"))
     return warc.warc_stored_records(media)
+
+
+def _ll15_sql() -> str:
+    """WARC-ingest twin: the shared member-walk CTE, then content
+    extraction (bytes right after the header block's CRLF CRLF for the
+    declared Content-Length, ASCII-gated within the 16 KiB budget),
+    the documents projection, and the ingest columns — token count and
+    quality via the standard `text` fragments, md5 fingerprint, and
+    the canonical-copy choice as min(doc_id) per fingerprint."""
+    return f"""
+WITH RECURSIVE {_warc_members_cte()},
+flds AS (SELECT *, length(hdr_hex) // 2 AS hdr_len,
+                nullif(regexp_extract(hdr, 'WARC-Type: ([^\r\n]+)', 1), '')
+                    AS warc_type,
+                nullif(regexp_extract(hdr, 'WARC-Target-URI: ([^\r\n]+)', 1), '')
+                    AS target_uri,
+                TRY_CAST(nullif(regexp_extract(hdr, 'Content-Length: ([0-9]+)', 1),
+                                '') AS BIGINT) AS content_length
+         FROM hdrs),
+ctt AS (SELECT *, CASE WHEN content_length IS NOT NULL AND hdr_hex <> ''
+                            AND content_length <= 16384
+                            AND hdr_len + 4 + content_length <= blen
+                       THEN substr(h, CAST((boff + hdr_len + 4)*2 - 1 AS BIGINT),
+                                   CAST(content_length*2 AS BIGINT)) END AS chex
+        FROM flds),
+docs AS (SELECT media_id*100 + member_no AS doc_id, target_uri,
+                blen AS rec_bytes,
+                CASE WHEN regexp_full_match(chex, '([0-7][0-9A-F])*')
+                     THEN decode(unhex(chex)) END AS text
+         FROM ctt
+         WHERE warc_type = 'response' AND target_uri IS NOT NULL),
+fp AS (SELECT *, md5(text) AS fingerprint FROM docs WHERE text IS NOT NULL)
+SELECT doc_id, target_uri, rec_bytes,
+       {SQL_TOKEN_COUNT} AS n_tokens,
+       {SQL_QUALITY} AS quality,
+       fingerprint,
+       doc_id = min(doc_id) OVER (PARTITION BY fingerprint) AS is_canonical
+FROM fp
+"""
+
+
+@register("ll15_warc_ingest", _ll15_sql)
+def ll15(spark, sf_dir):
+    # The crawl FRONT-DOOR, end-to-end from real bytes: WARC shards →
+    # member segmentation (m12's walk) → response-record TEXT
+    # extraction (content bytes after the header block, ASCII-gated,
+    # scan-local hex arithmetic — operators/warc.py:
+    # warc_text_documents) → the ingest columns the ll14-modelled
+    # chain consumes: whitespace token count + composite quality score
+    # (the standard text fragments), an md5 content fingerprint, and
+    # exact-dup CANONICALIZATION (min doc_id per fingerprint — one
+    # shuffle on the fingerprint key, the dedup-survivor idiom that
+    # scales: no sort, no collect).  The fixture plants cross-shard
+    # duplicate response bodies (mirror pages) so is_canonical is
+    # genuinely exercised; warcinfo/request/metadata records and
+    # binary-content responses drop out at the adapter, exactly as a
+    # corpus-prep front-door should.
+    from pyspark.sql import Window
+
+    from realtimechurnpredictiondataengineering_spark.operators import warc
+
+    media = spark.read.parquet(_warc_fixture_path().replace("''", "'"))
+    docs = warc.warc_text_documents(media)
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.withColumn("fingerprint", F.md5("text"))
+        .select(
+            "doc_id",
+            "target_uri",
+            "rec_bytes",
+            tx.token_count("text").alias("n_tokens"),
+            tx.quality_score("text").alias("quality"),
+            "fingerprint",
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -9157,11 +9242,17 @@ def w09(spark, sf_dir):
 # shapes stay in-window via st05-st09), d16 (line dedup), f01 (its
 # filter-demux shape stays via f09), h02/h04/h05/h06/h09 (the h-family
 # keeps thirteen rows in-window including the four incoming backlog
-# entries).
+# entries).  (d) Late round-13 addition ll15_warc_ingest (the crawl
+# front-door: m12's walk → response-text adapter → token/quality/
+# fingerprint-dedup ingest columns) rotates IN per the
+# new-code-faces-the-gate rule; h10_returned_items steps out for it
+# (driver-green r2 + r12, untouched; its filtered-agg shape stays
+# in-window via h14/h17/h22).
 PRIORITY: tuple[str, ...] = (
     "m10_bmp_pixel_stats",
     "m11_wav_pcm_stats",
     "m12_warc_stored_records",
+    "ll15_warc_ingest",
     "h12_shipping_lateness",
     "h15_top_supplier",
     "h16_supplier_part_count",
@@ -9175,7 +9266,6 @@ PRIORITY: tuple[str, ...] = (
     "m07_mp4_header_meta",
     "m08_tiff_header_meta",
     "m09_gzip_header_meta",
-    "h10_returned_items",
     "h11_important_parts",
     "h13_customer_distribution",
     "h14_promo_revenue",

@@ -235,3 +235,41 @@ def test_extract_media_features_decodes_bmp_for_real(spark):
         assert abs(f["feature"][3] * 255.0 - s["mean_luma"]) < 1e-3
         checked += 1
     assert checked >= 30
+
+
+def test_warc_text_documents_extracts_response_content(spark):
+    media = _rows(spark, "warc_members.parquet")
+    docs = {r["doc_id"]: r for r in warc.warc_text_documents(media).collect()}
+    assert docs, "no documents extracted"
+    # the kernel's decompressed records are the ground truth for the
+    # stored subset: every expression doc must match a kernel record's
+    # content-length slice
+    kern = {
+        (r["media_id"], r["member_no"]): r for r in warc.warc_records(media).collect()
+    }
+    for doc_id, d in docs.items():
+        mid, mno = divmod(doc_id, 100)
+        k = kern[(mid, mno)]
+        assert k["warc_type"] == "response"
+        assert d["target_uri"] == k["target_uri"]
+        assert len(d["text"].encode("ascii")) == k["content_length"]
+    # warcinfo/request/metadata and binary-content responses drop out
+    assert all(d["text"].isascii() for d in docs.values())
+
+
+def test_ll15_fingerprint_dedup_picks_one_canonical_per_body(spark):
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
+
+    rows = REGISTRY["ll15_warc_ingest"][0](spark, "fixtures").collect()
+    assert rows
+    by_fp = {}
+    for r in rows:
+        by_fp.setdefault(r["fingerprint"], []).append(r)
+    # the fixture plants cross-shard duplicate bodies: at least one
+    # fingerprint must carry multiple docs, exactly one canonical
+    multi = [grp for grp in by_fp.values() if len(grp) > 1]
+    assert multi, "fixture duplicates missing"
+    for grp in by_fp.values():
+        canon = [r for r in grp if r["is_canonical"]]
+        assert len(canon) == 1
+        assert canon[0]["doc_id"] == min(r["doc_id"] for r in grp)

@@ -997,6 +997,15 @@ def build_warc_rows() -> list[tuple[int, bytes, str]]:
         for k in range(n_members):
             if k == 0 and i % 3 == 0:
                 rec = warc_record("warcinfo", None, f"software: crawler/{i}\r\n")
+            elif (i + k) % 5 == 2:
+                # cross-shard DUPLICATE response bodies (mirror pages):
+                # the ingest chain's fingerprint dedup must pick one
+                # canonical copy per body across media rows
+                rec = warc_record(
+                    "response",
+                    f"https://mirror-{i % 3}.example.org/boiler/{k}",
+                    "shared boilerplate body text " * (2 + k % 2),
+                )
             else:
                 rec = warc_record(
                     ("response", "request", "metadata")[(i + k) % 3],
