@@ -3512,6 +3512,24 @@ def ll15(spark, sf_dir):
     )
 
 
+@register("m13_warc_zlib_records", None)  # stdlib-zlib inflate — no SQL twin
+def m13(spark, sf_dir):
+    # The GENERAL WARC path: Arrow-batched mapInPandas inflating EVERY
+    # concatenated member with stdlib zlib — REAL decompression, so
+    # compressed and multi-block members parse too (the at-scale path
+    # for genuine crawl shards; operators/warc.py: warc_records).
+    # Rows-only by the a11/a15 convention: DuckDB cannot gunzip, so no
+    # honest SQL twin exists — correctness is pinned by the pytest
+    # field-for-field cross-check against m12's expression walk on the
+    # stored subset plus compressed/multi-block ground truth
+    # (tests/test_round13_ops.py), and the entry stays OUT of the
+    # driver window per the value-checkable-slots convention.
+    from realtimechurnpredictiondataengineering_spark.operators import warc
+
+    media = spark.read.parquet(_warc_fixture_path().replace("''", "'"))
+    return warc.warc_records(media)
+
+
 # ---------------------------------------------------------------------------
 # Percentiles, skew-safe aggregation, extended window surface
 # ---------------------------------------------------------------------------
@@ -9226,7 +9244,10 @@ def w09(spark, sf_dir):
 # caught the bookkeeping slip).  After this window, every
 # value-checkable registry entry has faced the driver's gate at least
 # once; the tracked backlog is ZERO (a11/a15 stay out by the standing
-# rows-only HLL convention).  (b) The three new real-decode entries
+# rows-only HLL convention, and m13_warc_zlib_records joins them —
+# DuckDB cannot gunzip, so the zlib kernel has no honest value twin;
+# its correctness gate is the pytest cross-check against m12's
+# expression walk).  (b) The three new real-decode entries
 # rotate IN per the new-code rule: m10_bmp_pixel_stats (first PIXEL
 # content decode), m11_wav_pcm_stats (first SAMPLE content decode),
 # m12_warc_stored_records (WARC segmentation over concatenated
