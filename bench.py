@@ -190,6 +190,9 @@ HEADLINE = (
     "m11_wav_pcm_stats",
     "m12_warc_stored_records",
     "ll15_warc_ingest",
+    "m14_http_response_meta",
+    "m15_avi_frame_stats",
+    "ll16_warc_ingest_kernel",
 )
 
 

@@ -62,28 +62,47 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
 
 
-def _marker_pattern(word: str) -> str:
-    """Word-bounded pattern for ASCII words; plain substring pattern for
-    CJK (``\\b`` is ASCII-word-based in both Java regex and RE2, so it
-    never fires between CJK chars — counting occurrences directly keeps
-    the zh heuristic live and engine-portable)."""
-    return rf"\b{word}\b" if word.isascii() else word
+#: the ASCII word-character class — marker-word boundaries are defined
+#: against THIS class in both engines (see ``_marker_pattern``).
+_ASCII_WORD = "[A-Za-z0-9_]"
 
 
-def marker_pattern(words: tuple[str, ...]) -> str:
+def _marker_pattern(word: str, java: bool = False) -> str:
+    """Word-bounded pattern for ASCII words; plain substring pattern
+    for CJK.  The boundary contract is ASCII-defined: RE2's ``\\b`` is
+    exactly that, but JAVA's ``\\b`` is Unicode-aware (a combining mark
+    after ``a`` suppresses the boundary, so ``\\ba\\b`` misses ``a +
+    U+030A`` in Spark while DuckDB counts it).  The ``java`` variant
+    therefore spells the boundary as explicit ASCII lookarounds —
+    identical to ``\\b`` on pure-ASCII neighborhoods, and identical to
+    RE2's ASCII ``\\b`` on non-ASCII ones, so both engines agree on
+    real UTF-8 text.  (RE2 has no lookarounds, hence two spellings of
+    one contract.)"""
+    if not word.isascii():
+        return word
+    if java:
+        return rf"(?<!{_ASCII_WORD}){word}(?!{_ASCII_WORD})"
+    return rf"\b{word}\b"
+
+
+def marker_pattern(words: tuple[str, ...], java: bool = False) -> str:
     """ONE alternation over all marker words.  Counting matches of the
     combined pattern equals summing per-word counts: every alternative is
     either a word-bounded ASCII word (at most one can fire per token) or
     a distinct CJK char, so alternatives never compete for a position.
     One regex pass instead of ``len(words)`` — the scoring kernels run
-    over every document, so the constant factor is the corpus-scan cost."""
-    return "|".join(_marker_pattern(w) for w in words)
+    over every document, so the constant factor is the corpus-scan cost.
+    Default spelling is the RE2/ASCII-``\\b`` form (the DuckDB twins);
+    ``java=True`` spells the same ASCII-boundary contract in Java
+    lookarounds (see ``_marker_pattern``)."""
+    return "|".join(_marker_pattern(w, java) for w in words)
 
 
 def marker_hits(col: Column | str, words: tuple[str, ...]) -> Column:
-    """How many marker-word occurrences (word-bounded) the text contains."""
+    """How many marker-word occurrences (ASCII-word-bounded) the text
+    contains."""
     c = F.lower(F.col(col) if isinstance(col, str) else col)
-    return F.regexp_count(c, F.lit(marker_pattern(words)))
+    return F.regexp_count(c, F.lit(marker_pattern(words, java=True)))
 
 
 def language_scores(col: Column | str) -> dict[str, Column]:

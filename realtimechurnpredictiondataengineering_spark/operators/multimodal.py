@@ -393,7 +393,16 @@ def mp3_header_meta(media: DataFrame) -> DataFrame:
       number a production probe actually uses.
 
     Returns (media_id, fmt, bitrate_kbps, sample_rate, n_channels,
-    n_frames, duration_ms, est_duration_ms, n_bytes)."""
+    n_frames, duration_ms, est_duration_ms, n_bytes).
+
+    Bounded-prefix caveat (documented contract, round-13 ADVICE): all
+    reads happen inside the ``_HEADER_PREFIX_BYTES`` hex window, so an
+    MP3 whose ID3v2 tag exceeds 64 KiB — embedded cover art is the
+    common real-world case — reports fmt 'mp3' with NULL frame fields
+    on BOTH engines (the tag's syncsafe size still parses; the first
+    frame header lies past the window).  The trade is deliberate:
+    O(header) per row instead of O(payload) at 100 TB; raise the
+    window for cover-art-heavy corpora."""
     h = _header_hex()
     hexlen = F.length(h)
     n_bytes = F.length("payload").cast("long")
@@ -526,7 +535,15 @@ def mp4_header_meta(media: DataFrame) -> DataFrame:
     walks are budgeted — a header hiding deeper reports NULLs.
 
     Returns (media_id, fmt, major_brand, timescale, duration_ms,
-    n_tracks, n_bytes)."""
+    n_tracks, n_bytes).
+
+    Bounded-prefix caveat (documented contract, round-13 ADVICE): a
+    streaming-unfriendly file whose ``moov`` FOLLOWS a large ``mdat``
+    (> 64 KiB) reports fmt 'mp4' with NULL timescale/duration on both
+    engines — the top-level walk cannot jump past data outside the
+    ``_HEADER_PREFIX_BYTES`` window.  Faststart files (moov first, the
+    web-serving norm) always parse; raise the window where
+    moov-at-end archives dominate."""
     h = _header_hex()
     hexlen = F.length(h)
     n_bytes = F.length("payload").cast("long")
@@ -1138,6 +1155,250 @@ def wav_pcm_stats(media: DataFrame) -> DataFrame:
     )
 
 
+#: RIFF chunk-walk budgets for the AVI kernel: top-level chunks
+#: (hdrl / JUNK / movi / idx1), header-list children, and movi
+#: subchunks (frame + junk chunks) walked per payload.
+_AVI_TOP_BUDGET = 6
+_AVI_HDRL_BUDGET = 4
+_AVI_FRAME_BUDGET = 8
+
+_AVI_CHUNK_ARR_DDL = "array<struct<off:bigint,cid:string,sub:string,size:bigint>>"
+
+_LIST_HEX = "4C495354"   # 'LIST'
+_HDRL_HEX = "6864726C"   # 'hdrl'
+_MOVI_HEX = "6D6F7669"   # 'movi'
+_AVIH_HEX = "61766968"   # 'avih'
+_00DB_HEX = "30306462"   # '00db' (uncompressed DIB frame)
+_00DC_HEX = "30306463"   # '00dc' (compressed frame)
+
+
+def _riff_chunk_walk(h: F.Column, start: F.Column, end: F.Column, budget: int) -> F.Column:
+    """Bounded RIFF chunk walk over a hex view: from 1-based byte
+    ``start`` while the FULL chunk (8-byte header + declared data)
+    fits within byte ``end`` inclusive, jumping word-aligned (odd
+    sizes pad one byte) — the m04 alignment discipline, so fourcc
+    strings embedded in payloads can never re-sync the walk.  Returns
+    ``array<struct<off,cid,sub,size>>`` (``sub`` = the first 4 data
+    bytes, a LIST's subtype).  Any violation stops the walk with prior
+    chunks intact."""
+
+    def le(p: F.Column, nb: int) -> F.Column:
+        pairs = [F.substr(h, (p + i) * 2 - 1, F.lit(2)) for i in range(nb)]
+        return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("long")
+
+    def step(acc, _):
+        p = acc["p"]
+        size = le(p + 4, 4)
+        good = acc["ok"] & (p + 7 <= end) & (p + 8 + size - 1 <= end)
+        chunk = F.struct(
+            p.alias("off"),
+            F.substr(h, p * 2 - 1, F.lit(8)).alias("cid"),
+            F.substr(h, (p + 8) * 2 - 1, F.lit(8)).alias("sub"),
+            size.alias("size"),
+        )
+        return F.when(
+            F.coalesce(good, F.lit(False)),
+            F.struct(
+                (p + 8 + size + size % 2).alias("p"),
+                F.concat(acc["ms"], F.array(chunk)).alias("ms"),
+                F.lit(True).alias("ok"),
+            ),
+        ).otherwise(
+            F.struct(acc["p"].alias("p"), acc["ms"].alias("ms"), F.lit(False).alias("ok"))
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(budget)),
+        F.struct(
+            start.cast("long").alias("p"),
+            F.expr(f"CAST(array() AS {_AVI_CHUNK_ARR_DDL})").alias("ms"),
+            F.lit(True).alias("ok"),
+        ),
+        step,
+    )["ms"]
+
+
+def avi_frame_stats(media: DataFrame) -> DataFrame:
+    """REAL frame-content decode for the codec-free VIDEO leg (m15):
+    an AVI is RIFF('AVI ') → LIST ``hdrl`` (``avih`` main header with
+    dwWidth/dwHeight) → LIST ``movi`` whose ``00db`` chunks hold raw
+    uncompressed bottom-up BGR24 frames — exactly a BMP pixel array,
+    so the m10 fold applies PER FRAME.  One output row per ``00db``
+    frame: geometry, exact-integer channel means and Rec.601 luma
+    (one float division per output, bit-identical across engines).
+
+    Three bounded chunk walks (top-level → hdrl children → movi
+    subchunks) stay scan-local in whole-stage codegen; ``00dc``
+    (compressed) chunks advance the frame ordinal but emit no row —
+    the codec-gated ``_fake_decode`` remains only for those.  Frames
+    out of contract (missing/garbage avih, declared size ≠
+    stride·|height|, pixel count past ``_BMP_PIXEL_BUDGET``) emit with
+    NULL geometry/stats; walks stop at truncation with prior frames
+    intact (the WARC convention).
+    """
+    h = F.hex("payload")
+    n = F.length("payload").cast("long")
+    is_avi = (F.substring(h, 1, 8) == F.lit("52494646")) & (
+        F.substring(h, 17, 8) == F.lit("41564920")
+    )
+    s0 = media.select(
+        "media_id",
+        h.alias("__h"),
+        F.when(is_avi, _riff_chunk_walk(h, F.lit(13), n, _AVI_TOP_BUDGET)).alias(
+            "__top"
+        ),
+    )
+    hx = F.col("__h")
+
+    def first_match(arr: F.Column, cid_hex: str, sub_hex: str | None = None) -> F.Column:
+        cond = (
+            (lambda c: (c["cid"] == F.lit(cid_hex)) & (c["sub"] == F.lit(sub_hex)))
+            if sub_hex is not None
+            else (lambda c: c["cid"] == F.lit(cid_hex))
+        )
+        return F.try_element_at(F.filter(arr, cond), F.lit(1))
+
+    s1 = s0.select(
+        "media_id",
+        "__h",
+        first_match(F.col("__top"), _LIST_HEX, _HDRL_HEX).alias("__hdrl"),
+        first_match(F.col("__top"), _LIST_HEX, _MOVI_HEX).alias("__movi"),
+    )
+    hd = F.col("__hdrl")
+    s2 = s1.select(
+        "media_id",
+        "__h",
+        "__movi",
+        F.when(
+            hd.isNotNull(),
+            _riff_chunk_walk(
+                hx, hd["off"] + 12, hd["off"] + 7 + hd["size"], _AVI_HDRL_BUDGET
+            ),
+        ).alias("__hc"),
+    )
+    mv = F.col("__movi")
+    s3 = s2.select(
+        "media_id",
+        "__h",
+        first_match(F.col("__hc"), _AVIH_HEX).alias("__avih"),
+        F.when(
+            mv.isNotNull(),
+            _riff_chunk_walk(
+                hx, mv["off"] + 12, mv["off"] + 7 + mv["size"], _AVI_FRAME_BUDGET
+            ),
+        ).alias("__mc"),
+    )
+
+    def le_at(p: F.Column, nb: int) -> F.Column:
+        pairs = [F.substr(hx, (p + i) * 2 - 1, F.lit(2)) for i in range(nb)]
+        return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("long")
+
+    def signed32(raw: F.Column) -> F.Column:
+        return F.when(raw >= F.lit(2**31), raw - F.lit(2**32)).otherwise(raw)
+
+    av = F.col("__avih")
+    avih_ok = av.isNotNull() & (av["size"] >= 40)
+    mc = F.col("__mc")
+    # frame ordinal = count of frame chunks (00db OR 00dc) strictly
+    # before this movi subchunk — compressed frames keep the numbering
+    frames = F.filter(
+        F.transform(
+            mc,
+            lambda c, i: F.struct(
+                c["off"].alias("off"),
+                c["cid"].alias("cid"),
+                c["size"].alias("size"),
+                F.size(
+                    F.filter(
+                        F.slice(mc, F.lit(1), i),
+                        lambda q: q["cid"].isin(_00DB_HEX, _00DC_HEX),
+                    )
+                )
+                .cast("int")
+                .alias("fno"),
+            ),
+        ),
+        lambda c: c["cid"] == F.lit(_00DB_HEX),
+    )
+    s4 = s3.select(
+        "media_id",
+        "__h",
+        F.when(avih_ok, signed32(le_at(av["off"] + 40, 4))).alias("__w"),
+        F.when(avih_ok, signed32(le_at(av["off"] + 44, 4))).alias("__hgt"),
+        frames.alias("__frames"),
+    ).select("media_id", "__h", "__w", "__hgt", F.posexplode("__frames").alias("_i", "fr"))
+    w = F.col("__w")
+    absh = F.abs(F.col("__hgt"))
+    stride = (F.floor((w * 3 + 3) / 4) * 4).cast("long")
+    # bound w/|h| BEFORE trusting the products (the m10 overflow rule)
+    geom_ok = (
+        w.isNotNull()
+        & (w > 0)
+        & (w <= F.lit(_BMP_PIXEL_BUDGET))
+        & (absh > 0)
+        & (absh <= F.lit(_BMP_PIXEL_BUDGET))
+    )
+    npix = F.when(
+        geom_ok & (w * absh <= F.lit(_BMP_PIXEL_BUDGET)),
+        F.when(F.col("fr.size") == stride * absh, w * absh),
+    )
+    s5 = s4.select(
+        "media_id",
+        "__h",
+        F.col("__w").cast("int").alias("__w32"),
+        F.col("__hgt").cast("int").alias("__h32"),
+        F.col("fr.fno").alias("frame_no"),
+        F.col("fr.size").alias("__fsize"),
+        (F.col("fr.off") + 8).alias("__do"),  # frame data start (1-based)
+        stride.alias("__st"),
+        npix.alias("__npix"),
+    )
+    hs = F.col("__h")
+    w_c = F.col("__w32").cast("long")
+    do_c, st_c, npix_c = F.col("__do"), F.col("__st"), F.col("__npix")
+
+    def u8(pos: F.Column) -> F.Column:
+        return F.conv(F.substr(hs, pos * 2 - 1, F.lit(2)), 16, 10).cast("long")
+
+    def fold_step(acc, i):
+        r = F.floor(i / w_c).cast("long")
+        pos = do_c + r * st_c + (i - r * w_c) * 3
+        return F.struct(
+            (acc["sb"] + u8(pos)).alias("sb"),
+            (acc["sg"] + u8(pos + 1)).alias("sg"),
+            (acc["sr"] + u8(pos + 2)).alias("sr"),
+        )
+
+    zero = F.lit(0).cast("long")
+    sums = F.when(
+        npix_c.isNotNull(),
+        F.aggregate(
+            F.sequence(zero, npix_c - 1),
+            F.struct(zero.alias("sb"), zero.alias("sg"), zero.alias("sr")),
+            fold_step,
+        ),
+    )
+    return s5.select(
+        "media_id",
+        "frame_no",
+        F.col("__w32").alias("width"),
+        F.col("__h32").alias("height"),
+        npix_c.alias("n_px"),
+        (sums["sr"] / npix_c).alias("mean_r"),
+        (sums["sg"] / npix_c).alias("mean_g"),
+        (sums["sb"] / npix_c).alias("mean_b"),
+        (
+            (
+                F.lit(0.299) * sums["sr"]
+                + F.lit(0.587) * sums["sg"]
+                + F.lit(0.114) * sums["sb"]
+            )
+            / npix_c
+        ).alias("mean_luma"),
+        F.col("__fsize").alias("frame_bytes"),
+    )
+
+
 def _real_decode_bmp(b: bytes) -> tuple[int, int, list[float]] | None:
     """REAL pixel decode for the codec-free format: 24bpp BI_RGB BMP.
     Vectorized over the raw pixel array (numpy frombuffer + strided
@@ -1173,11 +1434,93 @@ def _real_decode_bmp(b: bytes) -> tuple[int, int, list[float]] | None:
     return w, absh, feature
 
 
+def _parse_avi(
+    b: bytes,
+) -> tuple[int | None, int | None, list[tuple[int, bytes, bytes]]] | None:
+    """Kernel twin of the ``avi_frame_stats`` chunk walks: returns
+    (width, height, frames) where frames is
+    ``[(frame_no, fourcc, data), ...]`` over the movi subchunks (both
+    '00db' and '00dc'; the ordinal counts both), or None when the
+    payload is not RIFF('AVI ').  Same budgets and bounds as the
+    expression path."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None
+
+    def chunks(lo: int, hi: int, budget: int) -> list[tuple[int, bytes, int]]:
+        out, p, steps = [], lo, 0
+        while steps < budget and p + 8 <= hi:
+            cid = b[p : p + 4]
+            (sz,) = struct.unpack_from("<I", b, p + 4)
+            if p + 8 + sz > hi:
+                break
+            out.append((p, cid, sz))
+            p += 8 + sz + (sz % 2)
+            steps += 1
+        return out
+
+    def first_list(top, subtype):
+        for off, cid, sz in top:
+            if cid == b"LIST" and b[off + 8 : off + 12] == subtype:
+                return off, sz
+        return None
+
+    top = chunks(12, len(b), _AVI_TOP_BUDGET)
+    w = hgt = None
+    hdrl = first_list(top, b"hdrl")
+    if hdrl is not None:
+        for off, cid, sz in chunks(hdrl[0] + 12, hdrl[0] + 8 + hdrl[1], _AVI_HDRL_BUDGET):
+            if cid == b"avih" and sz >= 40:
+                w, hgt = struct.unpack_from("<ii", b, off + 8 + 32)
+                break
+    frames: list[tuple[int, bytes, bytes]] = []
+    movi = first_list(top, b"movi")
+    if movi is not None:
+        fno = 0
+        for off, cid, sz in chunks(movi[0] + 12, movi[0] + 8 + movi[1], _AVI_FRAME_BUDGET):
+            if cid in (b"00db", b"00dc"):
+                frames.append((fno, cid, b[off + 8 : off + 8 + sz]))
+                fno += 1
+    return w, hgt, frames
+
+
+def _real_decode_avi(b: bytes) -> tuple[int, int, list[float]] | None:
+    """REAL frame decode for the codec-free video format: the FIRST
+    uncompressed ('00db') frame of an AVI is a raw bottom-up BGR24
+    pixel array — featurized exactly like ``_real_decode_bmp``
+    (vectorized numpy, no per-pixel Python).  Returns None when the
+    payload is not an AVI or carries no in-contract uncompressed frame
+    (caller falls back to the codec-gated fake)."""
+    parsed = _parse_avi(b)
+    if parsed is None:
+        return None
+    w, hgt, frames = parsed
+    if w is None or w <= 0 or hgt is None or hgt == 0:
+        return None
+    import numpy as np
+
+    absh, stride = abs(hgt), (3 * w + 3) // 4 * 4
+    for _fno, cc, data in frames:
+        if cc != b"00db" or len(data) != stride * absh:
+            continue
+        arr = np.frombuffer(data, dtype=np.uint8)
+        px = arr.reshape(absh, stride)[:, : 3 * w].reshape(-1, 3).astype(np.float64)
+        bgr_mean = px.mean(axis=0)
+        bgr_std = px.std(axis=0)
+        luma = 0.299 * bgr_mean[2] + 0.587 * bgr_mean[1] + 0.114 * bgr_mean[0]
+        return w, absh, [
+            bgr_mean[2] / 255.0, bgr_mean[1] / 255.0, bgr_mean[0] / 255.0,
+            luma / 255.0,
+            bgr_std[2] / 255.0, bgr_std[1] / 255.0, bgr_std[0] / 255.0,
+            0.0,
+        ]
+    return None
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     """STUB decode — deterministic fake standing in for PIL/ffmpeg on
     COMPRESSED formats only (the codec-free ones decode for real:
-    ``_real_decode_bmp`` here, the m03-m12 expression kernels
-    engine-side).
+    ``_real_decode_bmp`` / ``_real_decode_avi`` here, the m03-m15
+    expression kernels engine-side).
 
     Real deployment: ``Image.open(io.BytesIO(payload))`` etc.  Here the
     "image" dimensions and an 8-dim "feature vector" derive from the
@@ -1194,10 +1537,14 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
 
 
 def _decode_dispatch(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real decode where no codec is needed (uncompressed BMP pixels),
-    deterministic fake elsewhere."""
-    real = _real_decode_bmp(bytes(payload)) if payload is not None else None
-    return real if real is not None else _fake_decode(payload)
+    """Real decode where no codec is needed (uncompressed BMP pixels,
+    uncompressed-AVI frames), deterministic fake elsewhere."""
+    if payload is not None:
+        b = bytes(payload)
+        real = _real_decode_bmp(b) or _real_decode_avi(b)
+        if real is not None:
+            return real
+    return _fake_decode(payload)
 
 
 def extract_media_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
@@ -1248,8 +1595,12 @@ def resize_media(media: DataFrame, max_dim: int = 256) -> DataFrame:
 def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling kernel shape: one input row → many frame rows
     (mapInPandas is the right operator because output cardinality
-    changes).  Frame extraction is STUBBED: emits ``n_bytes // (every_n *
-    1024) + 1`` synthetic frame rows per video with deterministic ids."""
+    changes).  Uncompressed AVIs decode for REAL: every ``every_n``-th
+    ``00db`` frame's raw BGR24 bytes emit with its true frame ordinal
+    (``_parse_avi`` — the same walks as the m15 expression kernel).
+    Only payloads with no decodable uncompressed frame keep the STUB
+    (``n_bytes // (every_n * 1024) + 1`` synthetic rows with
+    deterministic ids) — the codec gate, same as ``_fake_decode``."""
     frame_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType()),
@@ -1262,6 +1613,18 @@ def sample_video_frames(media: DataFrame, every_n: int = 30) -> DataFrame:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
+                payload = r["payload"]
+                parsed = _parse_avi(bytes(payload)) if payload is not None else None
+                real = [
+                    (fno, data)
+                    for fno, cc, data in (parsed[2] if parsed else [])
+                    if cc == b"00db"
+                ]
+                if real:
+                    for fno, data in real:
+                        if fno % every_n == 0:
+                            rows.append((r["media_id"], fno, data))
+                    continue
                 n_frames = int(r["meta"]["n_bytes"]) // (every_n * 1024) + 1
                 for i in range(n_frames):
                     rows.append((r["media_id"], i, bytes(r["payload"][:16])))

@@ -212,9 +212,6 @@ def test_semantic_contamination_prunes_before_scoring(spark):
 
 
 def test_audio_header_meta_parses_wav_and_skips_decoys(spark):
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from tools.gen_media_fixture import wav_bytes
 
     from realtimechurnpredictiondataengineering_spark.operators.multimodal import (
@@ -284,9 +281,6 @@ def test_pack_sequences_counted_matches_manual_prefix_sum(spark):
 
 
 def test_media_header_dims_parses_real_headers(spark):
-    import sys
-
-    sys.path.insert(0, "/root/repo")
     from tools.gen_media_fixture import jpeg_bytes, png_bytes
 
     from realtimechurnpredictiondataengineering_spark.operators.multimodal import (

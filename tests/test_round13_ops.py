@@ -242,19 +242,25 @@ def test_warc_text_documents_extracts_response_content(spark):
     docs = {r["doc_id"]: r for r in warc.warc_text_documents(media).collect()}
     assert docs, "no documents extracted"
     # the kernel's decompressed records are the ground truth for the
-    # stored subset: every expression doc must match a kernel record's
-    # content-length slice
+    # stored subset: every expression doc must map back to an ingestible
+    # kernel record, and HTTP bodies must be strictly shorter than the
+    # record's declared Content-Length (the header block was split off)
     kern = {
         (r["media_id"], r["member_no"]): r for r in warc.warc_records(media).collect()
     }
     for doc_id, d in docs.items():
-        mid, mno = divmod(doc_id, 100)
+        mid, mno = divmod(doc_id, warc._DOC_ID_BASE)
         k = kern[(mid, mno)]
-        assert k["warc_type"] == "response"
+        assert k["warc_type"] in ("response", "conversion")
         assert d["target_uri"] == k["target_uri"]
-        assert len(d["text"].encode("ascii")) == k["content_length"]
-    # warcinfo/request/metadata and binary-content responses drop out
-    assert all(d["text"].isascii() for d in docs.values())
+        body_len = len(d["text"].encode("utf-8"))
+        if d["http_status"] is not None:  # HTTP-split response
+            assert d["http_status"] == 200
+            assert body_len < k["content_length"]
+        else:  # bare body / WET conversion: content ingests whole
+            assert body_len == k["content_length"]
+    # real multi-byte UTF-8 flows through the gate (CJK fixture bodies)
+    assert any(not d["text"].isascii() for d in docs.values())
 
 
 def test_ll15_fingerprint_dedup_picks_one_canonical_per_body(spark):

@@ -964,12 +964,12 @@ def stored_member(
 def warc_record(
     rec_type: str,
     uri: str | None,
-    body: str,
+    body: str | bytes,
     date: str = "2024-01-15T08:00:00Z",
 ) -> bytes:
     """One WARC/1.0 record: CRLF header block (ASCII per spec), blank
     line, content, trailing CRLF CRLF."""
-    payload = body.encode("utf-8")
+    payload = body if isinstance(body, bytes) else body.encode("utf-8")
     lines = [f"WARC/1.0", f"WARC-Type: {rec_type}", f"WARC-Date: {date}"]
     if uri is not None:
         lines.append(f"WARC-Target-URI: {uri}")
@@ -978,14 +978,52 @@ def warc_record(
     return hdr.encode("ascii") + payload + b"\r\n\r\n"
 
 
+_HTTP_REASONS = {200: "OK", 301: "Moved Permanently", 404: "Not Found",
+                 500: "Internal Server Error"}
+
+
+def http_payload(
+    body: str | bytes,
+    status: int = 200,
+    ctype: str | None = "text/html",
+    header_case: str = "Content-Type",
+) -> bytes:
+    """Full HTTP response payload for a WARC ``response`` record's
+    content block: status line, headers, CRLF CRLF, body — what real
+    crawl shards store (``header_case`` varies the Content-Type header
+    casing to exercise the case-insensitive field regex)."""
+    b = body if isinstance(body, bytes) else body.encode("utf-8")
+    lines = [f"HTTP/1.1 {status} {_HTTP_REASONS.get(status, 'OK')}",
+             "Server: crawler-sim/1.0"]
+    if ctype is not None:
+        lines.append(f"{header_case}: {ctype}")
+    lines.append(f"Content-Length: {len(b)}")
+    return ("\r\n".join(lines) + "\r\n\r\n").encode("ascii") + b
+
+
+#: multi-byte UTF-8 bodies (2/3/4-byte sequences, combining marks) —
+#: the well-formed-UTF-8 gate must pass these identically in both
+#: engines so real web text flows through the ingest oracle-checked.
+UTF8_BODIES = [
+    "plain ascii only here",
+    "café au lait — naïve résumé",
+    "東京都 渋谷区 テスト 頁",
+    "emoji \U0001f600 \U0001f680 clef \U0001d11e done",
+    "combining: é ö ñ å",
+]
+
+
 def build_warc_rows() -> list[tuple[int, bytes, str]]:
-    """WARC shard fixture (m12/ll15): payloads of 1-4 CONCATENATED
-    stored-deflate gzip members, each wrapping one WARC record
-    (warcinfo records carry no Target-URI), plus the edges — a
-    multi-block member and a compressed member (expression walk stops,
-    zlib kernel decodes), a member whose record has binary content
-    right after the header block, a truncated final member, a missing
-    blank-line terminator inside the header window, and junk."""
+    """WARC shard fixture (m12/m14/ll15/ll16): payloads of 1-4
+    CONCATENATED stored-deflate gzip members, each wrapping one WARC
+    record.  Response records carry FULL HTTP payloads (status line +
+    headers + body, incl. multi-byte UTF-8 bodies); conversion records
+    model WET shards (bare extracted text, no HTTP block); plus the
+    edges — a multi-block member and a compressed member (expression
+    walk stops, zlib kernel decodes), non-200 / malformed-HTTP /
+    invalid-UTF-8 / bare-body responses, binary content right after
+    the header block, a truncated final member, a missing blank-line
+    terminator inside the header window, and junk."""
     rows: list[tuple[int, bytes, str]] = []
     for i in range(N_WARC):
         mid = 9800 + i
@@ -998,20 +1036,37 @@ def build_warc_rows() -> list[tuple[int, bytes, str]]:
             if k == 0 and i % 3 == 0:
                 rec = warc_record("warcinfo", None, f"software: crawler/{i}\r\n")
             elif (i + k) % 5 == 2:
-                # cross-shard DUPLICATE response bodies (mirror pages):
+                # cross-shard DUPLICATE response BODIES (mirror pages):
                 # the ingest chain's fingerprint dedup must pick one
-                # canonical copy per body across media rows
+                # canonical copy per body across media rows — bodies
+                # are byte-identical, HTTP headers may differ
                 rec = warc_record(
                     "response",
                     f"https://mirror-{i % 3}.example.org/boiler/{k}",
-                    "shared boilerplate body text " * (2 + k % 2),
+                    http_payload(
+                        "shared boilerplate body text " * (2 + k % 2),
+                        ctype=("text/html", "text/html; charset=utf-8")[i % 2],
+                    ),
                 )
             else:
-                rec = warc_record(
-                    ("response", "request", "metadata")[(i + k) % 3],
-                    f"https://example.org/page/{i}/{k}",
-                    f"content-{i}-{k} " * (1 + (i * k) % 9),
+                typ = ("response", "request", "conversion", "metadata")[(i + k) % 4]
+                body = (
+                    f"content-{i}-{k} " * (1 + (i * k) % 9)
+                    + UTF8_BODIES[(i + k) % len(UTF8_BODIES)]
                 )
+                if typ == "response":
+                    content: bytes | str = http_payload(
+                        body,
+                        ctype=("text/html", "text/plain; charset=utf-8")[k % 2],
+                        header_case=("Content-Type", "content-type")[i % 2],
+                    )
+                elif typ == "request":
+                    content = (
+                        f"GET /page/{i}/{k} HTTP/1.1\r\nHost: example.org\r\n\r\n"
+                    )
+                else:  # conversion (WET extracted text) / metadata
+                    content = body
+                rec = warc_record(typ, f"https://example.org/page/{i}/{k}", content)
             parts.append(
                 stored_member(
                     rec,
@@ -1021,7 +1076,10 @@ def build_warc_rows() -> list[tuple[int, bytes, str]]:
             )
         rows.append((mid, b"".join(parts), "warc"))
     edge = 9800 + N_WARC
-    rec = warc_record("response", "https://example.org/big", "payload " * 40)
+    rec = warc_record(
+        "response", "https://example.org/big",
+        http_payload("payload éè " * 40, ctype="text/plain"),
+    )
     binrec = (
         b"WARC/1.0\r\nWARC-Type: response\r\n"
         b"WARC-Target-URI: https://example.org/bin\r\n"
@@ -1030,7 +1088,8 @@ def build_warc_rows() -> list[tuple[int, bytes, str]]:
     rows += [
         # stored member then MULTI-BLOCK member: expression walk emits
         # member 0 and stops; the zlib kernel emits both
-        (edge, stored_member(warc_record("response", "https://a.example/x", "aa"))
+        (edge, stored_member(warc_record("response", "https://a.example/x",
+                                         http_payload("aa")))
          + stored_member(rec, multi_block=True), "warc"),
         # COMPRESSED member first: expression emits nothing, kernel parses
         (edge + 1, stored_member(rec, level=9), "warc"),
@@ -1047,6 +1106,181 @@ def build_warc_rows() -> list[tuple[int, bytes, str]]:
         (edge + 5, stored_member(b"HTTP/1.1 200 OK\r\n\r\nhello"), "warc"),
         (edge + 6, b"\x1f\x8b\x08", "warc"),          # bare magic, no header
         (edge + 7, b"lead-in" + stored_member(rec), "raw"),  # decoy offset
+        # HTTP edges (m14 crawl-health view; ll15/ll16 must drop all
+        # but the bare-body one):
+        # non-200: surfaces in m14 with status 404, never ingests
+        (edge + 8, stored_member(warc_record(
+            "response", "https://example.org/gone",
+            http_payload("it went away", status=404))), "warc"),
+        # redirect with empty body and no Content-Type header
+        (edge + 9, stored_member(warc_record(
+            "response", "https://example.org/moved",
+            http_payload(b"", status=301, ctype=None))), "warc"),
+        # HTTP header block never terminates (no CRLF CRLF in content):
+        # status/type/body all NULL in m14, text NULL in the ingest
+        (edge + 10, stored_member(warc_record(
+            "response", "https://example.org/noterm",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-More: y")), "warc"),
+        # 200 with an INVALID-UTF-8 body: m14 row utf8_ok=false, drops
+        # from the ingest (the NULL contract, not U+FFFD substitution)
+        (edge + 11, stored_member(warc_record(
+            "response", "https://example.org/latin1",
+            http_payload(b"caf\xe9 legacy latin-1 bytes"))), "warc"),
+        # bare-body response (pre-split archive, no HTTP block): the
+        # degenerate case keeps ingesting with NULL http fields
+        (edge + 12, stored_member(warc_record(
+            "response", "https://example.org/bare",
+            "bare body no http wrapper é")), "warc"),
+        # WET-style shard: two conversion records (extracted text, one
+        # CJK), plus a warcinfo lead — ll15/ll16 ingest the conversions
+        (edge + 13, stored_member(warc_record("warcinfo", None, "wet: true\r\n"))
+         + stored_member(warc_record(
+             "conversion", "https://example.org/wet/1",
+             "extracted page text 東京 ok"))
+         + stored_member(warc_record(
+             "conversion", "https://example.org/wet/2",
+             "plain wet text two")), "warc"),
+        # status line present but unparseable status (letters): NULL
+        # status in m14, ingest drops it (cannot verify 200)
+        (edge + 14, stored_member(warc_record(
+            "response", "https://example.org/odd",
+            b"HTTP/1.1 OK\r\nContent-Type: text/html\r\n\r\nbody")), "warc"),
+    ]
+    return rows
+
+
+AVI_OUT = OUT.replace("media_headers.parquet", "avi_frames.parquet")
+
+N_AVI = 36
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    """One RIFF chunk: fourcc, LE size, data, pad byte when odd."""
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(subtype: bytes, children: bytes) -> bytes:
+    return _riff_chunk(b"LIST", subtype + children)
+
+
+def avi_frame(w: int, h: int, seed: int) -> bytes:
+    """One uncompressed '00db' frame: raw bottom-up BGR24 rows padded
+    to 4-byte boundaries (the DIB convention), deterministic pixels."""
+    stride = (3 * w + 3) // 4 * 4
+    rows = []
+    for r in range(h):
+        row = bytearray()
+        for c in range(w):
+            row += bytes([
+                (seed * 7 + r * 31 + c * 13) % 256,   # B
+                (seed * 11 + r * 17 + c * 3) % 256,   # G
+                (seed * 5 + r * 29 + c * 23) % 256,   # R
+            ])
+        row += b"\x00" * (stride - 3 * w)
+        rows.append(bytes(row))
+    return b"".join(rows)
+
+
+def avi_bytes(
+    w: int,
+    h: int,
+    frames: list[bytes],
+    compressed_idx: tuple[int, ...] = (),
+    junk_in_movi: bytes | None = None,
+    no_avih: bool = False,
+    truncate_last: int = 0,
+) -> bytes:
+    """Minimal well-formed AVI: RIFF('AVI ') → LIST hdrl (avih + one
+    'vids'/'DIB ' strl) → LIST movi with '00db' (uncompressed) /
+    '00dc' (compressed placeholder) frame chunks.  ``junk_in_movi``
+    injects a non-frame chunk (odd sizes exercise word-alignment);
+    ``truncate_last`` drops bytes off the end (walk must stop with
+    prior frames intact)."""
+    avih = struct.pack(
+        "<14I", 40000, 0, 0, 0, len(frames), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = b"vids" + b"DIB " + struct.pack("<12I", *([0] * 12))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    hdrl_children = (b"" if no_avih else _riff_chunk(b"avih", avih)) + _riff_list(
+        b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    )
+    movi_children = b""
+    if junk_in_movi is not None:
+        movi_children += _riff_chunk(b"JUNK", junk_in_movi)
+    for i, fr in enumerate(frames):
+        cc = b"00dc" if i in compressed_idx else b"00db"
+        movi_children += _riff_chunk(cc, fr)
+    body = (
+        b"AVI "
+        + _riff_list(b"hdrl", hdrl_children)
+        + _riff_list(b"movi", movi_children)
+        + _riff_chunk(b"idx1", b"\x00" * 16)
+    )
+    out = b"RIFF" + struct.pack("<I", len(body)) + body
+    return out[: len(out) - truncate_last] if truncate_last else out
+
+
+def build_avi_rows() -> list[tuple[int, bytes, str]]:
+    """Uncompressed-AVI fixture (m15 + the m02 real-decode leg): tiny
+    multi-frame 24bpp DIB videos plus the edges — compressed '00dc'
+    frames interleaved (frame numbering keeps counting, stats only for
+    '00db'), an odd-size JUNK chunk inside movi (aligned jumps), a
+    decoy 'movi'/'00db' byte string INSIDE frame pixel data, a
+    truncated final frame, a missing avih (frames walk, NULL dims and
+    stats), non-AVI RIFF (WAVE) and junk."""
+    rows: list[tuple[int, bytes, str]] = []
+    for i in range(N_AVI):
+        mid = 9900 + i
+        if i % 9 == 8:
+            rows.append((mid, f"not-an-avi-{i}".encode("ascii") * 2, "raw"))
+            continue
+        w = 1 + i % 5
+        h = 1 + (i * 3) % 4
+        n_frames = 1 + i % 3
+        frames = [avi_frame(w, h, seed=i * 10 + k) for k in range(n_frames)]
+        compressed = (1,) if (i % 4 == 2 and n_frames > 1) else ()
+        rows.append(
+            (
+                mid,
+                avi_bytes(
+                    w, h, frames,
+                    compressed_idx=compressed,
+                    junk_in_movi=b"J" * 7 if i % 5 == 3 else None,
+                ),
+                "avi",
+            )
+        )
+    edge = 9900 + N_AVI
+    decoy = avi_frame(4, 2, seed=99)
+    # plant 'movi' + '00db' fourcc bytes INSIDE the pixel data: the
+    # aligned walk must jump the whole frame, never re-sync on them
+    decoy = decoy[:4] + b"movi" + b"00db" + decoy[12:]
+    rows += [
+        (edge, avi_bytes(4, 2, [avi_frame(4, 2, 1), decoy, avi_frame(4, 2, 2)]),
+         "avi"),
+        # truncated INTO the movi LIST (40 bytes: idx1 + part of frame
+        # 1): the LIST's declared size now overruns the payload, so the
+        # bounded walk refuses it outright — a truncated file's sizes
+        # cannot be trusted, and all three paths (expression, SQL twin,
+        # python kernel) agree on zero frames
+        (edge + 1, avi_bytes(3, 3, [avi_frame(3, 3, 5), avi_frame(3, 3, 6)],
+                             truncate_last=40), "avi"),
+        # no avih: frames enumerate with NULL dims and stats
+        (edge + 2, avi_bytes(2, 2, [avi_frame(2, 2, 7)], no_avih=True), "avi"),
+        # all-compressed video: frames enumerate as 00dc only → no rows
+        (edge + 3, avi_bytes(2, 2, [avi_frame(2, 2, 8)], compressed_idx=(0,)),
+         "avi"),
+        # RIFF but WAVE: not this kernel's domain
+        (edge + 4, b"RIFF" + struct.pack("<I", 12) + b"WAVEfmt " + b"\x00" * 4,
+         "raw"),
+        # dims past the pixel budget: frames emit with NULL stats
+        (edge + 5, avi_bytes(100, 100, [b"\x00" * ((3 * 100 + 3) // 4 * 4 * 100)]),
+         "avi"),
+        # truncation confined to the TRAILING idx1 chunk: movi is fully
+        # present, so every frame still decodes
+        (edge + 6, avi_bytes(2, 3, [avi_frame(2, 3, 11), avi_frame(2, 3, 12)],
+                             truncate_last=10), "avi"),
     ]
     return rows
 
@@ -1062,6 +1296,7 @@ def main() -> None:
     _write(build_bmp_pixel_rows(), "image", BMPPX_OUT)
     _write(build_wav_pcm_rows(), "audio", WAVPCM_OUT)
     _write(build_warc_rows(), "archive", WARC_OUT)
+    _write(build_avi_rows(), "video", AVI_OUT)
 
 
 if __name__ == "__main__":
