@@ -62,27 +62,26 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
 
 
-#: the ASCII word-character class — marker-word boundaries are defined
-#: against THIS class in both engines (see ``_marker_pattern``).
-_ASCII_WORD = "[A-Za-z0-9_]"
+#: The marker-word boundary contract is ASCII-defined ([A-Za-z0-9_] is
+#: a word char, everything else — including é, CJK and combining marks
+#: — is not).  RE2's ``\b`` is exactly that; JAVA's ``\b`` is
+#: Unicode-aware (probed: ``\ba\b`` misses 'a' in "aé", "a的" and
+#: "a"+U+030A), so the two engines disagree whenever a marker word
+#: abuts a non-ASCII char.  The Java spelling below pins ASCII
+#: semantics while keeping ``\b``'s native speed as the fast path:
+#: boundary := ``\b`` OR an adjacent non-ASCII byte (the exact cases
+#: where Java's ``\b`` under-fires vs the ASCII contract).  Benchmarked
+#: on the sf0.1 documents scan: explicit per-word lookarounds cost
+#: ~2x the old ``\b`` on marker-scoring queries; this short-circuit
+#: form lands within noise of it.
+_JAVA_LB = r"(?:\b|(?<=[^\x00-\x7F]))"
+_JAVA_RB = r"(?:\b|(?=[^\x00-\x7F]))"
 
 
-def _marker_pattern(word: str, java: bool = False) -> str:
-    """Word-bounded pattern for ASCII words; plain substring pattern
-    for CJK.  The boundary contract is ASCII-defined: RE2's ``\\b`` is
-    exactly that, but JAVA's ``\\b`` is Unicode-aware (a combining mark
-    after ``a`` suppresses the boundary, so ``\\ba\\b`` misses ``a +
-    U+030A`` in Spark while DuckDB counts it).  The ``java`` variant
-    therefore spells the boundary as explicit ASCII lookarounds —
-    identical to ``\\b`` on pure-ASCII neighborhoods, and identical to
-    RE2's ASCII ``\\b`` on non-ASCII ones, so both engines agree on
-    real UTF-8 text.  (RE2 has no lookarounds, hence two spellings of
-    one contract.)"""
-    if not word.isascii():
-        return word
-    if java:
-        return rf"(?<!{_ASCII_WORD}){word}(?!{_ASCII_WORD})"
-    return rf"\b{word}\b"
+def _marker_pattern(word: str) -> str:
+    """RE2 spelling: ASCII-``\\b``-bounded for ASCII words; plain
+    substring for CJK (``\\b`` never fires between CJK chars)."""
+    return rf"\b{word}\b" if word.isascii() else word
 
 
 def marker_pattern(words: tuple[str, ...], java: bool = False) -> str:
@@ -93,9 +92,21 @@ def marker_pattern(words: tuple[str, ...], java: bool = False) -> str:
     One regex pass instead of ``len(words)`` — the scoring kernels run
     over every document, so the constant factor is the corpus-scan cost.
     Default spelling is the RE2/ASCII-``\\b`` form (the DuckDB twins);
-    ``java=True`` spells the same ASCII-boundary contract in Java
-    lookarounds (see ``_marker_pattern``)."""
-    return "|".join(_marker_pattern(w, java) for w in words)
+    ``java=True`` spells the same ASCII-boundary contract for Java's
+    Unicode-aware ``\\b`` (see the boundary notes above), factoring the
+    ASCII words into one boundary-bracketed group (boundaries don't
+    consume, so a separator stays available to the next match and the
+    counts equal the per-word form — fuzz-pinned in tests)."""
+    if not java:
+        return "|".join(_marker_pattern(w) for w in words)
+    ascii_words = [w for w in words if w.isascii()]
+    cjk = [w for w in words if not w.isascii()]
+    parts = (
+        [_JAVA_LB + "(?:" + "|".join(ascii_words) + ")" + _JAVA_RB]
+        if ascii_words
+        else []
+    )
+    return "|".join(parts + cjk)
 
 
 def marker_hits(col: Column | str, words: tuple[str, ...]) -> Column:

@@ -404,12 +404,24 @@ def _documents_projection(media: DataFrame) -> DataFrame:
         body_hex.alias("__bh"),
         "rec_bytes",
     )
-    return projected.select(
+    finished = projected.select(
         "*",
         F.when(
             F.col("__bh").rlike(_UTF8_HEX_RE), F.decode(F.unhex("__bh"), "UTF-8")
         ).alias("text"),
     ).drop("__bh")
+    # Materialization barrier: re-emit each finished row through
+    # inline(array(struct(...))).  Downstream FILTERS (the ingest gate,
+    # m14's is_http gate) reference generator output, so Catalyst
+    # cannot push them through this Generate and substitute the
+    # aliases — without it, PushDownPredicate rewrites the filter in
+    # terms of the full walk/split/UTF-8-gate expression chains and
+    # every row pays them twice (no codegen CSE across Filter/Project
+    # here: higher-order functions keep this plan interpreted).
+    # Measured on the committed fixture: 4.6 s → ~2 s.
+    return finished.select(
+        F.inline(F.array(F.struct(*[F.col(c) for c in finished.columns])))
+    )
 
 
 def warc_text_documents(

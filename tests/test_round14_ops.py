@@ -99,6 +99,40 @@ def test_marker_pattern_ascii_boundary_contract(spark):
     assert got[4] == 1          # 'the,' still word-bounded
 
 
+def test_marker_pattern_cross_engine_count_parity(spark):
+    # the strongest form of the boundary contract: Spark's java
+    # spelling must count EXACTLY like DuckDB's RE2 ASCII-\b spelling
+    # on fuzzed text mixing markers with punctuation, CJK, accented
+    # letters and combining marks
+    import random
+
+    import duckdb
+
+    random.seed(7)
+    toks = ["the", "a", "an", "it", "o", "x", "café", "å", "an,a",
+            "the.", "a-b", "ab", "的a", "a的", "é a é"]
+    texts = [
+        " ".join(random.choice(toks) for _ in range(random.randint(1, 25)))
+        + random.choice(["", " 的是", " é"])
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    con = duckdb.connect()
+    for words in (tx.EN_STOPWORDS,) + tuple(tx.LANG_MARKERS.values()):
+        got = (
+            df.select(F.sum(tx.marker_hits("text", words)).alias("n"))
+            .collect()[0]["n"]
+        )
+        pat = tx.marker_pattern(words).replace("'", "''")
+        want = sum(
+            con.execute(
+                f"SELECT len(regexp_extract_all(lower(?), '{pat}'))", [t]
+            ).fetchone()[0]
+            for t in texts
+        )
+        assert got == want, (words[0], got, want)
+
+
 # --- HTTP split (expression path) -------------------------------------------
 
 
