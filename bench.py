@@ -193,6 +193,13 @@ HEADLINE = (
     "m14_http_response_meta",
     "m15_avi_frame_stats",
     "ll16_warc_ingest_kernel",
+    # round 14: the URL / domain family (crawl-side gates)
+    "cc01_url_parse",
+    "cc02_registered_domain",
+    "cc03_domain_caps",
+    "cc04_url_blocklist",
+    "cc05_url_normalize",
+    "cc06_crawl_host_stats",
 )
 
 

@@ -394,3 +394,118 @@ def test_ll16_registry_entry_ingests_kernel_only_members(spark):
         by_fp.setdefault(r["fingerprint"], []).append(r)
     for grp in by_fp.values():
         assert sum(1 for r in grp if r["is_canonical"]) == 1
+
+
+# --- URL / domain family (operators/urls.py) --------------------------------
+
+
+def _parsed(spark, rows):
+    from realtimechurnpredictiondataengineering_spark.operators import urls
+
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    return urls.url_components(df)
+
+
+def test_url_components_edges(spark):
+    rows = [
+        (1, "https://WWW.Site4.CO.UK:8080/p/3?b=2&a=1#frag"),
+        (2, "http://example.org"),            # no port/path/query/fragment
+        (3, "HTTP://HOST.COM/"),              # scheme+host case-fold
+        (4, "https://h.io/p#only-frag"),
+        (5, "https://h.io/p?"),               # empty query
+        (6, "not a url at all"),
+    ]
+    got = {r["doc_id"]: r for r in _parsed(spark, rows).collect()}
+    r = got[1]
+    assert (r["scheme"], r["host"], r["port"]) == ("https", "www.site4.co.uk", 8080)
+    assert (r["path"], r["query"], r["fragment"]) == ("/p/3", "b=2&a=1", "frag")
+    r = got[2]
+    assert (r["scheme"], r["host"]) == ("http", "example.org")
+    assert r["port"] is None and r["path"] is None and r["query"] is None
+    assert got[3]["scheme"] == "http" and got[3]["host"] == "host.com"
+    assert got[3]["path"] == "/"
+    assert got[4]["fragment"] == "only-frag" and got[4]["query"] is None
+    # '?#'-style empty query parses as NULL (nullif contract)
+    assert got[5]["query"] is None
+    r = got[6]
+    assert all(r[c] is None for c in ("scheme", "host", "port", "path", "fragment"))
+
+
+def test_registered_domain_psl(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import urls
+
+    rows = [
+        (1, "www.site4.co.uk"),
+        (2, "site4.com"),
+        (3, "a.b.site9.com.au"),
+        (4, "localhost"),       # single label: no registrable domain (PSL)
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    got = {r["doc_id"]: r for r in urls.registered_domain(df, spark).collect()}
+    assert (got[1]["registered_domain"], got[1]["public_suffix"]) == (
+        "site4.co.uk", "co.uk")
+    assert (got[2]["registered_domain"], got[2]["public_suffix"]) == (
+        "site4.com", "com")
+    # deep subdomain: registrable = last THREE labels under a 2-label suffix
+    assert (got[3]["registered_domain"], got[3]["public_suffix"]) == (
+        "site9.com.au", "com.au")
+    assert got[4]["registered_domain"] is None
+    assert got[4]["public_suffix"] == "localhost"
+    assert got[5]["registered_domain"] is None and got[5]["public_suffix"] is None
+
+
+def test_normalized_url_rules(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import urls
+
+    rows = [
+        (1, "https://A.IO:443/x?utm_source=a&b=2&a=1#f"),  # default port + utm + sort
+        (2, "http://a.io:80/x"),                           # http default port
+        (3, "http://a.io:8080/x"),                         # NON-default kept
+        (4, "https://a.io"),                               # empty path -> '/'
+        (5, "https://a.io/x?utm_a=1&utm_b=2"),             # all params dropped
+    ]
+    p = _parsed(spark, rows)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in p.withColumn("n", urls.normalized_url(p)).collect()
+    }
+    assert got[1] == "https://a.io/x?a=1&b=2"
+    assert got[2] == "http://a.io/x"
+    assert got[3] == "http://a.io:8080/x"
+    assert got[4] == "https://a.io/"
+    assert got[5] == "https://a.io/x"
+
+
+def test_blocklist_ladder_depth_and_exact_entries(spark):
+    from realtimechurnpredictiondataengineering_spark.operators import urls
+
+    rows = [
+        (1, "deep.sub.site7.com"),    # suffix entry hits at rung 3
+        (2, "site7.com"),             # suffix entry hits itself
+        (3, "www.site21.com.au"),     # exact-host entry
+        (4, "site21.com.au"),         # parent of an exact entry: NOT blocked
+        (5, "SITE7.COM"),             # case-folded before probing
+        (6, "site7.com.evil.net"),    # suffix must anchor at the END
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    got = {(r["doc_id"], r["category"]) for r in urls.blocked_docs(df, spark).collect()}
+    assert got == {(1, "ads"), (2, "ads"), (3, "tracking"), (5, "ads")}
+
+
+def test_cc03_plans_window_group_limit_and_broadcasts(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
+
+    plan = (
+        REGISTRY["cc03_domain_caps"][0](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the rank<=K filter must plan the map-side partial top-K
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    for name in ("cc02_registered_domain", "cc04_url_blocklist"):
+        plan = (
+            REGISTRY[name][0](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan, (name, plan[:2000])
+        assert "SortMergeJoin" not in plan, (name, plan[:2000])
