@@ -200,6 +200,10 @@ HEADLINE = (
     "cc04_url_blocklist",
     "cc05_url_normalize",
     "cc06_crawl_host_stats",
+    "ll18_url_gated_corpus",
+    "ll17_streaming_warc_ingest",
+    "t36_html_extract",
+    "ll19_html_ingest",
 )
 
 

@@ -412,3 +412,70 @@ def gopher_rules(col: Column | str) -> dict[str, Column]:
         keep = keep & flag
     rules["keep"] = keep
     return rules
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the crawl text-extraction stage)
+# ---------------------------------------------------------------------------
+#
+# Every real WARC `response` body is HTML; the corpus gates want TEXT.
+# Trafilatura/jusText-style DOM extraction needs a parser, but the
+# classic pipeline fallback (C4-style preprocessing, and countless
+# crawl jobs) is regex extraction: drop script/style/comment blocks,
+# strip tags, decode the common entities, collapse whitespace.  All
+# steps are RE2/Java-portable regexp_replace + replace chains — scan-
+# local, zero Python, oracle-checkable — so extraction runs inside
+# whole-stage codegen at any corpus size.
+#
+# Order matters and is part of the contract:
+# 1. script/style/comment BLOCKS go first (their content may contain
+#    '<' / '>' that the bare tag-strip would mangle);
+# 2. then every remaining tag strips to ONE SPACE (block boundaries
+#    must not glue words together);
+# 3. entities decode AFTER tag-strip ('&lt;p&gt;' must NOT become a
+#    strippable tag) with '&amp;' LAST (no double-decode);
+# 4. whitespace collapses to single spaces + trim.
+
+#: (pattern, replacement) applied in order via regexp_replace.  RE2 and
+#: java.util.regex agree on every construct used: inline (?is) flags,
+#: non-greedy .*?, character classes.
+_HTML_STRIP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+)
+
+#: entity -> replacement, '&amp;' deliberately last
+_HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Extract readable text from an HTML string column (see the
+    contract comment above).  NULL in -> NULL out."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def sql_html_to_text(col_sql: str) -> str:
+    """DuckDB twin of :func:`html_to_text` — same steps, same order
+    (DuckDB regexp_replace needs the explicit 'g' flag where Spark's
+    replaces globally by default)."""
+    e = col_sql
+    for pat, rep in _HTML_STRIP_STEPS:
+        e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    for ent, rep in _HTML_ENTITIES:
+        rep_sql = rep.replace("'", "''")
+        e = f"replace({e}, '{ent.replace(chr(39), chr(39)*2)}', '{rep_sql}')"
+    return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"

@@ -3637,6 +3637,56 @@ def ll16(spark, sf_dir):
     )
 
 
+@register("ll17_streaming_warc_ingest", None)  # zlib kernel — no SQL twin
+def ll17(spark, sf_dir):
+    # The STREAMING crawl front-door over COMPRESSED shards — the leg
+    # ll16's docstring promises: a file-stream of raw WARC shard rows
+    # runs the zlib mapInPandas kernel (stateless, Arrow-batched,
+    # partition-parallel — mapInPandas is streaming-safe), the
+    # HTTP-split/UTF-8 ingest contract, then WATERMARKED exact-dup
+    # canonicalization (`dropDuplicatesWithinWatermark` on the content
+    # fingerprint — the streaming twin of ll15/ll16's min-doc_id
+    # window; state stays bounded by the watermark horizon), draining
+    # AvailableNow into a checkpointed sink.  WHICH duplicate survives
+    # is batch-order-dependent, so the output is keyed by FINGERPRINT
+    # and carries only fingerprint-derived columns (n_tokens, quality)
+    # — value-deterministic despite the nondeterministic survivor
+    # choice (the ll14 convention).  Rows-only: DuckDB cannot gunzip;
+    # correctness is pytest-pinned instead — the admitted set must
+    # equal ll16's batch canonical set field-for-field
+    # (tests/test_round14_ops.py).
+    import atexit
+    import shutil
+    import tempfile
+
+    from realtimechurnpredictiondataengineering_spark.operators import warc
+    from realtimechurnpredictiondataengineering_spark.sources.sinks import delta_stream_sink
+
+    media = spark.read.parquet(_warc_fixture_path().replace("''", "'"))
+    base = tempfile.mkdtemp(prefix="ll17_ingest_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    feed = f"{base}/feed"
+    media.write.parquet(feed)
+    stream = spark.readStream.schema(media.schema).parquet(feed)
+    docs = warc.warc_text_records(stream)
+    out = (
+        docs.select(
+            F.md5("text").alias("fingerprint"),
+            tx.token_count("text").alias("n_tokens"),
+            tx.quality_score("text").alias("quality"),
+            # deterministic synthetic event time (the ll14 convention:
+            # the shard rows carry none): 2024-01-01T00:00:00Z + doc_id
+            F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+        )
+        .withWatermark("ts", "3650 days")  # covers the feed → full dedup
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+        .drop("ts")
+    )
+    q = delta_stream_sink(out, f"{base}/out", f"{base}/ck")
+    q.awaitTermination()
+    return spark.read.parquet(f"{base}/out")
+
+
 def _avi_fixture_path() -> str:
     return _media_fixture_path().replace("media_headers", "avi_frames")
 
@@ -4018,6 +4068,177 @@ def cc06(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
         (F.floor(F.avg("quality") * 100 + 0.5) / 100).alias("avg_quality"),
+    )
+
+
+def _ll18_sql() -> str:
+    probe, reg, _ = urlops.sql_registered_domain()
+    return f"""
+WITH {_cc_url_cte()},
+l AS (SELECT doc_id, unnest({urlops.sql_host_ladder('host')}) AS rung FROM p),
+blocked AS (SELECT DISTINCT doc_id
+            FROM l JOIN {urlops.sql_blocklist_values()} bl(entry, category)
+            ON rung = entry),
+clean AS (SELECT p.* FROM p ANTI JOIN blocked USING (doc_id)),
+canon AS (SELECT doc_id, host, {urlops.sql_normalized_url()} AS norm_url,
+                 row_number() OVER (PARTITION BY {urlops.sql_normalized_url()}
+                                    ORDER BY doc_id) AS urk
+          FROM clean),
+uniq AS (SELECT doc_id, host, norm_url FROM canon WHERE urk = 1),
+pr AS (SELECT u.doc_id, u.norm_url, {SQL_QUALITY} AS quality, {probe}
+       FROM (SELECT uniq.*, d.text
+             FROM uniq JOIN documents d ON d.doc_id = uniq.doc_id) u),
+j AS (SELECT pr.*, suffix FROM pr
+      LEFT JOIN {urlops.sql_suffix_values()} sfx(suffix) ON __l2 = suffix),
+q AS (SELECT doc_id, norm_url, {reg} AS registered_domain, quality FROM j),
+r AS (SELECT *, row_number() OVER (PARTITION BY registered_domain
+                                   ORDER BY quality DESC, doc_id) AS rk FROM q)
+SELECT doc_id, norm_url, registered_domain, quality, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_CC_CAP}
+"""
+
+
+@register("ll18_url_gated_corpus", _ll18_sql)
+def ll18(spark, sf_dir):
+    # The RefinedWeb URL FRONT HALF as one pipeline — the gates a
+    # web-scale pipeline runs BEFORE fetching/reading any text, in
+    # cost order: (1) blocklist drop (suffix-ladder broadcast
+    # anti-join — cheapest, prunes first), (2) canonical-URL exact
+    # dedup (normalize + one shuffle on the canonical string, min
+    # doc_id survives — URL-level dedup is why RefinedWeb fetches each
+    # page once), (3) per-registered-domain cap (the cc03
+    # WindowGroupLimit rank window — quality scored only for
+    # URL-surviving docs, so the regex-heavy text pass runs on the
+    # REDUCED set).  Survivors carry (doc_id, norm_url,
+    # registered_domain, quality, rk) — the shape the ll06-style text
+    # gates consume downstream.  Three shuffles total (canonical key,
+    # domain key, plus the blocklist explode's local distinct); both
+    # joins broadcast.
+    docs = _td(spark, sf_dir)
+    parsed = urlops.url_components(urlops.derived_urls(docs))
+    # no broadcast hint on the anti-join back: the blocked-doc set is
+    # bounded by the blocklist HIT RATE, not the blocklist size, so it
+    # can be arbitrarily large on a hostile crawl — AQE broadcasts it
+    # at runtime when it is in fact small (it is, here)
+    blocked = urlops.blocked_docs(parsed, spark).select("doc_id")
+    clean = parsed.join(blocked, "doc_id", "left_anti")
+    from pyspark.sql import Window
+
+    canon = clean.withColumn("norm_url", urlops.normalized_url(clean)).withColumn(
+        "urk",
+        F.row_number().over(Window.partitionBy("norm_url").orderBy("doc_id")),
+    )
+    uniq = canon.filter(F.col("urk") == 1)
+    scored = urlops.registered_domain(uniq, spark).select(
+        "doc_id", "norm_url", "registered_domain",
+        tx.quality_score("text").alias("quality"),
+    )
+    w = Window.partitionBy("registered_domain").orderBy(
+        F.desc("quality"), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _CC_CAP)
+    )
+
+
+# The deterministic HTML page wrapped around each document's text for
+# t36 (the P11/derived-url convention: both engines build the identical
+# string, so extraction is value-checkable).  Deliberately hostile to
+# naive tag-stripping: the script body contains '<' and quotes, the
+# style block braces, the nav real boilerplate text, entities in both
+# boilerplate and a trailing &copy; that is NOT in the decode table
+# (must survive literally).  No single-quote characters, so the SQL
+# literal needs no escaping.
+_T36_PRE = (
+    '<html><head><title>d</title><style>p{margin:0;x<1}</style>'
+    '<script type="text/x">if(a<b){go("x&y")}</script></head>'
+    '<body><!-- header --><nav>Home | Sitemap &amp; Help</nav><h1>Doc </h1><p>'
+)
+_T36_POST = "</p><footer>&copy; corp&nbsp;footer</footer></body></html>"
+
+
+def _t36_sql() -> str:
+    clean = tx.sql_html_to_text(
+        f"'{_T36_PRE}' || CAST(doc_id AS VARCHAR) || text || '{_T36_POST}'"
+    )
+    return f"""
+WITH c AS (SELECT doc_id, {clean} AS text FROM documents)
+SELECT doc_id, text AS text_clean, CAST({SQL_TOKEN_COUNT} AS INT) AS n_tokens
+FROM c
+"""
+
+
+@register("t36_html_extract", _t36_sql)
+def t36(spark, sf_dir):
+    # HTML -> text extraction — the crawl text-extraction stage every
+    # WARC response body needs before the corpus gates (C4-style regex
+    # extraction: script/style/comment blocks out first, tags to
+    # spaces, entities decoded after tag-strip with &amp; last,
+    # whitespace collapsed — order is the contract, see
+    # functions/text.py: html_to_text).  Pure regexp_replace/replace
+    # chains: scan-local, whole-stage codegen, zero Python — the
+    # extraction is free at 100 TB relative to the scan.  The page
+    # wrapper is deterministic on both engines; the script body's
+    # bare '<'/quotes and the undecodable &copy; pin the ordering
+    # contract under the oracle.
+    docs = _td(spark, sf_dir)
+    html = F.concat(
+        F.lit(_T36_PRE),
+        F.col("doc_id").cast("string"),
+        F.col("text"),
+        F.lit(_T36_POST),
+    )
+    clean = tx.html_to_text(html)
+    return docs.select(
+        "doc_id",
+        clean.alias("text_clean"),
+        tx.token_count(clean).cast("int").alias("n_tokens"),
+    )
+
+
+def _ll19_sql() -> str:
+    case = (
+        "CASE WHEN content_type = 'text/html' "
+        f"THEN {tx.sql_html_to_text('text')} ELSE text END"
+    )
+    return f"""
+WITH RECURSIVE {_warc_members_cte()},{_warc_docs_cte()},
+docs AS (SELECT * FROM proj
+         WHERE warc_type IN ('response', 'conversion')
+           AND target_uri IS NOT NULL AND text IS NOT NULL
+           AND (NOT is_http OR http_status = 200)),
+e AS (SELECT doc_id, target_uri, content_type, {case} AS text FROM docs)
+SELECT doc_id, target_uri, content_type, text AS text_clean,
+       CAST({SQL_TOKEN_COUNT} AS INT) AS n_tokens
+FROM e
+"""
+
+
+@register("ll19_html_ingest", _ll19_sql)
+def ll19(spark, sf_dir):
+    # The HTML-AWARE crawl front-door: real web 200s are text/html, so
+    # the ingest routes html bodies through the t36 extraction (the
+    # ';'-stripped Content-Type decides — charset parameters don't
+    # change the route) while text/plain bodies and WET conversion
+    # records pass through VERBATIM (their '<'/'&' are content, not
+    # markup).  Fixture pins both routes: real-markup pages whose
+    # script bodies would poison a naive tag-strip, a mixed html+plain
+    # shard, and a charset-parameterized html page — all over the same
+    # member walk / HTTP split / UTF-8 gate as ll15, all scan-local.
+    from realtimechurnpredictiondataengineering_spark.operators import warc
+
+    media = spark.read.parquet(_warc_fixture_path().replace("''", "'"))
+    docs = warc.warc_text_documents(media)
+    ext = F.when(
+        F.col("content_type") == "text/html", tx.html_to_text(F.col("text"))
+    ).otherwise(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "target_uri",
+        "content_type",
+        ext.alias("text_clean"),
+        tx.token_count(ext).cast("int").alias("n_tokens"),
     )
 
 
@@ -9804,7 +10025,22 @@ def w09(spark, sf_dir):
 # plus plan gates: u01-u04 (set ops), p13_to_json_keyed,
 # p15_column_pruning (plan-asserted in test_plan_invariants).  The
 # window stays 50/50 value-checkable; 40/50 slots remain the stalest
-# entries by ledger (the task-4 floor).
+# entries by ledger (the task-4 floor).  ll18_url_gated_corpus (the
+# RefinedWeb URL front half: blocklist anti-join -> canonical-URL
+# dedup -> domain cap as one pipeline) also rotates in per the
+# new-code rule, displacing w06_first_nth_value (w-family keeps
+# w01-w03 in-window); ll17_streaming_warc_ingest joins the rows-only
+# set outside the window (zlib kernel feed, pytest-pinned equal to
+# ll16's batch canonical set).  t36_html_extract (HTML -> text, the
+# crawl text-extraction stage) rotates in per the same rule,
+# displacing s01_orderby_limit (sort/limit stays plan-asserted via
+# TakeOrderedAndProject gates and s04 was driver-green r13).
+# ll19_html_ingest (the HTML-aware front-door: text/html bodies route
+# through the t36 extraction over the regenerated fixture's
+# real-markup pages) rotates in too, displacing t05_word_frequencies
+# (plain split/agg, not a marker consumer).  Final window: 40/50
+# slots are the stalest entries by ledger — exactly the task-4 floor
+# — and all 10 new/reshaped round-14 entries face the gate.
 PRIORITY: tuple[str, ...] = (
     "ll15_warc_ingest",
     "m14_http_response_meta",
@@ -9816,6 +10052,9 @@ PRIORITY: tuple[str, ...] = (
     "cc04_url_blocklist",
     "cc05_url_normalize",
     "cc06_crawl_host_stats",
+    "ll18_url_gated_corpus",
+    "t36_html_extract",
+    "ll19_html_ingest",
     "a01_max_sum_groupby",
     "a02_filtered_sum_avg",
     "a03_total_revenue",
@@ -9845,12 +10084,9 @@ PRIORITY: tuple[str, ...] = (
     "p10_round_arithmetic",
     "p11_pseudo_score",
     "p12_arpu",
-    "s01_orderby_limit",
-    "t05_word_frequencies",
     "w01_latest_per_key",
     "w02_running_sum",
     "w03_lag_lead",
-    "w06_first_nth_value",
     "t01_token_counts",
     "t02_language_id",
     "t03_quality_score",

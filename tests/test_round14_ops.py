@@ -509,3 +509,87 @@ def test_cc03_plans_window_group_limit_and_broadcasts(spark, sf_dir):
         )
         assert "BroadcastHashJoin" in plan, (name, plan[:2000])
         assert "SortMergeJoin" not in plan, (name, plan[:2000])
+
+
+def test_ll17_streaming_equals_ll16_batch_canonical_set(spark):
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
+
+    batch = REGISTRY["ll16_warc_ingest_kernel"][0](spark, FIX)
+    want = {
+        (r["fingerprint"], r["n_tokens"], r["quality"])
+        for r in batch.collect()
+        if r["is_canonical"]
+    }
+    got = {
+        tuple(r)
+        for r in REGISTRY["ll17_streaming_warc_ingest"][0](spark, FIX)
+        .select("fingerprint", "n_tokens", "quality")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_html_to_text_contract_cross_engine(spark):
+    # the extraction ORDER is the contract: blocks before tags, tags
+    # before entities, &amp; last — pinned against DuckDB on hostile
+    # cases (script bodies with '<'/quotes, double-encoded entities,
+    # unterminated tags, full-comment pages)
+    import duckdb
+
+    cases = [
+        '<html><head><style>p{a<1}</style><script>if(x<2){y("q")}</script>'
+        '</head><body><!-- c --><nav>Home &amp; Help</nav><p>hi  there</p>'
+        '<p>&quot;q&quot; &lt;tag&gt; &#39;s&#39;&nbsp;end</p></body></html>',
+        '<p>multi\nline\ttext</p>',
+        'no tags at all',
+        '<SCRIPT>UPPER()</SCRIPT>ok<STYLE>x</STYLE>',
+        '<a href="x.html" class="b">link text</a> tail',
+        '&amp;lt; double-encoded',  # one decode pass: stays '&lt;'
+        '',
+        None,
+        '<p>unterminated <b>bold',
+        '<!-- <p>commented out</p> -->visible',
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i int, h string"
+    )
+    got = {
+        r["i"]: r["t"]
+        for r in df.select("i", tx.html_to_text("h").alias("t")).collect()
+    }
+    con = duckdb.connect()
+    for i, c in enumerate(cases):
+        want = con.execute(
+            f"SELECT {tx.sql_html_to_text('?')}", [c]
+        ).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
+    assert got[0] == 'Home & Help hi there "q" <tag> \'s\' end'
+    assert got[3] == "ok"
+    assert got[5] == "&lt; double-encoded"
+    assert got[7] is None
+
+
+def test_ll19_extracts_html_and_passes_plain_verbatim(spark):
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
+
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["ll19_html_ingest"][0](spark, FIX).collect()
+    }
+    edge = 9800 + 32
+    base = warc._DOC_ID_BASE
+    # real-markup page: boilerplate text survives, markup/script gone
+    p1 = rows[(edge + 15) * base]
+    assert p1["content_type"] == "text/html"
+    assert "première page — café" in p1["text_clean"]
+    assert "Home | Archive & Help" in p1["text_clean"]
+    assert "<" not in p1["text_clean"].replace("&lt;", "")
+    assert "go(" not in p1["text_clean"] and "margin" not in p1["text_clean"]
+    # charset parameter still routes through extraction
+    p3 = rows[(edge + 17) * base]
+    assert "emoji \U0001f600 page" in p3["text_clean"]
+    # text/plain member in the mixed shard passes through VERBATIM
+    plain = rows[(edge + 16) * base + 1]
+    assert plain["content_type"] == "text/plain"
+    assert plain["text_clean"] == "plain <not-a-tag> body &amp; untouched"

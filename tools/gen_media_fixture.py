@@ -1013,6 +1013,19 @@ UTF8_BODIES = [
 ]
 
 
+def html_page(body_text: str, seed: int) -> str:
+    """A deterministic real-markup HTML page around ``body_text`` —
+    hostile to naive tag-stripping on purpose (script body with bare
+    '<' and quotes, style braces, comment, entities, attributes)."""
+    return (
+        "<html><head><title>t</title><style>p{margin:0}</style>"
+        f'<script type="text/x">if(a<{seed}){{go("x&y")}}</script></head>'
+        "<body><!-- boiler --><nav>Home | Archive &amp; Help</nav>"
+        f'<h1>Page {seed}</h1><p class="lead">{body_text}</p>'
+        "<p>&quot;cited&quot;&nbsp;&#39;aside&#39;</p></body></html>"
+    )
+
+
 def build_warc_rows() -> list[tuple[int, bytes, str]]:
     """WARC shard fixture (m12/m14/ll15/ll16): payloads of 1-4
     CONCATENATED stored-deflate gzip members, each wrapping one WARC
@@ -1145,6 +1158,28 @@ def build_warc_rows() -> list[tuple[int, bytes, str]]:
         (edge + 14, stored_member(warc_record(
             "response", "https://example.org/odd",
             b"HTTP/1.1 OK\r\nContent-Type: text/html\r\n\r\nbody")), "warc"),
+        # REAL HTML pages (ll19: the HTML-aware ingest leg) — 200
+        # text/html bodies that are actual markup: script/style blocks
+        # whose content would poison a naive tag-strip, comments, nav
+        # boilerplate, entities, and multi-byte UTF-8 body text
+        (edge + 15, stored_member(warc_record(
+            "response", "https://example.org/html/1",
+            http_payload(html_page("première page — café", 15)))), "warc"),
+        # html + plain members in ONE shard: only the html body is
+        # extracted; the text/plain body must pass through verbatim
+        (edge + 16, stored_member(warc_record(
+            "response", "https://example.org/html/2",
+            http_payload(html_page("東京 second page", 16))))
+         + stored_member(warc_record(
+             "response", "https://example.org/plain/2",
+             http_payload("plain <not-a-tag> body &amp; untouched",
+                          ctype="text/plain"))), "warc"),
+        # charset parameter on the content type: the ';'-stripped field
+        # is still text/html, so extraction applies
+        (edge + 17, stored_member(warc_record(
+            "response", "https://example.org/html/3",
+            http_payload(html_page("emoji \U0001f600 page", 17),
+                         ctype="text/html; charset=utf-8"))), "warc"),
     ]
     return rows
 
