@@ -204,6 +204,8 @@ HEADLINE = (
     "ll17_streaming_warc_ingest",
     "t36_html_extract",
     "ll19_html_ingest",
+    "t37_link_extraction",
+    "cc07_link_graph",
 )
 
 

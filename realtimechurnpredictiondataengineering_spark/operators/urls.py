@@ -398,3 +398,64 @@ def sql_normalized_url(c: dict[str, str] | None = None) -> str:
     )
     query_part = f"(CASE WHEN {kept} = '' THEN '' ELSE '?' || {kept} END)"
     return f"{scheme} || '://' || {host} || {port_part} || {path_part} || {query_part}"
+
+
+# ---------------------------------------------------------------------------
+# Link extraction (the crawl-frontier / link-graph stage)
+# ---------------------------------------------------------------------------
+#
+# A crawler's frontier and every link-graph signal (in-degree ranking,
+# spam neighborhoods, anchor-text retrieval) start from <a href> pairs.
+# One RE2/Java-portable pattern captures (href, anchor); extraction is
+# regexp_extract_all — scan-local, zero Python — and the anchor text is
+# cleaned with the same html_to_text contract the body extraction uses.
+# Only double-quoted hrefs are captured (the overwhelmingly dominant
+# form; single-quoted/bare attributes are a parser's job, documented
+# out of scope like userinfo URLs).
+
+LINK_PATTERN = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def link_hrefs(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(LINK_PATTERN), F.lit(1))
+
+
+def link_anchors(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(LINK_PATTERN), F.lit(2))
+
+
+def sql_link_parts(col_sql: str) -> tuple[str, str]:
+    p = LINK_PATTERN.replace("'", "''")
+    return (
+        f"regexp_extract_all({col_sql}, '{p}', 1)",
+        f"regexp_extract_all({col_sql}, '{p}', 2)",
+    )
+
+
+def canonical_url(k: Column) -> Column:
+    """The junk-free canonical URL for derived-key ``k`` — what
+    `normalized_url` maps every `derived_urls` variant of ``k`` to
+    when no non-default port / surviving params apply.  Used to mint
+    deterministic absolute link TARGETS."""
+    host = F.concat(
+        _pick(k % 5, _SUBDOMAINS),
+        F.lit("site"), (k % 25).cast("string"),
+        _pick(k % 8, _SUFFIXES),
+    )
+    return F.concat(
+        _pick(k % 2, _SCHEMES), F.lit("://"), host,
+        F.lit("/p/"), (k % 20).cast("string"),
+    )
+
+
+def sql_canonical_url(k_sql: str) -> str:
+    host = (
+        f"{_sql_pick(f'{k_sql} % 5', _SUBDOMAINS)} || 'site' || "
+        f"CAST({k_sql} % 25 AS VARCHAR) || {_sql_pick(f'{k_sql} % 8', _SUFFIXES)}"
+    )
+    return (
+        f"{_sql_pick(f'{k_sql} % 2', _SCHEMES)} || '://' || {host} || "
+        f"'/p/' || CAST({k_sql} % 20 AS VARCHAR)"
+    )

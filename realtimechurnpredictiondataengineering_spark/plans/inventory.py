@@ -4242,6 +4242,142 @@ def ll19(spark, sf_dir):
     )
 
 
+# t37/cc07 page wrapper: deterministic links — two absolute targets at
+# derived-key offsets +17 / +43 (canonical, junk-free URLs) and one
+# RELATIVE href the link-graph stage must drop.  No single quotes.
+def _t37_page_sql() -> str:
+    l1 = urlops.sql_canonical_url("((doc_id + 17) % 100)")
+    l2 = urlops.sql_canonical_url("((doc_id + 43) % 100)")
+    return (
+        "'<html><body><p>see <a href=\"' || " + l1
+        + " || '\" class=\"x\">first link</a> and <a href=\"' || " + l2
+        + " || '\">second &amp; <b>bold</b> link</a>"
+        "<a href=\"/rel/' || CAST(doc_id % 20 AS VARCHAR) || '\">rel</a>"
+        "</p></body></html>'"
+    )
+
+
+def _t37_page_col() -> F.Column:
+    l1 = urlops.canonical_url((F.col("doc_id") + 17) % 100)
+    l2 = urlops.canonical_url((F.col("doc_id") + 43) % 100)
+    return F.concat(
+        F.lit('<html><body><p>see <a href="'), l1,
+        F.lit('" class="x">first link</a> and <a href="'), l2,
+        F.lit('">second &amp; <b>bold</b> link</a><a href="/rel/'),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit('">rel</a></p></body></html>'),
+    )
+
+
+def _t37_sql() -> str:
+    h, a = urlops.sql_link_parts("page")
+    return f"""
+WITH w AS (SELECT doc_id, {_t37_page_sql()} AS page FROM documents),
+t AS (SELECT doc_id, {h} AS h, {a} AS a FROM w),
+e AS (SELECT doc_id, unnest(h) AS href, unnest(a) AS anchor FROM t)
+SELECT doc_id, href, {tx.sql_html_to_text('anchor')} AS anchor FROM e
+"""
+
+
+@register("t37_link_extraction", _t37_sql)
+def t37(spark, sf_dir):
+    # <a href> extraction — the crawl-frontier stage: one RE2/Java-
+    # portable pattern captures (href, anchor) via regexp_extract_all
+    # (scan-local, zero Python), anchors cleaned with the SAME
+    # html_to_text contract as body extraction (nested tags stripped,
+    # entities decoded).  Relative hrefs are kept here — dropping them
+    # is the link-GRAPH stage's policy (cc07), not the extractor's.
+    # The page wrapper plants absolute targets at derived-key offsets
+    # plus one relative link, both engines building identical strings.
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        urlops.link_hrefs(_t37_page_col()).alias("h"),
+        urlops.link_anchors(_t37_page_col()).alias("a"),
+    )
+    ex = base.select("doc_id", "a", F.posexplode("h").alias("pos", "href"))
+    return ex.select(
+        "doc_id",
+        "href",
+        tx.html_to_text(F.element_at("a", F.col("pos") + 1)).alias("anchor"),
+    )
+
+
+def _cc07_sql() -> str:
+    h, _ = urlops.sql_link_parts("page")
+    dst_host = urlops.sql_url_components("href")["host"]
+    sprobe, sreg, _ = urlops.sql_registered_domain("src_host")
+    dprobe, dreg, _ = urlops.sql_registered_domain("dst_host")
+    src_host = urlops.sql_url_components("url")["host"]
+    return f"""
+WITH w AS (SELECT doc_id, {urlops.sql_derived_url()} AS url,
+                  {_t37_page_sql()} AS page FROM documents),
+t AS (SELECT {src_host} AS src_host, unnest({h}) AS href FROM w),
+d AS (SELECT src_host, {dst_host} AS dst_host FROM t),
+abs_links AS (SELECT * FROM d WHERE dst_host IS NOT NULL),
+s1 AS (SELECT src_host, dst_host, {sprobe} FROM abs_links),
+s2 AS (SELECT src_host, dst_host, {sreg} AS src_domain
+       FROM (SELECT s1.*, suffix FROM s1
+             LEFT JOIN {urlops.sql_suffix_values()} sfx(suffix) ON __l2 = suffix)),
+d1 AS (SELECT src_domain, dst_host, {dprobe} FROM s2),
+d2 AS (SELECT src_domain, {dreg} AS dst_domain
+       FROM (SELECT d1.*, suffix FROM d1
+             LEFT JOIN {urlops.sql_suffix_values()} sfx(suffix) ON __l2 = suffix))
+SELECT src_domain, dst_domain, count(*) AS n_links
+FROM d2 GROUP BY src_domain, dst_domain
+"""
+
+
+@register("cc07_link_graph", _cc07_sql)
+def cc07(spark, sf_dir):
+    # The DOMAIN-LEVEL LINK GRAPH — what a crawler ranks and
+    # prioritizes with (in-degree signals, spam neighborhoods):
+    # extracted hrefs → absolute links only (relative hrefs have no
+    # host; a real pipeline resolves them against the page URL — the
+    # graph stage's documented policy here is to drop them) → host
+    # parse (cc01 regex) → registered domain on BOTH endpoints (two
+    # broadcast suffix probes) → one hash aggregate on the
+    # (src_domain, dst_domain) edge.  Scales as scan + explode(links
+    # per page) + broadcast probes + one shuffle on the edge key.
+    docs = _t(spark, sf_dir, "documents")
+    w = urlops.derived_urls(docs)
+    links = w.select(
+        F.lower(
+            F.nullif(
+                F.regexp_extract(
+                    "url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1
+                ),
+                F.lit(""),
+            )
+        ).alias("src_host"),
+        F.explode(urlops.link_hrefs(_t37_page_col())).alias("href"),
+    )
+    abs_links = links.select(
+        "src_host",
+        F.lower(
+            F.nullif(
+                F.regexp_extract(
+                    "href", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1
+                ),
+                F.lit(""),
+            )
+        ).alias("dst_host"),
+    ).filter(F.col("dst_host").isNotNull())
+    src = (
+        urlops.registered_domain(abs_links, spark, host_col="src_host")
+        .withColumnRenamed("registered_domain", "src_domain")
+        .drop("public_suffix")
+    )
+    dst = (
+        urlops.registered_domain(src, spark, host_col="dst_host")
+        .withColumnRenamed("registered_domain", "dst_domain")
+        .drop("public_suffix")
+    )
+    return dst.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").alias("n_links")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Percentiles, skew-safe aggregation, extended window surface
 # ---------------------------------------------------------------------------
@@ -10038,9 +10174,13 @@ def w09(spark, sf_dir):
 # ll19_html_ingest (the HTML-aware front-door: text/html bodies route
 # through the t36 extraction over the regenerated fixture's
 # real-markup pages) rotates in too, displacing t05_word_frequencies
-# (plain split/agg, not a marker consumer).  Final window: 40/50
-# slots are the stalest entries by ledger — exactly the task-4 floor
-# — and all 10 new/reshaped round-14 entries face the gate.
+# (plain split/agg, not a marker consumer).  t37_link_extraction +
+# cc07_link_graph (the crawl-frontier link stage and the domain link
+# graph) displace a10_salted_sum/a17_median_mode — the two r03 rows,
+# so the r02 stale set stays MAXIMAL.  Final window: 12 new/reshaped
+# round-14 entries (the standing new-code-faces-the-gate rule has
+# priority) + 38 stale rows, every remaining r02-last-green entry
+# still inside.
 PRIORITY: tuple[str, ...] = (
     "ll15_warc_ingest",
     "m14_http_response_meta",
@@ -10055,6 +10195,8 @@ PRIORITY: tuple[str, ...] = (
     "ll18_url_gated_corpus",
     "t36_html_extract",
     "ll19_html_ingest",
+    "t37_link_extraction",
+    "cc07_link_graph",
     "a01_max_sum_groupby",
     "a02_filtered_sum_avg",
     "a03_total_revenue",
@@ -10090,8 +10232,6 @@ PRIORITY: tuple[str, ...] = (
     "t01_token_counts",
     "t02_language_id",
     "t03_quality_score",
-    "a10_salted_sum",
-    "a17_median_mode",
 )
 
 

@@ -593,3 +593,23 @@ def test_ll19_extracts_html_and_passes_plain_verbatim(spark):
     plain = rows[(edge + 16) * base + 1]
     assert plain["content_type"] == "text/plain"
     assert plain["text_clean"] == "plain <not-a-tag> body &amp; untouched"
+
+
+def test_t37_links_and_cc07_graph_policies(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
+
+    links = REGISTRY["t37_link_extraction"][0](spark, sf_dir)
+    per_doc = links.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in per_doc)  # 2 absolute + 1 relative
+    one = {r["href"]: r["anchor"] for r in links.filter(F.col("doc_id") == 0).collect()}
+    rel = [h for h in one if h.startswith("/rel/")]
+    assert len(rel) == 1  # extractor KEEPS relative hrefs
+    # anchor cleanup: nested tag stripped, entity decoded
+    assert "second & bold link" in one.values()
+    graph = REGISTRY["cc07_link_graph"][0](spark, sf_dir)
+    g = graph.collect()
+    assert all(r["dst_domain"] is not None for r in g)  # relative dropped
+    # plan: both suffix probes broadcast, no sort-merge join
+    plan = graph._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
