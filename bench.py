@@ -206,6 +206,7 @@ HEADLINE = (
     "ll19_html_ingest",
     "t37_link_extraction",
     "cc07_link_graph",
+    "cc08_domain_pagerank",
 )
 
 

@@ -4252,8 +4252,14 @@ def _t37_page_sql() -> str:
         "'<html><body><p>see <a href=\"' || " + l1
         + " || '\" class=\"x\">first link</a> and <a href=\"' || " + l2
         + " || '\">second &amp; <b>bold</b> link</a>"
-        "<a href=\"/rel/' || CAST(doc_id % 20 AS VARCHAR) || '\">rel</a>"
-        "</p></body></html>'"
+        "<a href=\"/rel/' || CAST(doc_id % 20 AS VARCHAR) || '\">rel</a>' || "
+        # every third page links the archive HUB — a domain outside the
+        # derived space (never a SOURCE), so the link graph gets a
+        # high-in-degree DANGLING node: cc08's dangling-mass branch and
+        # non-uniform ranks are genuinely exercised
+        "(CASE WHEN doc_id % 3 = 0 THEN "
+        "'<a href=\"https://archive.example/hub\">archive</a>' ELSE '' END)"
+        " || '</p></body></html>'"
     )
 
 
@@ -4265,7 +4271,12 @@ def _t37_page_col() -> F.Column:
         F.lit('" class="x">first link</a> and <a href="'), l2,
         F.lit('">second &amp; <b>bold</b> link</a><a href="/rel/'),
         (F.col("doc_id") % 20).cast("string"),
-        F.lit('">rel</a></p></body></html>'),
+        F.lit('">rel</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit('<a href="https://archive.example/hub">archive</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</p></body></html>"),
     )
 
 
@@ -4375,6 +4386,120 @@ def cc07(spark, sf_dir):
     )
     return dst.groupBy("src_domain", "dst_domain").agg(
         F.count("*").alias("n_links")
+    )
+
+
+_PR_D = 0.85    # damping
+_PR_ITERS = 3   # unrolled so the DuckDB twin stays honest (the t29
+# unrolled-CTE convention); at cluster scale the same step runs in a
+# checkpointed loop like the d06 connected-components driver
+
+
+def _cc08_sql() -> str:
+    cc07 = _cc07_sql().strip().rstrip()
+    body = cc07[len("WITH "):]  # splice cc07's CTE chain
+    d = _PR_D
+    # one iteration: contributions shuffled on dst + dangling mass and
+    # (1-d)/n as scalar subqueries (the 1-row-broadcast twin)
+    step = """
+pr{j} AS (SELECT n.domain,
+                 (1.0 - {d}) / (SELECT n FROM nn)
+                 + {d} * ((SELECT COALESCE(sum(p.pr), 0.0) FROM pr{i} p
+                           ANTI JOIN outdeg o ON p.domain = o.src_domain)
+                          / (SELECT n FROM nn)
+                          + COALESCE(c.contrib, 0.0)) AS pr
+          FROM nodes n
+          LEFT JOIN (SELECT e.dst_domain AS domain,
+                            sum(p.pr * e.n_links / o.outdeg) AS contrib
+                     FROM edges e
+                     JOIN pr{i} p ON p.domain = e.src_domain
+                     JOIN outdeg o ON o.src_domain = e.src_domain
+                     GROUP BY e.dst_domain) c ON c.domain = n.domain)"""
+    steps = ",".join(
+        step.format(i=i, j=i + 1, d=d) for i in range(_PR_ITERS)
+    )
+    return f"""
+WITH {body[:body.rindex('SELECT')].rstrip()},
+edges AS (SELECT src_domain, dst_domain, CAST(count(*) AS DOUBLE) AS n_links
+          FROM d2 GROUP BY src_domain, dst_domain),
+nodes AS (SELECT src_domain AS domain FROM edges
+          UNION SELECT dst_domain FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src_domain, sum(n_links) AS outdeg FROM edges
+           GROUP BY src_domain),
+pr0 AS (SELECT domain, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),{steps}
+SELECT domain, floor(pr * 1e8 + 0.5) / 1e8 AS pagerank FROM pr{_PR_ITERS}
+"""
+
+
+@register("cc08_domain_pagerank", _cc08_sql)
+def cc08(spark, sf_dir):
+    # Weighted PageRank over the cc07 domain link graph — THE canonical
+    # at-scale graph computation, and what real crawl schedulers rank
+    # frontiers with.  Each iteration is the classic two-join shape:
+    # rank joins edges on src (shuffle on the join key; AQE broadcasts
+    # the rank side while it is small), contributions hash-aggregate on
+    # dst, and the (1-d)/N + dangling-mass terms ride 1-row broadcast
+    # crossJoins (the repo's every-crossJoin-broadcasts-a-small-side
+    # convention — no collect, no driver scalars).  Dangling domains
+    # (in-links only) redistribute their mass uniformly, the standard
+    # correction.  _PR_ITERS iterations are UNROLLED so the DuckDB twin
+    # expresses the identical computation (the t29 convention); the
+    # cluster-scale variant is the same step in a checkpointed loop
+    # like the d06 CC driver.  Output rounded by the portable floor
+    # form at 1e-8 — coarse enough to absorb cross-engine float
+    # sum-order noise (~1e-16 relative), fine enough to rank.
+    from realtimechurnpredictiondataengineering_spark.cache import persist_tracked
+
+    edges = persist_tracked(
+        REGISTRY["cc07_link_graph"][0](spark, sf_dir)
+        .withColumn("n_links", F.col("n_links").cast("double"))
+    )
+    nodes = persist_tracked(
+        edges.select(F.col("src_domain").alias("domain"))
+        .union(edges.select("dst_domain"))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    outdeg = edges.groupBy("src_domain").agg(F.sum("n_links").alias("outdeg"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "domain", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        # each iteration's rank feeds THREE consumers (dangling mass,
+        # contributions, the final projection); without a persist the
+        # shared subtree re-executes per consumer and the unrolled DAG
+        # grows multiplicatively (measured 27s -> ~3s at sf0.1)
+        pr = persist_tracked(pr)
+        dangling = (
+            pr.join(outdeg, pr["domain"] == outdeg["src_domain"], "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass"))
+        )
+        contrib = (
+            edges.join(pr, pr["domain"] == edges["src_domain"])
+            .join(outdeg, "src_domain")
+            .groupBy("dst_domain")
+            .agg(
+                F.sum(F.col("pr") * F.col("n_links") / F.col("outdeg")).alias(
+                    "contrib"
+                )
+            )
+        )
+        pr = (
+            nodes.join(contrib, nodes["domain"] == contrib["dst_domain"], "left")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "domain",
+                (
+                    (1.0 - _PR_D) / F.col("n")
+                    + _PR_D
+                    * (F.col("dmass") / F.col("n") + F.coalesce("contrib", F.lit(0.0)))
+                ).alias("pr"),
+            )
+        )
+    return pr.select(
+        "domain", (F.floor(F.col("pr") * 1e8 + 0.5) / 1e8).alias("pagerank")
     )
 
 
@@ -10180,7 +10305,11 @@ def w09(spark, sf_dir):
 # so the r02 stale set stays MAXIMAL.  Final window: 12 new/reshaped
 # round-14 entries (the standing new-code-faces-the-gate rule has
 # priority) + 38 stale rows, every remaining r02-last-green entry
-# still inside.
+# still inside.  cc08_domain_pagerank (weighted PageRank over the
+# cc07 edge list, unrolled so the twin is honest) displaces
+# j05_anti_join (the anti-join shape stays value-checked via the
+# d07/ll09 decontamination entries and plan-gated in ll18).
+# Final: 13 new + 37 stale.
 PRIORITY: tuple[str, ...] = (
     "ll15_warc_ingest",
     "m14_http_response_meta",
@@ -10197,6 +10326,7 @@ PRIORITY: tuple[str, ...] = (
     "ll19_html_ingest",
     "t37_link_extraction",
     "cc07_link_graph",
+    "cc08_domain_pagerank",
     "a01_max_sum_groupby",
     "a02_filtered_sum_avg",
     "a03_total_revenue",
@@ -10216,7 +10346,6 @@ PRIORITY: tuple[str, ...] = (
     "j02_full_outer",
     "j03_broadcast_dim_chain",
     "j04_semi_join",
-    "j05_anti_join",
     "p01_cast_projection",
     "p02_json_parse_flatten",
     "p05_to_date",

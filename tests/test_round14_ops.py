@@ -600,7 +600,8 @@ def test_t37_links_and_cc07_graph_policies(spark, sf_dir):
 
     links = REGISTRY["t37_link_extraction"][0](spark, sf_dir)
     per_doc = links.groupBy("doc_id").count().collect()
-    assert all(r["count"] == 3 for r in per_doc)  # 2 absolute + 1 relative
+    # 2 absolute + 1 relative, plus the archive-hub link on every 3rd doc
+    assert all(r["count"] == (4 if r["doc_id"] % 3 == 0 else 3) for r in per_doc)
     one = {r["href"]: r["anchor"] for r in links.filter(F.col("doc_id") == 0).collect()}
     rel = [h for h in one if h.startswith("/rel/")]
     assert len(rel) == 1  # extractor KEEPS relative hrefs
@@ -613,3 +614,20 @@ def test_t37_links_and_cc07_graph_policies(spark, sf_dir):
     plan = graph._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
     assert "SortMergeJoin" not in plan
+
+
+def test_cc08_pagerank_mass_hub_and_dangling(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
+
+    pr = {
+        r["domain"]: r["pagerank"]
+        for r in REGISTRY["cc08_domain_pagerank"][0](spark, sf_dir).collect()
+    }
+    # mass conserved (up to the 1e-8 output rounding per node)
+    assert abs(sum(pr.values()) - 1.0) < 1e-5
+    # the archive hub is DANGLING (in-links only) and must dominate:
+    # every third page links it, nothing links back out
+    hub = pr.pop("archive.example")
+    assert hub > 5 * max(pr.values())
+    # every rank positive (the (1-d)/N floor)
+    assert min(pr.values()) > 0
