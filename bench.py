@@ -207,6 +207,9 @@ HEADLINE = (
     "t37_link_extraction",
     "cc07_link_graph",
     "cc08_domain_pagerank",
+    "t38_anchor_text_topk",
+    "cc09_crawl_frontier",
+    "cc10_hits",
 )
 
 

@@ -4503,6 +4503,334 @@ def cc08(spark, sf_dir):
     )
 
 
+_ANCHOR_TOPK = 3  # anchors kept per destination domain
+
+
+def _t38_sql() -> str:
+    h, a = urlops.sql_link_parts("page")
+    dst_host = urlops.sql_url_components("href")["host"]
+    probe, reg, _ = urlops.sql_registered_domain("dst_host")
+    clean = tx.sql_html_to_text("anchor")
+    return f"""
+WITH w AS (SELECT doc_id, {_t37_page_sql()} AS page FROM documents),
+t AS (SELECT {h} AS h, {a} AS a FROM w),
+e AS (SELECT unnest(h) AS href, unnest(a) AS anchor FROM t),
+d AS (SELECT {dst_host} AS dst_host, {clean} AS anchor FROM e),
+k AS (SELECT * FROM d WHERE dst_host IS NOT NULL),
+p1 AS (SELECT dst_host, anchor, {probe} FROM k),
+j AS (SELECT p1.*, suffix FROM p1
+      LEFT JOIN {urlops.sql_suffix_values()} sfx(suffix) ON __l2 = suffix),
+g AS (SELECT {reg} AS dst_domain, anchor, count(*) AS n_refs FROM j
+      GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY dst_domain
+                                   ORDER BY n_refs DESC, anchor) AS rk FROM g)
+SELECT dst_domain, anchor, CAST(n_refs AS BIGINT) AS n_refs,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {_ANCHOR_TOPK}
+"""
+
+
+@register("t38_anchor_text_topk", _t38_sql)
+def t38(spark, sf_dir):
+    # Anchor-text aggregation per DESTINATION registered domain — the
+    # link-graph signal search and quality pipelines mine (anchor text
+    # describes the TARGET page better than the target's own
+    # boilerplate; it also powers query-independent spam features).
+    # Zipped (href, anchor) extraction via posexplode + element_at (the
+    # t37 shape), anchors cleaned with the SAME html_to_text contract
+    # as body extraction, dst host -> registered domain via the cc02
+    # broadcast probe, then ONE hash aggregate on (domain, anchor) and
+    # a rank-limit window Spark plans as WindowGroupLimit — each map
+    # partition pre-prunes to its local top-K before the shuffle, so a
+    # mega-domain's anchor long tail never ships whole.
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        urlops.link_hrefs(_t37_page_col()).alias("h"),
+        urlops.link_anchors(_t37_page_col()).alias("a"),
+    )
+    ex = base.select("a", F.posexplode("h").alias("pos", "href"))
+    pairs = ex.select(
+        F.lower(
+            F.nullif(
+                F.regexp_extract(
+                    "href", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)", 1
+                ),
+                F.lit(""),
+            )
+        ).alias("dst_host"),
+        tx.html_to_text(F.element_at("a", F.col("pos") + 1)).alias("anchor"),
+    ).filter(F.col("dst_host").isNotNull())
+    dom = urlops.registered_domain(pairs, spark, host_col="dst_host")
+    g = dom.groupBy(
+        F.col("registered_domain").alias("dst_domain"), "anchor"
+    ).agg(F.count("*").alias("n_refs"))
+    w = Window.partitionBy("dst_domain").orderBy(F.desc("n_refs"), "anchor")
+    return (
+        g.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _ANCHOR_TOPK)
+    )
+
+
+_HITS_ITERS = 2  # unrolled (the cc08/t29 convention) so the DuckDB twin
+# expresses the identical computation; the cluster-scale variant is the
+# same two-join step in a checkpointed loop like the d06 CC driver
+
+
+def _cc10_sql() -> str:
+    cc07 = _cc07_sql().strip()
+    body = cc07[len("WITH "):]
+    head = body[: body.rindex("SELECT")].rstrip()
+    step = """
+ar{i} AS (SELECT e.dst_domain AS domain, sum(p.h * e.w) AS v
+          FROM edges e JOIN h{j} p ON p.domain = e.src_domain GROUP BY 1),
+a{i} AS (SELECT n.domain, COALESCE(r.v, 0.0) / (SELECT sum(v) FROM ar{i}) AS a
+         FROM nodes n LEFT JOIN ar{i} r ON r.domain = n.domain),
+hr{i} AS (SELECT e.src_domain AS domain, sum(q.a * e.w) AS v
+          FROM edges e JOIN a{i} q ON q.domain = e.dst_domain GROUP BY 1),
+h{i} AS (SELECT n.domain, COALESCE(r.v, 0.0) / (SELECT sum(v) FROM hr{i}) AS h
+         FROM nodes n LEFT JOIN hr{i} r ON r.domain = n.domain)"""
+    steps = ",".join(step.format(i=i + 1, j=i) for i in range(_HITS_ITERS))
+    last = _HITS_ITERS
+    return f"""
+WITH {head},
+edges AS (SELECT src_domain, dst_domain, CAST(count(*) AS DOUBLE) AS w
+          FROM d2 GROUP BY src_domain, dst_domain),
+nodes AS (SELECT src_domain AS domain FROM edges
+          UNION SELECT dst_domain FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+h0 AS (SELECT domain, 1.0 / (SELECT n FROM nn) AS h FROM nodes),{steps}
+SELECT a{last}.domain,
+       floor(a{last}.a * 1e8 + 0.5) / 1e8 AS authority,
+       floor(h{last}.h * 1e8 + 0.5) / 1e8 AS hub
+FROM a{last} JOIN h{last} ON a{last}.domain = h{last}.domain
+"""
+
+
+@register("cc10_hits", _cc10_sql)
+def cc10(spark, sf_dir):
+    # HITS hubs & authorities over the cc07 domain link graph — the
+    # complementary ranking to cc08's PageRank (a domain can be a weak
+    # authority but a strong hub, e.g. a link directory; spam-farm
+    # detection uses exactly this split).  Each half-iteration is ONE
+    # join of the score vector to the edge list on its key plus ONE
+    # hash aggregate on the other endpoint; the L1 normalizer is a
+    # 1-row aggregate broadcast back via crossJoin (the repo's
+    # every-crossJoin-broadcasts convention — no collect, no driver
+    # scalars).  _HITS_ITERS iterations are UNROLLED for the twin;
+    # per-iteration persists keep the shared score subtree from
+    # re-executing per consumer (the cc08 lesson).  Scores L1-normalize
+    # each half-step, so magnitudes stay comparable across engines;
+    # output rounded by the portable floor form at 1e-8.
+    from realtimechurnpredictiondataengineering_spark.cache import persist_tracked
+
+    edges = persist_tracked(
+        REGISTRY["cc07_link_graph"][0](spark, sf_dir)
+        .select(
+            "src_domain", "dst_domain", F.col("n_links").cast("double").alias("w")
+        )
+    )
+    nodes = persist_tracked(
+        edges.select(F.col("src_domain").alias("domain"))
+        .union(edges.select("dst_domain"))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").cast("double").alias("n"))
+    h = nodes.crossJoin(F.broadcast(nn)).select(
+        "domain", (F.lit(1.0) / F.col("n")).alias("h")
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        h = persist_tracked(h)
+        ar = (
+            edges.join(h, h["domain"] == edges["src_domain"])
+            .groupBy("dst_domain")
+            .agg(F.sum(F.col("h") * F.col("w")).alias("v"))
+        )
+        asum = ar.agg(F.sum("v").alias("s"))
+        a = persist_tracked(
+            nodes.join(ar, nodes["domain"] == ar["dst_domain"], "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                "domain",
+                (F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("a"),
+            )
+        )
+        hr = (
+            edges.join(a, a["domain"] == edges["dst_domain"])
+            .groupBy("src_domain")
+            .agg(F.sum(F.col("a") * F.col("w")).alias("v"))
+        )
+        hsum = hr.agg(F.sum("v").alias("s"))
+        h = (
+            nodes.join(hr, nodes["domain"] == hr["src_domain"], "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                "domain",
+                (F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("h"),
+            )
+        )
+    return a.join(h, "domain").select(
+        "domain",
+        (F.floor(F.col("a") * 1e8 + 0.5) / 1e8).alias("authority"),
+        (F.floor(F.col("h") * 1e8 + 0.5) / 1e8).alias("hub"),
+    )
+
+
+# cc09 candidate pages: the t37 wrapper plus the NEXT crawl batch's
+# discovery links — 8 fresh domains x 5 paths each (so the per-domain
+# cap genuinely binds) and, on every fifth page, a link into the
+# blocklisted site999.example neighborhood (the frontier's blocklist
+# gate must drop it).  No single quotes.
+def _cc09_page_sql() -> str:
+    return (
+        _t37_page_sql()
+        + " || '<a href=\"https://fresh' || CAST((doc_id * 7 + 3) % 8 AS VARCHAR)"
+        + " || '.example/d/' || CAST(doc_id % 40 AS VARCHAR)"
+        + " || '\">new page</a>'"
+        + " || (CASE WHEN doc_id % 5 = 0 THEN"
+        + " '<a href=\"https://bad' || CAST(doc_id % 7 AS VARCHAR) ||"
+        + " '.site999.example/x\">cheap stuff</a>' ELSE '' END)"
+    )
+
+
+def _cc09_page_col() -> F.Column:
+    return F.concat(
+        _t37_page_col(),
+        F.lit('<a href="https://fresh'),
+        ((F.col("doc_id") * 7 + 3) % 8).cast("string"),
+        F.lit(".example/d/"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit('">new page</a>'),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit('<a href="https://bad'),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit('.site999.example/x">cheap stuff</a>'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+def _cc09_sql() -> str:
+    cc08 = _cc08_sql().strip()
+    head = cc08[len("WITH "):]
+    head = head[: head.rindex("SELECT")].rstrip()
+    hrefs, _ = urlops.sql_link_parts("page")
+    comps = ", ".join(
+        f"{e} AS {n}" for n, e in urlops.sql_url_components("href").items()
+    )
+    probe, reg, _ = urlops.sql_registered_domain("host")
+    return f"""
+WITH {head},
+cand AS (SELECT doc_id, {_cc09_page_sql()} AS page FROM documents),
+ch AS (SELECT unnest({hrefs}) AS href FROM cand),
+cp AS (SELECT href, {comps} FROM ch),
+cc AS (SELECT {urlops.sql_normalized_url()} AS cand_url, host FROM cp
+       WHERE host IS NOT NULL),
+crawl_p AS (SELECT url, {", ".join(f"{e} AS {n}" for n, e in urlops.sql_url_components("url").items())} FROM w),
+crawled AS (SELECT DISTINCT {urlops.sql_normalized_url()} AS norm_url
+            FROM crawl_p),
+new_c AS (SELECT cand_url, host FROM cc
+          ANTI JOIN crawled ON cand_url = norm_url),
+lad AS (SELECT cand_url, unnest({urlops.sql_host_ladder('host')}) AS rung
+        FROM new_c),
+blockedc AS (SELECT DISTINCT cand_url
+             FROM lad JOIN {urlops.sql_blocklist_values()} bl(entry, category)
+             ON rung = entry),
+okc AS (SELECT * FROM new_c ANTI JOIN blockedc USING (cand_url)),
+gc AS (SELECT cand_url, host, count(*) AS n_refs FROM okc GROUP BY 1, 2),
+pg AS (SELECT cand_url, host, n_refs, {probe} FROM gc),
+jg AS (SELECT pg.*, suffix FROM pg
+       LEFT JOIN {urlops.sql_suffix_values()} sfx(suffix) ON __l2 = suffix),
+dg AS (SELECT cand_url, n_refs, {reg} AS dst_domain FROM jg),
+ranks AS (SELECT domain, floor(pr * 1e8 + 0.5) / 1e8 AS pagerank
+          FROM pr{_PR_ITERS}),
+rr AS (SELECT dg.*, COALESCE(r.pagerank, 0.0) AS pagerank
+       FROM dg LEFT JOIN ranks r ON dg.dst_domain = r.domain),
+fin AS (SELECT *, row_number() OVER (PARTITION BY dst_domain
+                                     ORDER BY n_refs DESC, cand_url) AS rk
+        FROM rr)
+SELECT cand_url AS url, dst_domain, pagerank,
+       CAST(n_refs AS BIGINT) AS n_refs, CAST(rk AS BIGINT) AS rk
+FROM fin WHERE rk <= {_CC_CAP}
+"""
+
+
+@register("cc09_crawl_frontier", _cc09_sql)
+def cc09(spark, sf_dir):
+    # The crawl FRONTIER SCHEDULER — the stage that closes the crawl
+    # loop: rank yesterday's link graph (cc08), gate today's discovered
+    # links, emit the next fetch batch.  Gates run in cost order, each
+    # pruning before the next pays:  (1) canonicalize candidates (cc05
+    # normalization — URL-level exact dedup is why each page fetches
+    # once) and ANTI-JOIN the already-crawled canonical set — one
+    # shuffle on the canonical key; (2) blocklist drop via the cc04
+    # suffix-ladder broadcast join; (3) aggregate refs per candidate
+    # (in-degree = the scheduling signal); (4) join the destination
+    # domain's PageRank — a key-partitioned join (rank table is
+    # per-domain, NOT broadcast: real crawls rank 10^8 domains), with
+    # unranked NEW domains at 0.0 (they earn rank once crawled);
+    # (5) per-domain politeness cap via the WindowGroupLimit rank
+    # window.  The discovery fixture plants fresh domains past the cap,
+    # already-crawled targets, and blocklisted spam links, so every
+    # gate genuinely drops rows.
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    hrefs = docs.select(
+        F.explode(urlops.link_hrefs(_cc09_page_col())).alias("href")
+    )
+    parsed = urlops.url_components(hrefs, url_col="href").filter(
+        F.col("host").isNotNull()
+    )
+    cand = parsed.select(
+        urlops.normalized_url(parsed).alias("cand_url"), "host"
+    )
+    crawled = (
+        REGISTRY["cc05_url_normalize"][0](spark, sf_dir).select("norm_url")
+    )
+    new_c = cand.join(
+        crawled, cand["cand_url"] == crawled["norm_url"], "left_anti"
+    )
+    lad = new_c.select(
+        "cand_url", F.explode(urlops.host_ladder(F.col("host"))).alias("rung")
+    )
+    blocked = (
+        lad.join(
+            F.broadcast(urlops.blocklist_table(spark)),
+            F.col("rung") == F.col("entry"),
+        )
+        .select("cand_url")
+        .distinct()
+    )
+    okc = new_c.join(blocked, "cand_url", "left_anti")
+    grouped = okc.groupBy("cand_url", "host").agg(F.count("*").alias("n_refs"))
+    dom = urlops.registered_domain(grouped, spark, host_col="host").select(
+        "cand_url", "n_refs", F.col("registered_domain").alias("dst_domain")
+    )
+    ranks = REGISTRY["cc08_domain_pagerank"][0](spark, sf_dir)
+    rr = dom.join(
+        ranks, dom["dst_domain"] == ranks["domain"], "left"
+    ).select(
+        "cand_url", "n_refs", "dst_domain",
+        F.coalesce("pagerank", F.lit(0.0)).alias("pagerank"),
+    )
+    w = Window.partitionBy("dst_domain").orderBy(
+        F.desc("n_refs"), F.col("cand_url")
+    )
+    return (
+        rr.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _CC_CAP)
+        .select(
+            F.col("cand_url").alias("url"),
+            "dst_domain", "pagerank", "n_refs", "rk",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Percentiles, skew-safe aggregation, extended window surface
 # ---------------------------------------------------------------------------
@@ -10309,7 +10637,18 @@ def w09(spark, sf_dir):
 # cc07 edge list, unrolled so the twin is honest) displaces
 # j05_anti_join (the anti-join shape stays value-checked via the
 # d07/ll09 decontamination entries and plan-gated in ll18).
-# Final: 13 new + 37 stale.
+# Round-14 third batch: t38_anchor_text_topk (anchor aggregation per
+# destination domain), cc09_crawl_frontier (the scheduler closing the
+# crawl loop: canonical anti-join vs crawled + blocklist + PageRank
+# ranking + politeness cap) and cc10_hits (hubs/authorities, unrolled
+# like cc08) rotate in per the new-code rule, displacing
+# p01_cast_projection, f06_not_contains and f07_not_rlike — all three
+# r11-driver-green via the sv01-sv04 silver entries whose plans still
+# carry the identical cast/negated-predicate shapes every round.
+# Final: 16 new + 34 stale — below the task-4 40-stale floor because
+# the round produced 16 gate-facing additions; the stale set keeps
+# every remaining r02-last-green row, and the displaced trio is the
+# most-redundantly-covered of the stale pool.
 PRIORITY: tuple[str, ...] = (
     "ll15_warc_ingest",
     "m14_http_response_meta",
@@ -10327,6 +10666,9 @@ PRIORITY: tuple[str, ...] = (
     "t37_link_extraction",
     "cc07_link_graph",
     "cc08_domain_pagerank",
+    "t38_anchor_text_topk",
+    "cc09_crawl_frontier",
+    "cc10_hits",
     "a01_max_sum_groupby",
     "a02_filtered_sum_avg",
     "a03_total_revenue",
@@ -10339,14 +10681,11 @@ PRIORITY: tuple[str, ...] = (
     "f03_comparison_filter",
     "f04_dropna",
     "f05_isin",
-    "f06_not_contains",
-    "f07_not_rlike",
     "f08_dedup_by_key",
     "j01_left_join_features",
     "j02_full_outer",
     "j03_broadcast_dim_chain",
     "j04_semi_join",
-    "p01_cast_projection",
     "p02_json_parse_flatten",
     "p05_to_date",
     "p06_to_timestamp_format",

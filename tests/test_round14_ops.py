@@ -631,3 +631,72 @@ def test_cc08_pagerank_mass_hub_and_dangling(spark, sf_dir):
     assert hub > 5 * max(pr.values())
     # every rank positive (the (1-d)/N floor)
     assert min(pr.values()) > 0
+
+
+def test_t38_anchor_topk_semantics(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
+
+    rows = REGISTRY["t38_anchor_text_topk"][0](spark, sf_dir).collect()
+    assert rows and all(1 <= r["rk"] <= 3 and r["n_refs"] >= 1 for r in rows)
+    by_dom: dict = {}
+    for r in rows:
+        by_dom.setdefault(r["dst_domain"], []).append(r)
+    # per-domain ranks dense from 1 and ordered by (n_refs desc, anchor)
+    for dom, rs in by_dom.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        keys = [(-r["n_refs"], r["anchor"]) for r in rs]
+        assert keys == sorted(keys)
+    # the hub's only anchor text is the cleaned "archive"
+    assert [r["anchor"] for r in by_dom["archive.example"]] == ["archive"]
+    # anchor cleanup flowed through: nested tag stripped, entity decoded
+    assert any(r["anchor"] == "second & bold link" for r in rows)
+
+
+def test_cc10_hits_normalization_and_hub_split(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
+
+    rows = REGISTRY["cc10_hits"][0](spark, sf_dir).collect()
+    auth = {r["domain"]: r["authority"] for r in rows}
+    hub = {r["domain"]: r["hub"] for r in rows}
+    # L1-normalized each half-step (up to the 1e-8 output rounding)
+    assert abs(sum(auth.values()) - 1.0) < 1e-5
+    assert abs(sum(hub.values()) - 1.0) < 1e-5
+    assert min(auth.values()) >= 0 and min(hub.values()) >= 0
+    # archive.example is a pure AUTHORITY: heavily linked, never links out
+    assert auth["archive.example"] == max(auth.values())
+    assert hub["archive.example"] == 0.0
+    # and the linking site domains are the hubs
+    assert max(hub.values()) > 0
+
+
+def test_cc09_frontier_gates_and_cap(spark, sf_dir):
+    from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
+
+    fr = REGISTRY["cc09_crawl_frontier"][0](spark, sf_dir)
+    rows = fr.collect()
+    urls = {r["url"] for r in rows}
+    # gate 1: nothing already crawled survives
+    crawled = {
+        r["norm_url"]
+        for r in REGISTRY["cc05_url_normalize"][0](spark, sf_dir).collect()
+    }
+    assert not urls & crawled
+    # gate 2: the blocklisted spam neighborhood is gone
+    assert all("site999.example" not in r["dst_domain"] for r in rows)
+    # gate 5: per-domain politeness cap binds on the fresh domains
+    # (5 candidate paths each, cap 3) and ranks are dense from 1
+    by_dom: dict = {}
+    for r in rows:
+        by_dom.setdefault(r["dst_domain"], []).append(r)
+    for j in range(8):
+        rs = by_dom[f"fresh{j}.example"]
+        assert sorted(r["rk"] for r in rs) == [1, 2, 3]
+        # unranked NEW domains schedule at the 0.0 floor
+        assert all(r["pagerank"] == 0.0 for r in rs)
+    # the ranked hub outranks every fresh domain
+    assert by_dom["archive.example"][0]["pagerank"] > 0
+    # plan: the politeness cap prunes map-side, blocklist join broadcasts
+    plan = fr._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
