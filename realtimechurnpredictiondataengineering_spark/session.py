@@ -63,6 +63,47 @@ def _master_configured() -> bool:
         return False
 
 
+def _driver_memory_configured() -> bool:
+    """True when the deployment already sized the driver heap — via
+    ``spark-submit --driver-memory`` / ``spark.driver.memory`` (system
+    property or SparkConf) or the ``SPARK_DRIVER_MEMORY`` env var that
+    spark-submit consults."""
+    if "SPARK_DRIVER_MEMORY" in os.environ:
+        return True
+    try:
+        from pyspark import SparkConf
+
+        return SparkConf().contains("spark.driver.memory")
+    except Exception:  # pragma: no cover - SparkConf probe is best-effort
+        return False
+
+
+def _local_driver_memory() -> str:
+    """Heap size for a self-launched local[N] session: a quarter of
+    physical RAM, capped at 16 GiB, floored at 2 GiB.
+
+    Without this, a local session runs on Spark's 1 GiB default — and in
+    local mode that one JVM heap IS the executor memory for every
+    concurrent task, the broadcast store, and the block-manager cache.
+    Measured on the 32-core bench box: the full headline suite under the
+    1 GiB default GC-throttles throughout and finally dies with
+    ``java.lang.OutOfMemoryError: Java heap space`` near suite end
+    (round-14 run: cc09/cc10 lost to the context shutdown), while the
+    same suite under a right-sized heap runs clean (optimization guide
+    §5: size memory to the workload, not the default).  Overridable via
+    ``SPARK_GRAFT_DRIVER_MEM``; never applied when the deployment
+    configures the driver itself (`_driver_memory_configured`)."""
+    override = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if override:
+        return override
+    try:
+        total = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+    except (ValueError, OSError):  # pragma: no cover - non-POSIX fallback
+        total = 8 * 1024**3
+    gib = max(2, min(16, int(total / 4 / 1024**3)))
+    return f"{gib}g"
+
+
 def session_builder(
     app_name: str = "realtimechurnpredictiondataengineering-spark",
     master: str | None = None,
@@ -76,6 +117,13 @@ def session_builder(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
+        # We own the deployment (self-launched local JVM): size its heap.
+        # On a real cluster master/driver memory come from spark-submit
+        # and this branch never runs.
+        if not _driver_memory_configured():
+            builder = builder.config(
+                "spark.driver.memory", _local_driver_memory()
+            )
     conf = dict(ENGINE_CONF)
     # With AQE on, start shuffle.partitions at ~3x cores locally and let
     # coalescing shrink; on a cluster this should be ~2-3x total cores and
