@@ -739,12 +739,26 @@ def connected_components(
             # Round 0 skips the jump (labels are still identity — there
             # is no chain to shortcut).  Safe: a node's label only
             # ever decreases toward its component minimum.
-            # Checkpoint BEFORE deriving parents: both jump-join branches
+            # Persist BEFORE deriving parents: both jump-join branches
             # read ``propagated``, and Spark does not CSE across join
             # branches — unmaterialized, the edges⋈labels + groupBy
             # neighbor aggregation above would execute twice per round.
-            propagated = _cc_jump(_cc_checkpoint(propagated))
+            # A (lazy) persist gives the same execute-once guarantee as
+            # the eager localCheckpoint this used to be, WITHOUT its
+            # extra driver job per round: the cache materializes inline
+            # in the ``updated`` checkpoint's job, and the round's
+            # lineage is still truncated right below at ``updated``, so
+            # plans stay flat.  Released immediately after the round —
+            # CC can run tens of rounds and the per-round frames must
+            # not pile up in executor memory.
+            propagated = propagated.persist()
+            round_cache = propagated
+            propagated = _cc_jump(propagated)
+        else:
+            round_cache = None
         updated = _cc_checkpoint(propagated)
+        if round_cache is not None:
+            round_cache.unpersist()
         changed = updated.filter("_changed").limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:

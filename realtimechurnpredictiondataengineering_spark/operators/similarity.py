@@ -1161,14 +1161,15 @@ def kmeans_lloyd(
     grid and ties broken by cluster index, per-dimension means snapped
     to the 1e-6 grid, an empty cluster keeps its previous centroid.
 
-    Per round: ONE corpus-scan assignment (vectors × broadcast k-row
-    centroid frame, fold-computed distance, ``min_by`` argmin — no
-    window, no shuffle of the vector table) and ONE re-estimation
-    shuffle (posexplode to (cluster, dim, value) partial means).  The
-    k-row centroid frame is rebuilt each round and
-    ``stats_free_checkpoint``-ed: checkpointing keeps round plans flat,
-    and resetting ``originStats`` keeps Catalyst's size estimate from
-    compounding across rounds (the connected_components lesson —
+    Per round: ONE scan-local corpus assignment (vectors × ONE
+    broadcast row carrying the cluster-ascending centroid array,
+    fold-computed distance argmin — no window, no shuffle of the
+    vector table at all) and ONE re-estimation shuffle (posexplode to
+    (cluster, dim, value) partial means, broadcast-joined back onto
+    the k-row frame).  The k-row centroid frame is rebuilt each round
+    and ``stats_free_checkpoint``-ed: checkpointing keeps round plans
+    flat, and resetting ``originStats`` keeps Catalyst's size estimate
+    from compounding across rounds (the connected_components lesson —
     see cache.py).  Rounds are a FIXED budget, not a convergence loop:
     training is offline, the artifact ships frozen (the v05/v16
     posture), and a fixed budget is what makes the result reproducible
@@ -1181,33 +1182,54 @@ def kmeans_lloyd(
     )
 
 
-def _lloyd_dist() -> F.Column:
-    """Squared L2 between the scan row's ``__v`` and the broadcast
-    centroid's ``__c``, snapped to the 1e-9 grid (the tie/determinism
-    discipline the v19 twin replays)."""
-    return F.round(
-        F.aggregate(
-            F.zip_with("__v", "__c", lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        9,
+def _lloyd_best(vec: F.Column, cents_arr: F.Column) -> F.Column:
+    """Argmin over a (cluster-ascending) array of (cluster, c) structs:
+    per element, squared L2 on the 1e-9 grid (the exact ``_lloyd_dist``
+    expression), then ``array_min`` over (distance, cluster) structs —
+    struct ordering is lexicographic, so equal distances break toward
+    the smaller cluster index, bit-identical to the former
+    ``min_by(cluster, struct(__d, cluster))``."""
+    return F.array_min(
+        F.transform(
+            cents_arr,
+            lambda s: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(vec, s["c"], lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    9,
+                ).alias("__d"),
+                s["cluster"].alias("cluster"),
+            ),
+        )
     )
 
 
 def _lloyd_assign(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
-    """One assignment pass: vectors × broadcast k-row centroid frame,
-    ``min_by`` argmin with the cluster-index tie-break — no window, no
-    shuffle of the vector table."""
-    scored = vecs.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        F.col("__v"),
-        F.col("cluster"),
-        _lloyd_dist().alias("__d"),
+    """One assignment pass, scan-local: the k-row centroid frame
+    collapses onto ONE broadcast row (cluster-ascending array) and the
+    argmin is a fold over it — no shuffle of the vector table at all.
+
+    The former shape (vectors × broadcast k-row frame → ``min_by``
+    argmin under ``groupBy(id)``) re-shuffled every vector once per
+    round and planned as Sort+Exchange+SortAggregate (min_by over a
+    struct is not hash-aggregable); at corpus scale that is a full
+    vector-table shuffle per training round for a decision that only
+    needs the broadcast centroids (guide §2.4: remove shuffles
+    outright).  Distances, tie-breaks, and grids are expression-
+    identical to the former shape (see ``_lloyd_best``), so the
+    assignment — and therefore every trained artifact — is unchanged."""
+    cframe = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cluster"), F.col("__c").alias("c")))
+        ).alias("__cs")
     )
-    return scored.groupBy(id_col).agg(
-        F.min_by("cluster", F.struct("__d", "cluster")).alias("cluster"),
-        F.first("__v").alias("__v"),
+    return vecs.crossJoin(F.broadcast(cframe)).select(
+        F.col(id_col),
+        _lloyd_best(F.col("__v"), F.col("__cs"))["cluster"].alias("cluster"),
+        F.col("__v"),
     )
 
 
@@ -1250,8 +1272,11 @@ def _lloyd_train(
                 ).alias("__new")
             )
         )
+        # means is k rows post-aggregation but checkpoint-reset stats
+        # hide that from the planner — hint it so the k-row refresh is
+        # a broadcast join, not a two-exchange sort-merge (guide §3.1)
         centroids = stats_free_checkpoint(
-            centroids.join(means, "cluster", "left").select(
+            centroids.join(F.broadcast(means), "cluster", "left").select(
                 "cluster", F.coalesce("__new", "__c").alias("__c")
             )
         )
@@ -1385,14 +1410,22 @@ def pq_codebooks_frame(
     ).transform(_persist)
     books = stats_free_checkpoint(_pq_init_books(sub, ksub, id_col))
     for _ in range(rounds):
-        assigned = (
-            sub.join(F.broadcast(books), "j")
-            .select(F.col(id_col), "j", "__v", "c", _lloyd_dist().alias("__d"))
-            .groupBy(id_col, "j")
-            .agg(
-                F.min_by("c", F.struct("__d", "c")).alias("c"),
-                F.first("__v").alias("__v"),
-            )
+        # one broadcast row per subspace carrying its ksub codewords
+        # (code-ascending), so the argmin is a scan-local fold after a
+        # 1:1 broadcast join on j — the former per-(id, j) ``min_by``
+        # groupBy re-shuffled the whole subvector table every round
+        # (guide §2.4); the fold is expression-identical (_lloyd_best
+        # with c as the index field), so the codes are unchanged.
+        books_arr = books.groupBy("j").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("c").alias("cluster"), F.col("__c").alias("c")))
+            ).alias("__bs")
+        )
+        assigned = sub.join(F.broadcast(books_arr), "j").select(
+            F.col(id_col),
+            "j",
+            _lloyd_best(F.col("__v"), F.col("__bs"))["cluster"].alias("c"),
+            "__v",
         )
         means = (
             assigned.select("j", "c", F.posexplode("__v").alias("dim", "__x"))
@@ -1406,8 +1439,10 @@ def pq_codebooks_frame(
                 ).alias("__new")
             )
         )
+        # m·ksub rows — broadcast for the same reason as the centroid
+        # refresh in _lloyd_train
         books = stats_free_checkpoint(
-            books.join(means, ["j", "c"], "left").select(
+            books.join(F.broadcast(means), ["j", "c"], "left").select(
                 "j", "c", F.coalesce("__new", "__c").alias("__c")
             )
         )

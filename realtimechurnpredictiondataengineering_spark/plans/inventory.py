@@ -3682,8 +3682,15 @@ def ll17(spark, sf_dir):
         .dropDuplicatesWithinWatermark(["fingerprint"])
         .drop("ts")
     )
-    q = delta_stream_sink(out, f"{base}/out", f"{base}/ck")
-    q.awaitTermination()
+    # stateful streaming (dropDuplicatesWithinWatermark): pin the state
+    # width to cores — AQE never coalesces streaming state, so the 3×
+    # batch width is pure per-partition state-store overhead
+    # (session.stream_state_partitions)
+    from realtimechurnpredictiondataengineering_spark.session import scoped_stream_width
+
+    with scoped_stream_width(spark):
+        q = delta_stream_sink(out, f"{base}/out", f"{base}/ck")
+        q.awaitTermination()
     return spark.read.parquet(f"{base}/out")
 
 
@@ -4471,9 +4478,14 @@ def cc08(spark, sf_dir):
         # shared subtree re-executes per consumer and the unrolled DAG
         # grows multiplicatively (measured 27s -> ~3s at sf0.1)
         pr = persist_tracked(pr)
+        # one 1-row broadcast per iteration carrying BOTH scalars the
+        # rank update needs (dangling mass and N) — as two separate
+        # crossJoins each iteration paid an extra broadcast exchange
+        # and BNLJ stage for a frame that is one double wide
         dangling = (
             pr.join(outdeg, pr["domain"] == outdeg["src_domain"], "left_anti")
             .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dmass"))
+            .crossJoin(F.broadcast(nn))
         )
         contrib = (
             edges.join(pr, pr["domain"] == edges["src_domain"])
@@ -4487,7 +4499,6 @@ def cc08(spark, sf_dir):
         )
         pr = (
             nodes.join(contrib, nodes["domain"] == contrib["dst_domain"], "left")
-            .crossJoin(F.broadcast(nn))
             .crossJoin(F.broadcast(dangling))
             .select(
                 "domain",
@@ -9716,8 +9727,14 @@ def ll14(spark, sf_dir):
         "n_bpe_tokens",
         "bpe_text",
     )
-    q = delta_stream_sink(out, f"{base}/out", f"{base}/ck")
-    q.awaitTermination()
+    # stateful streaming (watermarked dedup inside the ingest chain):
+    # state width = cores, the ll17 rationale
+    # (session.stream_state_partitions)
+    from realtimechurnpredictiondataengineering_spark.session import scoped_stream_width
+
+    with scoped_stream_width(spark):
+        q = delta_stream_sink(out, f"{base}/out", f"{base}/ck")
+        q.awaitTermination()
     return spark.read.parquet(f"{base}/out")
 
 

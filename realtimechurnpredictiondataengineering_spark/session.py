@@ -42,6 +42,25 @@ ENGINE_CONF: dict[str, str] = {
     # Broadcast threshold: 64 MiB — dimension tables (region/nation/
     # customer-agg side) broadcast instead of shuffling the fact table.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Cap the plan strings Spark renders for UI/listener events.  With
+    # AQE on, EVERY adaptive stage materialization re-prints the whole
+    # plan (AdaptiveSparkPlanExec.onUpdatePlan -> explainString), and
+    # iterative queries whose persisted stages nest via
+    # InMemoryRelation.innerChildren render multi-MB trees dozens of
+    # times per query — driver thread dumps during cc10_hits showed
+    # ~11 s/run of driver CPU inside TreeNode.generateTreeString
+    # (optimization guide §7.3).  64 KiB keeps the UI prefix useful;
+    # plan-dump tooling raises this per-session (it is runtime-settable)
+    # when a full tree is actually wanted.
+    "spark.sql.maxPlanStringLength": str(64 * 1024),
+    # Let AQE size the output partitioning of cached plans too
+    # (default false): without it a frame persisted below a 96-way
+    # exchange pins those 96 (tiny, at this scale) partitions, and
+    # every downstream stage over the cache launches 96 tasks for KBs
+    # of data.  Explicit repartition(n) calls (stage_hot_table's
+    # parallelism staging) are user-specified and stay exact —
+    # verified: staged tables keep their 32 partitions with this on.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Streaming: state store kept small + RocksDB would be used on a real
     # cluster; local default store is fine for tests.
     "spark.sql.streaming.stateStore.stateSchemaCheck": "true",
@@ -144,6 +163,49 @@ def get_spark(**kwargs) -> SparkSession:
     spark = session_builder(**kwargs).getOrCreate()
     tune_runtime(spark)
     return spark
+
+
+def stream_state_partitions(spark: SparkSession) -> int:
+    """Partition width for STATEFUL STREAMING queries: the session's
+    default parallelism, or ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``.
+
+    Batch queries start at ~3× cores and let AQE coalesce post-shuffle
+    partitions to the data; streaming state gets NO such correction —
+    AQE does not run on streaming plans, and the width is pinned into
+    the checkpoint at first batch.  Inheriting the batch-oriented 3×
+    width therefore buys nothing (no coalescing will ever shrink it)
+    and costs a fixed per-partition state-store overhead every
+    micro-batch: measured on ll17_streaming_warc_ingest at sf0.1, 96
+    state partitions ran 6-16 s where 8 ran 3.1 s, the cost scaling
+    with the partition count, not the data.  Cores (= what can run
+    concurrently) is the right default at every scale; deployments
+    with state too large per core override via the env knob."""
+    override = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if override:
+        return max(int(override), 1)
+    return max(spark.sparkContext.defaultParallelism, 1)
+
+
+class scoped_stream_width:
+    """Context manager pinning ``spark.sql.shuffle.partitions`` to
+    :func:`stream_state_partitions` around a streaming query's start +
+    drain, restoring the batch width afterwards.  The conf is read at
+    query start and written into the checkpoint, so the scope must
+    cover ``start()`` through ``awaitTermination()``."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(stream_state_partitions(self.spark))
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.saved)
+        return False
 
 
 def tune_runtime(spark: SparkSession) -> None:

@@ -22,6 +22,9 @@ def spark():
         extra_conf={"spark.driver.memory": "8g", "spark.ui.enabled": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
+    # the engine caps plan strings for UI events (session.ENGINE_CONF);
+    # the plan-invariant gates grep full explain output, so uncap here
+    spark.conf.set("spark.sql.maxPlanStringLength", str(1 << 30))
     yield spark
 
 

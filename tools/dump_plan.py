@@ -26,6 +26,9 @@ def main() -> int:
     sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="dump-plan")
     spark.sparkContext.setLogLevel("ERROR")
+    # the engine caps plan strings for UI events (session.ENGINE_CONF);
+    # here the full tree IS the deliverable
+    spark.conf.set("spark.sql.maxPlanStringLength", str(1 << 30))
     os.makedirs(OUT_DIR, exist_ok=True)
     for name in names:
         df = REGISTRY[name][0](spark, sf_dir)

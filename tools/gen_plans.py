@@ -45,6 +45,9 @@ def main() -> int:
 
     spark = get_spark(app_name="gen-plans")
     spark.sparkContext.setLogLevel("ERROR")
+    # the engine caps plan strings for UI events (session.ENGINE_CONF);
+    # here the full tree IS the deliverable
+    spark.conf.set("spark.sql.maxPlanStringLength", str(1 << 30))
 
     text = open(PLANS).read()
     # Split into sections on "## " headers, preserving the preamble.
