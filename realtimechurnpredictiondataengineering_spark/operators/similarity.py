@@ -1220,7 +1220,14 @@ def _lloyd_assign(vecs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
     needs the broadcast centroids (guide §2.4: remove shuffles
     outright).  Distances, tie-breaks, and grids are expression-
     identical to the former shape (see ``_lloyd_best``), so the
-    assignment — and therefore every trained artifact — is unchanged."""
+    assignment — and therefore every trained artifact — is unchanged.
+
+    PRECONDITION: ``id_col`` values must be unique in ``vecs``.  The
+    former ``groupBy(id)`` shape silently collapsed duplicate ids to
+    one assignment row; this scan-local shape preserves row
+    multiplicity, so a duplicated id would double-weight its vector in
+    the re-estimation means.  Every caller feeds a primary-key id
+    (vec_id); pinned by tests/test_similarity.py."""
     cframe = cents.agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("cluster"), F.col("__c").alias("c")))

@@ -182,7 +182,13 @@ def stream_state_partitions(spark: SparkSession) -> int:
     with state too large per core override via the env knob."""
     override = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if override:
-        return max(int(override), 1)
+        try:
+            return max(int(override), 1)
+        except ValueError as exc:
+            raise ValueError(
+                "SPARK_GRAFT_STREAM_STATE_PARTITIONS must be an integer, "
+                f"got {override!r}"
+            ) from exc
     return max(spark.sparkContext.defaultParallelism, 1)
 
 

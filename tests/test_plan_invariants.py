@@ -90,8 +90,9 @@ BNLJ_DOMAIN_BOUNDED = {
     "v14_pq_recall": "exact side is v08's broadcast query-set scan",
     "d11_exact_contamination": "eval-suite probe table (bench split) broadcast",
     "v18_truncated_recall": "both passes broadcast the 3-query literal-keyed set (v02 shape)",
-    "v19_kmeans_assign": "k-row checkpointed centroid frame broadcast (k is config; "
-    "the checkpoint makes it an opaque ExistingRDD the shape rule cannot read)",
+    "v19_kmeans_assign": "1-row broadcast: the k-row checkpointed centroid frame "
+    "collapses onto one cluster-ascending array row (keyless collect_list over an "
+    "opaque ExistingRDD the shape rule cannot read) before the assignment crossJoin",
 }
 
 _AGG = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")

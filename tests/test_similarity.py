@@ -162,3 +162,36 @@ def test_mips_topk_matches_numpy(spark, corpus, queries, corpus_np):
         # ties broken by id DESC, matching topk_reduce's struct sort
         want = [int(i) for i in sorted(range(len(dots)), key=lambda i: (-dots[i], -i))[:K]]
         assert by_query[qi] == want
+
+
+def test_lloyd_assign_unique_id_contract(spark):
+    # _lloyd_assign is scan-local: unlike the former groupBy(id) shape it
+    # preserves row multiplicity, so its documented PRECONDITION is that
+    # ids are unique.  Pin both halves of the contract: (a) unique-id
+    # input yields exactly one assignment row per id; (b) a duplicated id
+    # is NOT silently collapsed — the duplicate surfaces as a duplicate
+    # output row (callers feeding non-primary-key ids must dedup first,
+    # or the re-estimation means double-weight the vector).
+    from pyspark.sql import functions as F
+
+    from realtimechurnpredictiondataengineering_spark.operators.similarity import (
+        _lloyd_assign,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], "cluster int, __c array<double>"
+    )
+    unique = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [9.9, 9.8]), (3, [0.3, 0.1])],
+        "vec_id long, __v array<double>",
+    )
+    got = _lloyd_assign(unique, cents, "vec_id").collect()
+    assert sorted(r["vec_id"] for r in got) == [1, 2, 3]
+    assert {r["vec_id"]: r["cluster"] for r in got} == {1: 0, 2: 1, 3: 0}
+
+    dup = spark.createDataFrame(
+        [(7, [0.1, 0.2]), (7, [0.1, 0.2]), (2, [9.9, 9.8])],
+        "vec_id long, __v array<double>",
+    )
+    got_dup = _lloyd_assign(dup, cents, "vec_id").collect()
+    assert sorted(r["vec_id"] for r in got_dup) == [2, 7, 7]

@@ -17,7 +17,7 @@ from realtimechurnpredictiondataengineering_spark.cache import release_caches
 from realtimechurnpredictiondataengineering_spark.plans.inventory import REGISTRY
 from realtimechurnpredictiondataengineering_spark.session import get_spark
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
 
 
 def main() -> int:

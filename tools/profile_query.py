@@ -68,15 +68,15 @@ def profile(spark, name: str, sf_dir: str) -> None:
             continue
         dur = 0.0
         if st.get("firstTaskLaunchedTime") and st.get("completionTime"):
-            t_a = st["firstTaskLaunchedTime"]
-            t_b = st["completionTime"]
+            from datetime import datetime
+
+            # REST timestamps are '...%H:%M:%S.SSSGMT'; parse both sides
+            # with strptime and subtract datetimes — same zone cancels,
+            # no mktime local-time assumption, no manual ms slicing
             fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
-            dur = (
-                time.mktime(time.strptime(t_b, fmt))
-                + float(t_b[20:23]) / 1000
-                - time.mktime(time.strptime(t_a, fmt))
-                - float(t_a[20:23]) / 1000
-            )
+            t_a = datetime.strptime(st["firstTaskLaunchedTime"], fmt)
+            t_b = datetime.strptime(st["completionTime"], fmt)
+            dur = (t_b - t_a).total_seconds()
         rows.append(
             (
                 dur,
