@@ -4468,10 +4468,27 @@ def cc08(spark, sf_dir):
         .distinct()
     )
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    outdeg = edges.groupBy("src_domain").agg(F.sum("n_links").alias("outdeg"))
+    # the one loop-invariant aggregate, persisted ONCE (guide §2.4): it
+    # feeds two consumers per iteration (dangling anti-join, contrib
+    # join) — six subtree references over the unrolled loop
+    outdeg = persist_tracked(
+        edges.groupBy("src_domain").agg(F.sum("n_links").alias("outdeg"))
+    )
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "domain", (F.lit(1.0) / F.col("n")).alias("pr")
     )
+    # NOTE (r15): a sparse-contrib reformulation (persist only the
+    # per-iteration contribution aggregate, fold the dense
+    # pr = (1-d)/n + d·(dmass/n + contrib) expression into each
+    # consumer, zero-fill once at the end — the shape that took cc10
+    # from 10.8 s to 7.3 s) was implemented, oracle-verified, and
+    # MEASURED SLOWER here (7.4 → 8.3 s at sf0.1; cc09 11.0 → 13.0 s):
+    # unlike HITS, PageRank needs the dangling-mass scalar chain every
+    # round, and expressing it against sparse state costs two extra
+    # 1-row broadcast stages per iteration — at this scale the dense
+    # per-round persist is cheaper than the added driver round-trips.
+    # Kept dense deliberately; the at-scale lever that survives is the
+    # hoisted outdeg persist above.
     for _ in range(_PR_ITERS):
         # each iteration's rank feeds THREE consumers (dangling mass,
         # contributions, the final projection); without a persist the
@@ -4624,16 +4641,25 @@ def cc10(spark, sf_dir):
     # HITS hubs & authorities over the cc07 domain link graph — the
     # complementary ranking to cc08's PageRank (a domain can be a weak
     # authority but a strong hub, e.g. a link directory; spam-farm
-    # detection uses exactly this split).  Each half-iteration is ONE
-    # join of the score vector to the edge list on its key plus ONE
-    # hash aggregate on the other endpoint; the L1 normalizer is a
-    # 1-row aggregate broadcast back via crossJoin (the repo's
-    # every-crossJoin-broadcasts convention — no collect, no driver
-    # scalars).  _HITS_ITERS iterations are UNROLLED for the twin;
-    # per-iteration persists keep the shared score subtree from
-    # re-executing per consumer (the cc08 lesson).  Scores L1-normalize
-    # each half-step, so magnitudes stay comparable across engines;
-    # output rounded by the portable floor form at 1e-8.
+    # detection uses exactly this split).  The iteration propagates the
+    # SPARSE un-zero-filled aggregate (guide §2.3/§2.4): a zero-score
+    # node contributes exactly nothing to the next half-step's sum, so
+    # the dense nodes-left-join zero-fill the r14 shape ran TWICE per
+    # iteration is needed only once, on the final reported frame — per
+    # half-step the plan is now ONE equi-join of the edge list to the
+    # cached previous aggregate plus ONE hash aggregate on the other
+    # endpoint, the L1 normalizer riding a 1-row broadcast crossJoin
+    # folded INTO that join's projection ((v/s)·w — term-for-term the
+    # same doubles as the former normalize-then-multiply, so every
+    # value is unchanged).  Persisting the per-half-step aggregate
+    # (instead of the dense score table) also stops the normalizer
+    # 1-row agg from re-executing the whole propagation join — the r14
+    # profile showed cc10 at 53 jobs/117 stages with stage walls
+    # summing to a quarter of the wall: this shape drops the per-
+    # iteration stage count by the two nodes joins, the two duplicate
+    # edge-join aggregates, and the two dense persists.  _HITS_ITERS
+    # iterations stay UNROLLED for the twin; no collect, no driver
+    # scalars; output rounded by the portable floor form at 1e-8.
     from realtimechurnpredictiondataengineering_spark.cache import persist_tracked
 
     edges = persist_tracked(
@@ -4648,41 +4674,65 @@ def cc10(spark, sf_dir):
         .distinct()
     )
     nn = nodes.agg(F.count("*").cast("double").alias("n"))
-    h = nodes.crossJoin(F.broadcast(nn)).select(
-        "domain", (F.lit(1.0) / F.col("n")).alias("h")
-    )
-    a = None
-    for _ in range(_HITS_ITERS):
-        h = persist_tracked(h)
-        ar = (
-            edges.join(h, h["domain"] == edges["src_domain"])
-            .groupBy("dst_domain")
+    ar = hr = None
+    asum = hsum = None
+    for it in range(_HITS_ITERS):
+        if it == 0:
+            # round-0 hub score is the dense 1/n vector; per edge row
+            # that is the scalar 1/n — ride it in on the nn broadcast
+            h_edges = edges.crossJoin(F.broadcast(nn)).select(
+                "src_domain", "dst_domain", "w",
+                (F.lit(1.0) / F.col("n")).alias("h"),
+            )
+        else:
+            # h_{it} = hr/s, folded into the join projection: every
+            # edge src HAS an out-edge, so the sparse hr frame covers
+            # every join match the dense frame did
+            h_edges = (
+                edges.join(hr, hr["domain"] == edges["src_domain"])
+                .crossJoin(F.broadcast(hsum))
+                .select(
+                    "src_domain", "dst_domain", "w",
+                    (F.col("v") / F.col("s")).alias("h"),
+                )
+            )
+        ar = persist_tracked(
+            h_edges.groupBy("dst_domain")
             .agg(F.sum(F.col("h") * F.col("w")).alias("v"))
+            .select(F.col("dst_domain").alias("domain"), "v")
         )
         asum = ar.agg(F.sum("v").alias("s"))
-        a = persist_tracked(
-            nodes.join(ar, nodes["domain"] == ar["dst_domain"], "left")
+        # a_{it} = v/s likewise folds into the hub half-step: every
+        # edge dst has an in-edge, so sparse ar covers every match
+        hr = persist_tracked(
+            edges.join(ar, ar["domain"] == edges["dst_domain"])
             .crossJoin(F.broadcast(asum))
             .select(
-                "domain",
-                (F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("a"),
+                F.col("src_domain").alias("domain"),
+                ((F.col("v") / F.col("s")) * F.col("w")).alias("__av"),
             )
-        )
-        hr = (
-            edges.join(a, a["domain"] == edges["dst_domain"])
-            .groupBy("src_domain")
-            .agg(F.sum(F.col("a") * F.col("w")).alias("v"))
+            .groupBy("domain")
+            .agg(F.sum("__av").alias("v"))
         )
         hsum = hr.agg(F.sum("v").alias("s"))
-        h = (
-            nodes.join(hr, nodes["domain"] == hr["src_domain"], "left")
-            .crossJoin(F.broadcast(hsum))
-            .select(
-                "domain",
-                (F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("h"),
-            )
+    # the dense zero-fill happens ONCE, on the reported frame — the
+    # exact r14 expressions (coalesce(v,0)/s), so unlinked nodes read
+    # 0.0 and linked nodes the identical normalized double
+    a_full = (
+        nodes.join(ar, "domain", "left")
+        .crossJoin(F.broadcast(asum))
+        .select(
+            "domain", (F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("a")
         )
-    return a.join(h, "domain").select(
+    )
+    h_full = (
+        nodes.join(hr, "domain", "left")
+        .crossJoin(F.broadcast(hsum))
+        .select(
+            "domain", (F.coalesce("v", F.lit(0.0)) / F.col("s")).alias("h")
+        )
+    )
+    return a_full.join(h_full, "domain").select(
         "domain",
         (F.floor(F.col("a") * 1e8 + 0.5) / 1e8).alias("authority"),
         (F.floor(F.col("h") * 1e8 + 0.5) / 1e8).alias("hub"),
