@@ -32,6 +32,26 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+def eager_persist(df: DataFrame) -> DataFrame:
+    """``persist_tracked`` + immediate materialization (one cheap
+    ``count()`` job over the fresh cache).
+
+    Use when the cached frame feeds TWO OR MORE sibling exchanges of
+    the same query: AQE submits every ready query stage concurrently,
+    and concurrent tasks hitting a not-yet-populated cache partition
+    each compute it themselves — the expensive upstream pass (regex
+    tokenize, MinHash fold) runs once PER RACING CONSUMER instead of
+    once (measured on ll06: the signature stage executed twice, 30.7 s
+    + 10.3 s of task time for identical 2 MB→805 KB work).  Count()
+    forces the cache to fill serially before any consumer plans against
+    it.  Costs one driver job — use for expensive passes, not tiny
+    frames; single-consumer or strictly-sequential caches should stay
+    on ``persist_tracked``."""
+    df = persist_tracked(df)
+    df.count()
+    return df
+
+
 def release_caches() -> int:
     """Unpersist every tracked frame (non-blocking); returns the count.
     Safe to call at any time — a released cache only costs recomputation

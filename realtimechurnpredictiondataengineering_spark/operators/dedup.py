@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from realtimechurnpredictiondataengineering_spark.cache import persist_tracked as _persist
+from realtimechurnpredictiondataengineering_spark.cache import (
+    eager_persist as _eager_persist,
+    persist_tracked as _persist,
+)
 
 from realtimechurnpredictiondataengineering_spark.functions.text import (
     fingerprint_md5,
@@ -233,7 +236,11 @@ def minhash_near_duplicates(
     sigs = minhash_signature(
         fan_out(df), id_col, text_col, num_hashes, shingle_k, portable_hash
     )
-    sigs = sigs.transform(_persist)
+    # band explode and shingle verify-join are SIBLING consumers of the
+    # signature cache — materialize eagerly or AQE's concurrent stage
+    # submission computes the expensive fold once per consumer
+    # (cache.eager_persist)
+    sigs = sigs.transform(_eager_persist)
     buckets = _band_buckets(sigs, id_col, num_hashes, bands, portable_hash)
     pairs = _capped_bucket_pairs(buckets, id_col, ["band_id", "band_hash"], max_bucket)
 

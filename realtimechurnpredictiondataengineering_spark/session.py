@@ -53,14 +53,12 @@ ENGINE_CONF: dict[str, str] = {
     # plan-dump tooling raises this per-session (it is runtime-settable)
     # when a full tree is actually wanted.
     "spark.sql.maxPlanStringLength": str(64 * 1024),
-    # Let AQE size the output partitioning of cached plans too
-    # (default false): without it a frame persisted below a 96-way
-    # exchange pins those 96 (tiny, at this scale) partitions, and
-    # every downstream stage over the cache launches 96 tasks for KBs
-    # of data.  Explicit repartition(n) calls (stage_hot_table's
-    # parallelism staging) are user-specified and stay exact —
-    # verified: staged tables keep their 32 partitions with this on.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # canChangeCachedPlanOutputPartitioning was set true in r14 on the
+    # theory that cached frames pinned tiny 96-way partitionings; the
+    # r15 evidence pass could not reproduce any benefit (staged-table
+    # consumer suite: 9.02/9.16 s with it on vs 8.91/8.84 s off at
+    # sf0.1; consumer plans byte-identical) — reverted to the Spark
+    # default (false) per the evidence-or-revert rule.
     # Streaming: state store kept small + RocksDB would be used on a real
     # cluster; local default store is fine for tests.
     "spark.sql.streaming.stateStore.stateSchemaCheck": "true",

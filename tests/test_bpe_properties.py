@@ -30,6 +30,7 @@ WORDS = st.lists(
 )
 
 
+@pytest.mark.slow  # randomized fuzz; deterministic twin stays in the default tier
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=20,
@@ -54,6 +55,7 @@ def test_bpe_train_matches_sequential_on_random_corpora(spark, words):
     assert got == expected
 
 
+@pytest.mark.slow  # randomized fuzz; deterministic twin stays in the default tier
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=15,
@@ -85,6 +87,7 @@ def test_bpe_train_eow_matches_sequential_on_random_corpora(spark, words):
 # --- media header walks: random container layouts == ground truth ---------
 
 
+@pytest.mark.slow  # randomized fuzz; deterministic twin stays in the default tier
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=12,
@@ -134,6 +137,7 @@ def test_jpeg_walk_matches_ground_truth_on_random_layouts(
     assert (r["fmt"], r["width"], r["height"]) == ("jpeg", w, h)
 
 
+@pytest.mark.slow  # randomized fuzz; deterministic twin stays in the default tier
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=12,
@@ -197,6 +201,7 @@ CHANGES = st.lists(
 )
 
 
+@pytest.mark.slow  # randomized fuzz; deterministic twin stays in the default tier
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=15,
@@ -231,6 +236,7 @@ def test_sequential_merge_equals_one_shot_on_random_logs(spark, changes, cuts):
     assert sequential == one_shot
 
 
+@pytest.mark.slow  # randomized fuzz; deterministic twin stays in the default tier
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=12,
@@ -289,6 +295,7 @@ def test_mp3_walk_matches_ground_truth_on_random_layouts(
     assert r["duration_ms"] == len(frames) * 1152000 // MP3_RATES[sri0]
 
 
+@pytest.mark.slow  # randomized fuzz; deterministic twin stays in the default tier
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=12,
@@ -330,6 +337,7 @@ def test_mp4_walk_matches_ground_truth_on_random_layouts(
     assert r["duration_ms"] == duration * 1000 // timescale
 
 
+@pytest.mark.slow  # randomized fuzz; deterministic twin stays in the default tier
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=12,
@@ -378,6 +386,7 @@ def test_tiff_ifd_scan_matches_ground_truth_on_random_layouts(
     assert r["n_ifd_entries"] == expect_n
 
 
+@pytest.mark.slow  # randomized fuzz; deterministic twin stays in the default tier
 @pytest.mark.usefixtures("spark")
 @settings(
     max_examples=12,

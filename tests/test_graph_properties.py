@@ -5,6 +5,7 @@ One hypothesis example = one Spark job, so example counts stay small
 (the JVM round-trip, not the property, is the cost).
 """
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -42,6 +43,7 @@ def _union_find_components(edges):
     return {x: find(x) for x in parent}
 
 
+@pytest.mark.slow  # randomized fuzz; deterministic twin stays in the default tier
 @PROP_SETTINGS
 @given(edges=EDGES)
 def test_connected_components_matches_union_find(spark, edges):

@@ -139,7 +139,21 @@ def test_applyinpandas_with_state_running_profile(spark, tmp_path):
 
     stream = spark.readStream.schema("key string, value double, ts timestamp").parquet(src)
     q = memory_sink(running_profile(stream), "profiles_state", output_mode="update")
-    _drain(q)
+    # applyInPandasWithState with processing-time timeouts never
+    # self-terminates even under availableNow (the timeout schedule
+    # keeps the query alive) and processAllAvailable() blocks on it —
+    # _drain(q) here just burned its full 120 s cap (measured: this was
+    # the suite's slowest streaming test at 124 s).  Poll the sink for
+    # the expected keys, then stop the query explicitly.
+    import time as _time
+
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if spark.sql("SELECT count(DISTINCT key) AS n FROM profiles_state").collect()[0]["n"] >= 2:
+            break
+        _time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
     got = {r["key"]: (r["n_events"], r["total_value"]) for r in
            spark.sql("SELECT * FROM profiles_state").collect()}
     assert got["a"] == (2, 3.0)
