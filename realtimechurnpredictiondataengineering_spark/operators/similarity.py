@@ -160,9 +160,24 @@ def train_ivf_centroids(
 
 
 def _nearest_centroid(vec, cents_lit):
-    """Index (0-based) of the max-dot centroid; first index wins ties."""
-    dots = F.transform(cents_lit, lambda c: dot(vec, c))
-    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    """Index (0-based) of the max-dot centroid; first index wins ties.
+
+    Single-tree argmax: ``array_max`` over (dot, −index) structs —
+    lexicographic struct ordering picks the largest dot and, on ties,
+    the largest −index = the SMALLEST index, exactly the former
+    ``array_position(dots, array_max(dots))`` semantics (NaN included:
+    Spark orders NaN above every double in both forms, and ties among
+    NaNs again break to the first index).  The former two-reference
+    shape evaluated the k×d dot fold TWICE per row: higher-order
+    functions are CodegenFallback, and the interpreted projection does
+    no common-subexpression elimination (guide §1.2 per-task work)."""
+    best = F.array_max(
+        F.transform(
+            cents_lit,
+            lambda c, i: F.struct(dot(vec, c).alias("d"), (-i).alias("ni")),
+        )
+    )
+    return (-best["ni"]).cast("int")
 
 
 def ivf_topk(
@@ -407,15 +422,26 @@ def _pq_codes_from_books(vec, books, dsub: int):
 
     def code_for(j_col, book):
         sub = F.slice(vec, j_col * dsub + 1, dsub)
-        d2 = F.transform(
-            book,
-            lambda c: F.aggregate(
-                F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+        # single-tree argmin: array_min over (distance, index) structs —
+        # smallest distance, ties to the smallest index, identical to
+        # the former array_position(d2, array_min(d2)) but evaluating
+        # the per-codeword distance folds ONCE (interpreted HOFs get no
+        # common-subexpression elimination; the two-reference shape
+        # paid the ksub×dsub fold twice per row)
+        best = F.array_min(
+            F.transform(
+                book,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(sub, c, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    i.alias("i"),
+                ),
+            )
         )
-        return (F.array_position(d2, F.array_min(d2)) - 1).cast("int")
+        return best["i"].cast("int")
 
     return F.transform(books, lambda book, j: code_for(j, book))
 
@@ -690,12 +716,26 @@ def ivf_pq_topk_frame(
         dsub = len(codebooks[0][0])
         books = _pq_lit_books(codebooks)
     vec = F.col(vec_col)
-    idx = _nearest_centroid(vec, cents)
-    resid = F.zip_with(vec, F.element_at(cents, idx + 1), lambda a, b: a - b)
     corpus_side = fan_out(corpus).crossJoin(F.broadcast(cframe))
     if frame_books:
         corpus_side = corpus_side.crossJoin(F.broadcast(bframe))
-    assigned = corpus_side.select(
+    # two-layer projection: the nearest-centroid fold lands in ONE
+    # aliased column, and the consumer layer references it twice (cid +
+    # residual encode).  CollapseProject keeps the layers apart (the
+    # producer is non-cheap and multiply-referenced), so the fold runs
+    # once per row where the single-projection shape ran it per
+    # referencing column (interpreted HOFs get no CSE — guide §1.2).
+    pre_cols = [F.col(id_col), vec, F.col("__cs")]
+    if frame_books:
+        pre_cols.append(F.col("__bj"))
+    pre = corpus_side.select(
+        *pre_cols, _nearest_centroid(vec, cents).alias("__idx")
+    )
+    idx = F.col("__idx")
+    resid = F.zip_with(
+        vec, F.element_at(F.col("__cs"), idx + 1)["c"], lambda a, b: a - b
+    )
+    assigned = pre.select(
         F.col(id_col),
         F.element_at(F.col("__cs"), (idx + 1).cast("int"))["cluster"].alias("cid"),
         _pq_codes_from_books(resid, books, dsub).alias("pq_codes"),
@@ -1487,13 +1527,29 @@ def cluster_quality_report(
     if len(centroids) < 2:
         raise ValueError("cluster_quality_report needs >= 2 centroids")
     cents = lit_matrix(centroids)
-    dots = F.transform(cents, lambda c: dot(F.col(vec_col), c))
-    best = F.array_max(dots)
-    second = F.element_at(F.sort_array(dots, asc=False), 2)
-    assigned = fan_out(vecs).select(
-        (F.array_position(dots, best) - 1).cast("int").alias("cluster_id"),
-        best.alias("__b"),
-        (best - second).alias("__m"),
+    # one desc-sorted (dot, −index) struct array per row, computed in
+    # its own projection layer: the former shape referenced the k×d dot
+    # fold from all three output columns (best, margin, argmax) and
+    # interpreted HOFs get no common-subexpression elimination, so the
+    # fold ran ~4× per row.  Struct ordering reproduces the exact old
+    # semantics: max dot first, ties toward the smaller index
+    # (−index desc ≡ index asc ≡ array_position's first-match rule);
+    # the d-sequence of the sorted structs is the same sorted multiset
+    # sort_array(dots, desc) produced, so `second` is unchanged too.
+    sd = F.sort_array(
+        F.transform(
+            cents,
+            lambda c, i: F.struct(
+                dot(F.col(vec_col), c).alias("d"), (-i).alias("ni")
+            ),
+        ),
+        asc=False,
+    )
+    pre = fan_out(vecs).select(sd.alias("__sd"))
+    assigned = pre.select(
+        (-F.element_at("__sd", 1)["ni"]).cast("int").alias("cluster_id"),
+        F.element_at("__sd", 1)["d"].alias("__b"),
+        (F.element_at("__sd", 1)["d"] - F.element_at("__sd", 2)["d"]).alias("__m"),
     )
     return assigned.groupBy("cluster_id").agg(
         F.count("*").cast("int").alias("n"),
@@ -1540,15 +1596,25 @@ def cluster_quality_frame(
             F.lit("cluster_quality_frame needs >= 2 centroids"),
         ).isNull()
     )
-    dots = F.transform("__cs", lambda s: dot(F.col(vec_col), s["c"]))
-    best = F.array_max(dots)
-    second = F.element_at(F.sort_array(dots, asc=False), 2)
-    assigned = fan_out(vecs).crossJoin(F.broadcast(cents)).select(
-        F.element_at("__cs", F.array_position(dots, best).cast("int"))[
-            "cluster"
-        ].alias("cluster_id"),
-        best.alias("__b"),
-        (best - second).alias("__m"),
+    # same single-evaluation restructure as cluster_quality_report: one
+    # desc-sorted (dot, −cluster) struct array in its own projection
+    # layer; ties break to the smaller cluster id exactly as the former
+    # first-position rule did (__cs is cluster-ascending)
+    sd = F.sort_array(
+        F.transform(
+            "__cs",
+            lambda s: F.struct(
+                dot(F.col(vec_col), s["c"]).alias("d"),
+                (-s["cluster"]).alias("nc"),
+            ),
+        ),
+        asc=False,
+    )
+    pre = fan_out(vecs).crossJoin(F.broadcast(cents)).select(sd.alias("__sd"))
+    assigned = pre.select(
+        (-F.element_at("__sd", 1)["nc"]).alias("cluster_id"),
+        F.element_at("__sd", 1)["d"].alias("__b"),
+        (F.element_at("__sd", 1)["d"] - F.element_at("__sd", 2)["d"]).alias("__m"),
     )
     return assigned.groupBy("cluster_id").agg(
         F.count("*").cast("int").alias("n"),
